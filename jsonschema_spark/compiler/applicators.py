@@ -1,0 +1,553 @@
+"""Applicator keywords — constraint-DAG combinators.
+
+In the reference these recurse through ``descend()``
+(/root/reference/jsonschema/validators.py:396-446); here each subschema
+compiles to predicate Columns and composition is boolean algebra that
+Catalyst evaluates vectorized — no short-circuiting needed
+(SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import re as _re
+from typing import Any, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .context import CompileContext
+from .node import Check, Node
+from .registry import (KeywordRegistry, SchemaCompileError, compile_subschema,
+                       make_check, stringify)
+
+STRING = T.StringType()
+
+
+def _row_scope(ctx: CompileContext) -> bool:
+    return ctx.target is None
+
+
+def _element_ok(ctx: CompileContext, subschema: Any, elem: Column,
+                dtype: T.DataType, fragment: str) -> Column:
+    """Validity of one array element / map value under `subschema`."""
+    child = ctx.child(target=elem, dtype=dtype, schema_fragment=fragment,
+                      null_is_absent=False, row_fields=None)
+    return compile_subschema(child, subschema).ok
+
+
+# ----------------------------------------------------------- composition --
+
+def c_all_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
+    """`allOf` (_keywords.py:332-334): children's errors propagate
+    individually with indexed schema paths."""
+    out = Node()
+    for i, sub in enumerate(value):
+        child = compile_subschema(ctx.child(schema_fragment=f"allOf/{i}"), sub)
+        out.checks.extend(child.checks)
+        out._extra_ok.extend(child._extra_ok)
+    return out
+
+
+def c_any_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
+    """`anyOf` (_keywords.py:337-348): one aggregated error on failure."""
+    oks = [compile_subschema(ctx.child(schema_fragment=f"anyOf/{i}"), sub).ok
+           for i, sub in enumerate(value)]
+    pred = oks[0]
+    for o in oks[1:]:
+        pred = pred | o
+    return make_check(ctx, "anyOf", pred,
+                      F.format_string("%s is not valid under any of the "
+                                      "given schemas", stringify(ctx)))
+
+
+def c_one_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
+    """`oneOf` (_keywords.py:351-373): exactly-one-match."""
+    oks = [compile_subschema(ctx.child(schema_fragment=f"oneOf/{i}"), sub).ok
+           for i, sub in enumerate(value)]
+    n = sum((o.cast("int") for o in oks), F.lit(0))
+    return make_check(ctx, "oneOf", n == 1,
+                      F.format_string("%s is not valid under exactly one of "
+                                      "the given schemas", stringify(ctx)))
+
+
+def c_not(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
+    """`not` (_keywords.py:376-379)."""
+    child = compile_subschema(ctx.child(schema_fragment="not"), value)
+    return make_check(ctx, "not", ~child.ok,
+                      F.format_string("%s should not be valid under the "
+                                      "given schema", stringify(ctx)))
+
+
+def c_if(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
+    """`if`/`then`/`else` (_keywords.py:382-389): `if` itself yields no
+    errors; then/else checks are conditioned on the if outcome and keep
+    their own identity (schema_path prefixing mirrors
+    validators.py:392-393,440-441)."""
+    if_ok = compile_subschema(ctx.child(schema_fragment="if"), value).ok
+    out = Node()
+    if "then" in schema:
+        child = compile_subschema(ctx.child(schema_fragment="then"),
+                                  schema["then"])
+        for chk in child.checks:
+            chk.pred = (~if_ok) | chk.pred
+            out.checks.append(chk)
+        out._extra_ok.extend((~if_ok) | p for p in child._extra_ok)
+    if "else" in schema:
+        child = compile_subschema(ctx.child(schema_fragment="else"),
+                                  schema["else"])
+        for chk in child.checks:
+            chk.pred = if_ok | chk.pred
+            out.checks.append(chk)
+        out._extra_ok.extend(if_ok | p for p in child._extra_ok)
+    return out
+
+
+# ------------------------------------------------------------------ $ref --
+
+def _json_pointer(doc: Any, pointer: str) -> Any:
+    node = doc
+    if pointer in ("", "#"):
+        return node
+    for part in pointer.lstrip("#").lstrip("/").split("/"):
+        part = part.replace("~1", "/").replace("~0", "~")
+        if isinstance(node, list):
+            node = node[int(part)]
+        elif isinstance(node, dict):
+            if part not in node:
+                raise SchemaCompileError(f"$ref pointer {pointer!r}: "
+                                         f"{part!r} not found")
+            node = node[part]
+        else:
+            raise SchemaCompileError(f"$ref pointer {pointer!r} walks into "
+                                     f"a leaf")
+    return node
+
+
+def _find_anchor(doc: Any, name: str) -> Optional[dict]:
+    """BFS for $anchor/$dynamicAnchor == name (validators.py:1236-1262)."""
+    queue = [doc]
+    while queue:
+        node = queue.pop(0)
+        if isinstance(node, dict):
+            if node.get("$anchor") == name or node.get("$dynamicAnchor") == name:
+                return node
+            queue.extend(node.values())
+        elif isinstance(node, list):
+            queue.extend(node)
+    return None
+
+
+def _resolve_ref(ctx: CompileContext, ref: str) -> Any:
+    root = ctx.root_schema if ctx.root_schema is not None else {}
+    if ref.startswith("#/") or ref in ("#", ""):
+        return _json_pointer(root, ref)
+    if ref.startswith("#"):
+        target = _find_anchor(root, ref[1:])
+        if target is None:
+            raise SchemaCompileError(f"anchor {ref!r} not found")
+        return target
+    raise SchemaCompileError(
+        f"non-local $ref {ref!r} unsupported (compile-time inlining only "
+        f"resolves within the root schema document)")
+
+
+def c_ref(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
+    """`$ref` (_keywords.py:274-275 + validators.py:459-483): compile-time
+    inlining of the referent; recursion bounded by max_ref_depth."""
+    if ctx.ref_depth >= ctx.max_ref_depth:
+        ctx.warn(f"$ref {value!r} exceeded max depth "
+                 f"{ctx.max_ref_depth}; treated as pass")
+        return None
+    referent = _resolve_ref(ctx, value)
+    child_ctx = ctx.child()
+    child_ctx.ref_depth = ctx.ref_depth + 1
+    child = compile_subschema(child_ctx, referent)
+    # $ref does not prefix the schema path (validators.py:392-393)
+    out = Node()
+    out.checks.extend(child.checks)
+    out._extra_ok.extend(child._extra_ok)
+    return out
+
+
+def c_dynamic_ref(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
+    """`$dynamicRef` (_keywords.py:278-279): with compile-time inlining the
+    dynamic scope is the compilation stack, which for a single root
+    document collapses to anchor lookup in the root."""
+    return c_ref(ctx, value, schema)
+
+
+# ------------------------------------------------------- object applicators
+
+def _struct_members(ctx: CompileContext) -> list[T.StructField]:
+    if _row_scope(ctx):
+        return list(ctx.row_fields or [])
+    if ctx.is_struct():
+        return list(ctx.dtype.fields)
+    return []
+
+
+def _bind_member(ctx: CompileContext, field: T.StructField,
+                 fragment: str) -> CompileContext:
+    target = (F.col(field.name) if _row_scope(ctx)
+              else ctx.target.getField(field.name))
+    return ctx.child(target=target, dtype=field.dataType,
+                     path_fragment=field.name, schema_fragment=fragment,
+                     row_fields=None)
+
+
+def c_properties(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
+    """`properties` (_keywords.py:290-301): bind each subschema to its
+    column / struct field / map value; statically-absent members pass."""
+    out = Node()
+    if _row_scope(ctx) or ctx.is_struct():
+        fields = {f.name: f for f in _struct_members(ctx)}
+        for name, sub in value.items():
+            fld = fields.get(name)
+            if fld is None:
+                continue  # absent property -> subschema never applies
+            child_ctx = _bind_member(ctx, fld, f"properties/{name}")
+            child = compile_subschema(child_ctx, sub)
+            out.checks.extend(child.checks)
+            out._extra_ok.extend(child._extra_ok)
+        return out
+    if ctx.is_map():
+        vtype = ctx.dtype.valueType
+        for name, sub in value.items():
+            member = F.try_element_at(ctx.target, F.lit(name))
+            child_ctx = ctx.child(target=member, dtype=vtype,
+                                  path_fragment=name,
+                                  schema_fragment=f"properties/{name}",
+                                  row_fields=None)
+            child = compile_subschema(child_ctx, sub)
+            out.checks.extend(child.checks)
+            out._extra_ok.extend(child._extra_ok)
+        return out
+    return None
+
+
+def c_pattern_properties(ctx: CompileContext, value: Any,
+                         schema: dict) -> Optional[Node]:
+    """`patternProperties` (_keywords.py:16-25): static field names are
+    matched with the real Python ``re.search`` at compile time."""
+    out = Node()
+    if _row_scope(ctx) or ctx.is_struct():
+        for pattern, sub in value.items():
+            rx = _re.compile(pattern)
+            for fld in _struct_members(ctx):
+                if rx.search(fld.name):
+                    child_ctx = _bind_member(
+                        ctx, fld, f"patternProperties/{pattern}")
+                    child = compile_subschema(child_ctx, sub)
+                    out.checks.extend(child.checks)
+                    out._extra_ok.extend(child._extra_ok)
+        return out
+    if ctx.is_map():
+        from ..functions.regex import _to_java
+        for pattern, sub in value.items():
+            jrx = _to_java(pattern)
+            if jrx is None:
+                ctx.warn(f"patternProperties {pattern!r} not Java-safe over "
+                         f"MapType; skipped")
+                continue
+            matching = F.map_filter(ctx.target, lambda k, v: k.rlike(jrx))
+            ok = F.forall(F.map_values(matching),
+                          lambda v: _element_ok(
+                              ctx, sub, v, ctx.dtype.valueType,
+                              f"patternProperties/{pattern}"))
+            out._extra_ok.append(ok)
+            n = make_check(ctx, "patternProperties", ok,
+                           F.lit(f"a value under a key matching {pattern!r} "
+                                 f"failed its subschema"),
+                           schema_suffix=f"patternProperties/{pattern}")
+            out.checks.extend(n.checks)
+            out._extra_ok.pop()
+        return out
+    return None
+
+
+def _pattern_matched_names(value_pp: dict, names: list[str]) -> set[str]:
+    hit = set()
+    for pattern in value_pp:
+        rx = _re.compile(pattern)
+        hit.update(n for n in names if rx.search(n))
+    return hit
+
+
+def c_additional_properties(ctx: CompileContext, value: Any,
+                            schema: dict) -> Optional[Node]:
+    """`additionalProperties` (_keywords.py:36-56 + _utils.py:75-91):
+    compile-time set difference against properties/patternProperties."""
+    return _extras_keyword(ctx, value, schema, "additionalProperties",
+                           known=set(schema.get("properties", {})),
+                           patterns=list(schema.get("patternProperties", {})))
+
+
+def _extras_keyword(ctx: CompileContext, value: Any, schema: dict,
+                    keyword: str, known: set[str],
+                    patterns: list[str]) -> Optional[Node]:
+    out = Node()
+    if _row_scope(ctx) or ctx.is_struct():
+        names = [f.name for f in _struct_members(ctx)]
+        matched = _pattern_matched_names({p: None for p in patterns}, names)
+        extras = [f for f in _struct_members(ctx)
+                  if f.name not in known and f.name not in matched]
+        for fld in extras:
+            target = (F.col(fld.name) if _row_scope(ctx)
+                      else ctx.target.getField(fld.name))
+            if value is False:
+                n = make_check(
+                    ctx.child(path_fragment=fld.name, row_fields=None),
+                    keyword, target.isNull(),
+                    F.lit(f"Additional properties are not allowed "
+                          f"('{fld.name}' was unexpected)"))
+                n.checks[0].failing_value = target.cast("string")
+                out.checks.extend(n.checks)
+            elif value is not True:
+                child_ctx = _bind_member(ctx, fld, keyword)
+                child = compile_subschema(child_ctx, value)
+                out.checks.extend(child.checks)
+                out._extra_ok.extend(child._extra_ok)
+        return out
+    if ctx.is_map():
+        from ..functions.regex import _to_java
+        jrx = [_to_java(p) for p in patterns]
+        if any(j is None for j in jrx):
+            ctx.warn(f"{keyword} over MapType with non-Java-safe "
+                     f"patternProperties; skipped")
+            return None
+
+        def is_extra(k: Column) -> Column:
+            cond = ~k.isin(*known) if known else F.lit(True)
+            for j in jrx:
+                cond = cond & ~k.rlike(j)
+            return cond
+
+        if value is False:
+            bad = F.size(F.filter(F.map_keys(ctx.target), is_extra))
+            return make_check(ctx, keyword, bad == 0,
+                              F.lit("Additional properties are not allowed"))
+        if value is True:
+            return None
+        extras_map = F.map_filter(ctx.target, lambda k, v: is_extra(k))
+        ok = F.forall(F.map_values(extras_map),
+                      lambda v: _element_ok(ctx, value, v,
+                                            ctx.dtype.valueType, keyword))
+        return make_check(ctx, keyword, ok,
+                          F.lit("an additional property failed its subschema"))
+    return None
+
+
+def c_property_names(ctx: CompileContext, value: Any,
+                     schema: dict) -> Optional[Node]:
+    """`propertyNames` (_keywords.py:28-33)."""
+    if _row_scope(ctx) or ctx.is_struct():
+        # static names: evaluate the name subschema on literal strings and
+        # condition on presence; Catalyst constant-folds the literals.
+        out = Node()
+        for fld in _struct_members(ctx):
+            name_ok = _element_ok(ctx, value, F.lit(fld.name), STRING,
+                                  "propertyNames")
+            target = (F.col(fld.name) if _row_scope(ctx)
+                      else ctx.target.getField(fld.name))
+            n = make_check(ctx, "propertyNames", target.isNull() | name_ok,
+                           F.lit(f"property name '{fld.name}' fails "
+                                 f"propertyNames"))
+            out.checks.extend(n.checks)
+        return out
+    if ctx.is_map():
+        ok = F.forall(F.map_keys(ctx.target),
+                      lambda k: _element_ok(ctx, value, k, STRING,
+                                            "propertyNames"))
+        return make_check(ctx, "propertyNames", ok,
+                          F.lit("a property name fails propertyNames"))
+    return None
+
+
+def c_dependent_schemas(ctx: CompileContext, value: Any,
+                        schema: dict) -> Optional[Node]:
+    """`dependentSchemas` (_keywords.py:257-266)."""
+    out = Node()
+    members = {f.name: f for f in _struct_members(ctx)}
+    if not (_row_scope(ctx) or ctx.is_struct() or ctx.is_map()):
+        return None
+    for prop, sub in value.items():
+        if ctx.is_map():
+            present = F.map_contains_key(ctx.target, F.lit(prop))
+        else:
+            fld = members.get(prop)
+            if fld is None:
+                continue  # trigger statically absent -> vacuous
+            present = (F.col(prop).isNotNull() if _row_scope(ctx)
+                       else ctx.target.getField(prop).isNotNull())
+        child = compile_subschema(
+            ctx.child(schema_fragment=f"dependentSchemas/{prop}"), sub)
+        for chk in child.checks:
+            chk.pred = (~present) | chk.pred
+            out.checks.append(chk)
+        out._extra_ok.extend((~present) | p for p in child._extra_ok)
+    return out
+
+
+# -------------------------------------------------------- array applicators
+
+def c_prefix_items(ctx: CompileContext, value: Any,
+                   schema: dict) -> Optional[Node]:
+    """`prefixItems` (_keywords.py:439-449)."""
+    if _row_scope(ctx) or not ctx.is_array():
+        return None
+    out = Node()
+    elem_t = ctx.dtype.elementType
+    for i, sub in enumerate(value):
+        elem = F.get(ctx.target, i)  # null when out of bounds
+        ok = _element_ok(ctx.child(path_fragment=i), sub, elem, elem_t,
+                         f"prefixItems/{i}")
+        pred = (F.size(ctx.target) <= i) | ok
+        n = make_check(ctx.child(path_fragment=i, row_fields=None),
+                       "prefixItems", pred,
+                       F.lit(f"item {i} fails prefixItems/{i}"),
+                       schema_suffix=f"prefixItems/{i}")
+        n.checks[0].failing_value = F.get(ctx.target, i).cast("string")
+        out.checks.extend(n.checks)
+    return out
+
+
+def c_items(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
+    """`items` 2020-12 (_keywords.py:59-82): applies past prefixItems."""
+    if _row_scope(ctx) or not ctx.is_array():
+        return None
+    prefix = len(schema.get("prefixItems", []))
+    c = ctx.target
+    if value is False:
+        pred = F.size(c) <= prefix
+        return make_check(ctx, "items", pred,
+                          F.lit(f"array has items beyond the {prefix} "
+                                f"allowed prefix items"))
+    if value is True:
+        return None
+    rest = F.slice(c, prefix + 1,
+                   F.greatest(F.size(c) - prefix, F.lit(0)))
+    ok = F.forall(rest, lambda x: _element_ok(ctx, value, x,
+                                              ctx.dtype.elementType, "items"))
+    return make_check(ctx, "items", ok,
+                      F.format_string("%s has items failing the items "
+                                      "subschema", stringify(ctx)))
+
+
+def c_contains(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
+    """`contains` + `minContains`/`maxContains` (_keywords.py:90-124)."""
+    if _row_scope(ctx) or not ctx.is_array():
+        return None
+    min_c = schema.get("minContains", 1)
+    max_c = schema.get("maxContains")
+    n = F.size(F.filter(ctx.target,
+                        lambda x: _element_ok(ctx, value, x,
+                                              ctx.dtype.elementType,
+                                              "contains")))
+    out = Node()
+    node = make_check(ctx, "contains", n >= min_c,
+                      F.format_string("%s does not contain enough matching "
+                                      "items", stringify(ctx)))
+    out.checks.extend(node.checks)
+    if max_c is not None:
+        node = make_check(ctx, "maxContains", n <= max_c,
+                          F.format_string("%s contains too many matching "
+                                          "items", stringify(ctx)))
+        out.checks.extend(node.checks)
+    return out
+
+
+# --------------------------------------------- unevaluated* (static subset)
+
+def _statically_evaluated_keys(schema: dict) -> tuple[set[str], list[str]]:
+    """Keys/patterns evaluated by this schema and its in-place applicators.
+
+    Static approximation of the reference's annotation tracking
+    (_utils.py:317-406): properties/patternProperties from the schema
+    itself plus allOf/anyOf/oneOf/if/then/else/dependentSchemas/$ref-free
+    children.  Dynamic sources (contains) are not tracked.
+    """
+    keys: set[str] = set(schema.get("properties", {}))
+    patterns: list[str] = list(schema.get("patternProperties", {}))
+    subs: list[Any] = []
+    subs.extend(schema.get("allOf", []))
+    subs.extend(schema.get("anyOf", []))
+    subs.extend(schema.get("oneOf", []))
+    for k in ("if", "then", "else"):
+        if k in schema:
+            subs.append(schema[k])
+    subs.extend(schema.get("dependentSchemas", {}).values())
+    for s in subs:
+        if isinstance(s, dict):
+            k2, p2 = _statically_evaluated_keys(s)
+            keys |= k2
+            patterns.extend(p2)
+    return keys, patterns
+
+
+def c_unevaluated_properties(ctx: CompileContext, value: Any,
+                             schema: dict) -> Optional[Node]:
+    """`unevaluatedProperties` (_keywords.py:407-436) — static subset: any
+    branch that *could* evaluate a key counts as evaluating it."""
+    keys, patterns = _statically_evaluated_keys(schema)
+    ctx.warn("unevaluatedProperties compiled with static annotation "
+             "approximation")
+    return _extras_keyword(ctx, value, schema, "unevaluatedProperties",
+                           known=keys, patterns=patterns)
+
+
+def _static_prefix_len(schema: dict) -> tuple[int, bool]:
+    prefix = len(schema.get("prefixItems", []))
+    all_eval = "items" in schema
+    for s in (schema.get("allOf", []) + schema.get("anyOf", [])
+              + schema.get("oneOf", [])
+              + [schema[k] for k in ("if", "then", "else") if k in schema]):
+        if isinstance(s, dict):
+            p, a = _static_prefix_len(s)
+            prefix = max(prefix, p)
+            all_eval = all_eval or a
+    return prefix, all_eval
+
+
+def c_unevaluated_items(ctx: CompileContext, value: Any,
+                        schema: dict) -> Optional[Node]:
+    """`unevaluatedItems` (_keywords.py:392-404) — static subset."""
+    if _row_scope(ctx) or not ctx.is_array():
+        return None
+    prefix, all_eval = _static_prefix_len(schema)
+    if all_eval:
+        return None
+    ctx.warn("unevaluatedItems compiled with static annotation approximation")
+    c = ctx.target
+    if value is False:
+        return make_check(ctx, "unevaluatedItems", F.size(c) <= prefix,
+                          F.lit("array has unevaluated items"))
+    if value is True:
+        return None
+    rest = F.slice(c, prefix + 1, F.greatest(F.size(c) - prefix, F.lit(0)))
+    ok = F.forall(rest, lambda x: _element_ok(ctx, value, x,
+                                              ctx.dtype.elementType,
+                                              "unevaluatedItems"))
+    return make_check(ctx, "unevaluatedItems", ok,
+                      F.lit("an unevaluated item fails its subschema"))
+
+
+def register_all(reg: KeywordRegistry) -> None:
+    reg.register("allOf", c_all_of)
+    reg.register("anyOf", c_any_of)
+    reg.register("oneOf", c_one_of)
+    reg.register("not", c_not)
+    reg.register("if", c_if)
+    reg.register("$ref", c_ref)
+    reg.register("$dynamicRef", c_dynamic_ref)
+    reg.register("$recursiveRef", c_dynamic_ref)
+    reg.register("properties", c_properties)
+    reg.register("patternProperties", c_pattern_properties)
+    reg.register("additionalProperties", c_additional_properties)
+    reg.register("propertyNames", c_property_names)
+    reg.register("dependentSchemas", c_dependent_schemas)
+    reg.register("prefixItems", c_prefix_items)
+    reg.register("items", c_items)
+    reg.register("contains", c_contains)
+    reg.register("unevaluatedProperties", c_unevaluated_properties)
+    reg.register("unevaluatedItems", c_unevaluated_items)

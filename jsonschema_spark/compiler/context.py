@@ -1,0 +1,104 @@
+"""Compile-time context threaded through keyword compilers.
+
+Mirrors what the reference's ``descend()`` carries down the schema tree —
+instance path, schema path, and the resolver scope
+(/root/reference/jsonschema/validators.py:396-446) — except ours is pure
+compile-time state: no data flows through it.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, replace
+from typing import TYPE_CHECKING, Any, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    from .registry import KeywordRegistry
+
+_IDENT = re.compile(r"^\w+$")
+
+
+def json_path_join(base: str, fragment: Any) -> str:
+    """Render a JSONPath the way ``ValidationError.json_path`` does
+    (/root/reference/jsonschema/exceptions.py:152-163): ``$`` root,
+    ``.prop`` for identifier-like keys, ``['odd key']`` otherwise,
+    ``[i]`` for array indexes.
+    """
+    if isinstance(fragment, int):
+        return f"{base}[{fragment}]"
+    if _IDENT.match(str(fragment)):
+        return f"{base}.{fragment}"
+    return f"{base}['{fragment}']"
+
+
+def schema_path_join(base: str, fragment: Any) -> str:
+    return f"{base}/{fragment}" if base else str(fragment)
+
+
+@dataclass
+class CompileContext:
+    """State for compiling one subschema against one bound expression."""
+
+    registry: "KeywordRegistry"
+    target: Optional[Column]          # bound instance expression (None = row scope)
+    dtype: Optional[T.DataType]       # Spark type of `target` (None = row scope)
+    json_path: str = "$"
+    schema_path: str = ""
+    root_schema: Optional[dict] = None   # for $ref / $defs resolution
+    row_fields: Optional[list[T.StructField]] = None  # row-scope column list
+    #: True when a NULL target means "property absent" (column / struct
+    #: field binding); False for array elements, where NULL is a present
+    #: JSON null instance.
+    null_is_absent: bool = True
+    ref_depth: int = 0
+    max_ref_depth: int = 16
+    warnings: list[str] = field(default_factory=list)
+
+    def child(self, *, target: Optional[Column] = None,
+              dtype: Optional[T.DataType] = None,
+              path_fragment: Any = None,
+              schema_fragment: Any = None,
+              null_is_absent: Optional[bool] = None,
+              row_fields: Optional[list[T.StructField]] = "KEEP") -> "CompileContext":
+        jp = self.json_path if path_fragment is None else json_path_join(self.json_path, path_fragment)
+        sp = self.schema_path if schema_fragment is None else schema_path_join(self.schema_path, schema_fragment)
+        rf = self.row_fields if row_fields == "KEEP" else row_fields
+        nia = self.null_is_absent if null_is_absent is None else null_is_absent
+        return replace(self, target=target if target is not None else self.target,
+                       dtype=dtype if dtype is not None else self.dtype,
+                       json_path=jp, schema_path=sp, row_fields=rf,
+                       null_is_absent=nia, warnings=self.warnings)
+
+    def warn(self, msg: str) -> None:
+        self.warnings.append(f"{self.schema_path or '<root>'}: {msg}")
+
+    # --- static type classification helpers -------------------------------
+    def is_string(self) -> bool:
+        return isinstance(self.dtype, T.StringType)
+
+    def is_numeric(self) -> bool:
+        return isinstance(self.dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                                       T.LongType, T.FloatType, T.DoubleType,
+                                       T.DecimalType))
+
+    def is_integral(self) -> bool:
+        return isinstance(self.dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                                       T.LongType))
+
+    def is_boolean(self) -> bool:
+        return isinstance(self.dtype, T.BooleanType)
+
+    def is_array(self) -> bool:
+        return isinstance(self.dtype, T.ArrayType)
+
+    def is_struct(self) -> bool:
+        return isinstance(self.dtype, T.StructType)
+
+    def is_map(self) -> bool:
+        return isinstance(self.dtype, T.MapType)
+
+    def is_binary(self) -> bool:
+        return isinstance(self.dtype, T.BinaryType)

@@ -1,0 +1,162 @@
+"""Keyword registry + the subschema compile loop.
+
+The reference generates validator classes from a ``keyword -> callable``
+mapping via ``create()`` (/root/reference/jsonschema/validators.py:136-513)
+and supports extension via ``extend()`` (validators.py:516-598).  Ours maps
+``keyword -> compiler function`` where a compiler returns a :class:`Node`
+of boolean Column predicates (or ``None`` when the keyword is statically
+inapplicable to the bound Spark type — the vectorized analogue of the
+reference ignoring e.g. ``minimum`` on a string instance).
+
+Compiler signature::
+
+    fn(ctx: CompileContext, value: Any, schema: dict) -> Node | None
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .context import CompileContext, schema_path_join
+from .node import Check, Node, static_node
+
+CompilerFn = Callable[[CompileContext, Any, dict], Optional[Node]]
+
+#: keywords that are annotations / handled structurally, never compiled
+ANNOTATION_KEYWORDS = frozenset({
+    "$schema", "$id", "$comment", "$defs", "definitions", "$anchor",
+    "$dynamicAnchor", "$vocabulary", "title", "description", "default",
+    "examples", "deprecated", "readOnly", "writeOnly",
+    "contentMediaType", "contentEncoding", "contentSchema",
+    # handled by sibling compilers, not standalone:
+    "then", "else", "minContains", "maxContains",
+    # engine extension block (dataset-level checks), handled by runner:
+    "x-spark",
+})
+
+
+class KeywordRegistry:
+    """Mutable keyword->compiler mapping; ``extend()`` mirrors the
+    reference's validator-extension API (validators.py:516-598)."""
+
+    def __init__(self, compilers: Optional[dict[str, CompilerFn]] = None):
+        self._compilers: dict[str, CompilerFn] = dict(compilers or {})
+
+    def register(self, keyword: str, fn: CompilerFn) -> None:
+        self._compilers[keyword] = fn
+
+    def get(self, keyword: str) -> Optional[CompilerFn]:
+        return self._compilers.get(keyword)
+
+    def extend(self, compilers: dict[str, CompilerFn]) -> "KeywordRegistry":
+        merged = dict(self._compilers)
+        merged.update(compilers)
+        return KeywordRegistry(merged)
+
+    def keywords(self) -> set[str]:
+        return set(self._compilers)
+
+
+def stringify(ctx: CompileContext) -> Column:
+    """Stringified failing value for the violation row."""
+    if ctx.target is None:
+        return F.lit(None).cast("string")
+    if ctx.is_array() or ctx.is_struct() or ctx.is_map():
+        return F.to_json(ctx.target)
+    if ctx.is_binary():
+        return F.base64(ctx.target)
+    return ctx.target.cast("string")
+
+
+def guard(ctx: CompileContext, pred: Column) -> Column:
+    """NULL-at-binding = property absent: every bound check passes on NULL
+    (the reference never applies a property subschema to a missing key —
+    /root/reference/jsonschema/_keywords.py:290-301 iterates only present
+    properties).  Array elements set ``null_is_absent=False`` because a
+    JSON null *element* is a present null instance.
+    """
+    if ctx.target is None or not getattr(ctx, "null_is_absent", True):
+        return pred
+    return ctx.target.isNull() | pred
+
+
+def compile_subschema(ctx: CompileContext, schema: Any) -> Node:
+    """Compile one (sub)schema against the bound target expression.
+
+    Boolean schemas short-circuit like the reference
+    (validators.py:369-379): ``True`` accepts everything, ``False``
+    rejects any *present* instance.
+    """
+    if schema is True or schema == {}:
+        return Node()
+    if schema is False:
+        n = Node()
+        pred = F.lit(False)
+        n.checks.append(Check(
+            keyword="$falseSchema", json_path=ctx.json_path,
+            schema_path=ctx.schema_path or "$falseSchema",
+            pred=guard(ctx, pred),
+            message=F.lit("False schema does not allow any value"),
+            failing_value=stringify(ctx),
+        ))
+        return n
+    if not isinstance(schema, dict):
+        raise SchemaCompileError(
+            f"schema at {ctx.schema_path or '<root>'} must be a dict or bool, "
+            f"got {type(schema).__name__}")
+
+    # pre-2019 drafts ignore $ref siblings (_legacy_keywords.py:9-21);
+    # 2020-12 evaluates them alongside — we follow 2020-12.
+    out = Node()
+    for keyword, value in schema.items():
+        if keyword in ANNOTATION_KEYWORDS:
+            continue
+        fn = ctx.registry.get(keyword)
+        if fn is None:
+            # unknown keywords are ignored by the reference (filtered at
+            # precompile, validators.py:293-297); we warn once.
+            ctx.warn(f"unknown keyword {keyword!r} ignored")
+            continue
+        node = fn(ctx.child(schema_fragment=None), value, schema)
+        if node is None:
+            continue
+        for chk in node.checks:
+            chk.pred = guard(ctx, chk.pred)
+            out.checks.append(chk)
+        out._extra_ok.extend(guard(ctx, p) for p in node._extra_ok)
+    return out
+
+
+def make_check(ctx: CompileContext, keyword: str, pred: Column,
+               message: Column, schema_suffix: Optional[str] = None) -> Node:
+    n = Node()
+    sp = schema_path_join(ctx.schema_path, schema_suffix or keyword)
+    n.checks.append(Check(
+        keyword=keyword, json_path=ctx.json_path, schema_path=sp,
+        pred=pred, message=message, failing_value=stringify(ctx),
+    ))
+    return n
+
+
+class SchemaCompileError(ValueError):
+    """Engine analogue of the reference's ``SchemaError``
+    (/root/reference/jsonschema/exceptions.py:209-215)."""
+
+
+_DEFAULT: Optional[KeywordRegistry] = None
+
+
+def default_registry() -> KeywordRegistry:
+    """The draft-2020-12 profile registry (built lazily)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        from . import applicators, keywords  # circular-safe: late import
+        reg = KeywordRegistry()
+        keywords.register_all(reg)
+        applicators.register_all(reg)
+        _DEFAULT = reg
+    return _DEFAULT

@@ -1,0 +1,165 @@
+"""Deterministic synthetic north-star table (FIXTURES.md §1).
+
+Iceberg-shaped image+caption table ``(image_id string, bytes binary,
+w int, h int, fmt string, caption string, phash long)`` with violations
+planted at known rates.  Generation is **fully vectorized**: a single
+``spark.range(n)`` plus native column expressions (xxhash64-derived
+pseudo-randomness) — no driver loops, no Python UDFs — so the same code
+path generates 10k rows for unit tests or 10^8+ rows for benchmarks with
+linear scaling across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEED = 42
+
+_VOCAB = [
+    "cat", "dog", "sunset", "mountain", "river", "portrait", "street",
+    "macro", "night", "forest", "ocean", "city", "bird", "flower", "cloud",
+    "vintage", "abstract", "light", "shadow", "mirror", "window", "bridge",
+    "train", "market", "festival", "rain", "snow", "desert", "island",
+    "garden", "museum", "library", "harbor", "canyon", "glacier", "meadow",
+]
+
+# planted violation rates (FIXTURES.md §1)
+DUP_ID_MOD = 200        # 0.5% duplicated image_ids
+BAD_ID_MOD = 1000       # 0.1% malformed image_ids
+BAD_DIM_MOD = 500       # 0.2% out-of-range w/h
+BAD_FMT_MOD = 100       # 1% out-of-enum fmt
+NULL_CAPTION_MOD = 200  # 0.5% null captions
+EMPTY_CAPTION_MOD = 500  # 0.2% empty captions
+LONG_CAPTION_MOD = 1000  # 0.1% over-long captions
+DUP_PHASH_MOD = 333     # 0.3% colliding phash
+TRUNC_BYTES_MOD = 1000  # 0.1% truncated payloads
+ORPHAN_LICENSE_MOD = 500  # 0.2% license_id absent from the dim
+
+
+def _u(col: Column, salt: int) -> Column:
+    """Deterministic uniform [0,1) from a column (native xxhash64)."""
+    h = F.xxhash64(col, F.lit(salt), F.lit(SEED))
+    return (F.pmod(h, F.lit(1_000_000)).cast("double")) / 1_000_000.0
+
+
+def _log_uniform(col: Column, salt: int, lo: float, hi: float) -> Column:
+    import math
+    r = _u(col, salt)
+    return F.floor(F.exp(F.lit(math.log(lo))
+                         + r * F.lit(math.log(hi) - math.log(lo)))).cast("int")
+
+
+def _caption(idc: Column) -> Column:
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    # bimodal word count: 70% short (5-15), 30% long (60-180) — exercises
+    # caption-length skew + drift checks
+    short = (F.pmod(F.xxhash64(idc, F.lit(3), F.lit(SEED)), F.lit(11)) + 5)
+    long_ = (F.pmod(F.xxhash64(idc, F.lit(4), F.lit(SEED)), F.lit(121)) + 60)
+    n_words = F.when(_u(idc, 5) < 0.7, short).otherwise(long_).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.element_at(
+            vocab, (F.pmod(F.xxhash64(idc, i, F.lit(SEED)),
+                           F.lit(len(_VOCAB))) + 1).cast("int")))
+    return F.array_join(words, " ")
+
+
+def _payload(idc: Column, w: Column, h: Column, fmt: Column) -> Column:
+    """Deterministic opaque payload with a parseable 16-byte header:
+    magic(4) | w(4, hex) | h(4, hex) | checksum(4) then a body whose length
+    scales with w*h (capped) — enough structure for decode-stub tests."""
+    header = F.concat(
+        F.lit("IMG0"),
+        F.lpad(F.conv(w.cast("string"), 10, 16), 4, "0"),
+        F.lpad(F.conv(h.cast("string"), 10, 16), 4, "0"),
+        F.substring(F.md5(F.concat_ws("|", idc, fmt)), 1, 4))
+    body_len = F.least(F.lit(240), (w * h / 65536).cast("int") + 16)
+    body = F.substring(F.repeat(F.md5(idc.cast("string")), 8), 1, body_len)
+    return F.encode(F.concat(header, body), "UTF-8")
+
+
+def images_df(spark: SparkSession, n_rows: int = 10_000,
+              partitions: int | None = None,
+              with_license: bool = False) -> DataFrame:
+    """The synthetic north-star table with planted violations."""
+    parts = partitions or max(8, n_rows // 250_000)
+    df = spark.range(0, n_rows, 1, parts)
+    idc = F.col("id")
+
+    dup_src = F.when((idc % DUP_ID_MOD == 7) & (idc > 0), idc - 1).otherwise(idc)
+    image_id = F.when(idc % BAD_ID_MOD == 13,
+                      F.format_string("IMG-%012X", dup_src))  # fails pattern
+    image_id = image_id.otherwise(F.format_string("img_%012x", dup_src))
+
+    w = _log_uniform(idc, 1, 16, 4096)
+    h = _log_uniform(idc, 2, 16, 4096)
+    w = (F.when(idc % BAD_DIM_MOD == 11, F.lit(0))
+         .when(idc % BAD_DIM_MOD == 211, F.lit(20000)).otherwise(w))
+    h = F.when(idc % BAD_DIM_MOD == 311, F.lit(-3)).otherwise(h)
+
+    r_fmt = _u(idc, 6)
+    fmt = (F.when(idc % BAD_FMT_MOD == 37, F.lit("bmp"))
+           .when(idc % BAD_FMT_MOD == 73, F.lit(""))
+           .when(r_fmt < 0.80, F.lit("jpeg"))
+           .when(r_fmt < 0.95, F.lit("png"))
+           .otherwise(F.lit("webp")))
+
+    caption = (F.when(idc % NULL_CAPTION_MOD == 3, F.lit(None).cast("string"))
+               .when(idc % EMPTY_CAPTION_MOD == 103, F.lit(""))
+               .when(idc % LONG_CAPTION_MOD == 203,
+                     F.repeat(F.lit("x"), 3000))
+               .otherwise(_caption(idc)))
+
+    phash_src = F.when((idc % DUP_PHASH_MOD == 5) & (idc > 0), idc - 1).otherwise(idc)
+    phash = F.pmod(phash_src * F.lit(2654435761), F.lit(2 ** 61 - 1)).cast("long")
+
+    payload = _payload(idc, F.greatest(w, F.lit(1)), F.greatest(h, F.lit(1)), fmt)
+    payload = F.when(idc % TRUNC_BYTES_MOD == 41,
+                     F.substring(payload, 1, 8).cast("binary")).otherwise(payload)
+
+    cols = [
+        image_id.alias("image_id"),
+        payload.alias("bytes"),
+        w.alias("w"),
+        h.alias("h"),
+        fmt.alias("fmt"),
+        caption.alias("caption"),
+        phash.alias("phash"),
+    ]
+    if with_license:
+        lic = F.when(idc % ORPHAN_LICENSE_MOD == 17, F.lit("lic_missing"))
+        lic = lic.otherwise(F.concat(F.lit("lic_"),
+                                     F.pmod(idc, F.lit(8)).cast("string")))
+        cols.append(lic.alias("license_id"))
+    return df.select(*cols)
+
+
+def licenses_df(spark: SparkSession) -> DataFrame:
+    """Small dim table for referential checks."""
+    rows = [(f"lic_{i}", f"License {i}") for i in range(8)]
+    return spark.createDataFrame(rows, "license_id string, name string")
+
+
+#: the JSON-Schema constraint spec the north-star table is validated with —
+#: mirrors BASELINE.json input_hint + FIXTURES.md §1 planted violations
+IMAGES_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "type": "object",
+    "required": ["image_id", "w", "h", "fmt", "caption", "phash"],
+    "properties": {
+        "image_id": {"type": "string", "pattern": "^img_[0-9a-f]{12}$"},
+        "w": {"type": "integer", "minimum": 1, "maximum": 16384},
+        "h": {"type": "integer", "minimum": 1, "maximum": 16384},
+        "fmt": {"enum": ["jpeg", "png", "webp"]},
+        "caption": {"type": "string", "minLength": 1, "maxLength": 2048},
+        "phash": {"type": "integer", "minimum": 0},
+    },
+    "x-spark": {
+        "unique": ["image_id", "phash"],
+        "referential": [
+            {"column": "license_id",
+             "ref": {"table": "licenses", "key": "license_id"}},
+        ],
+    },
+}

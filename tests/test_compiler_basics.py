@@ -1,0 +1,191 @@
+"""Unit tests for the keyword compilers over typed columns.
+
+Each case mirrors reference semantics from
+/root/reference/jsonschema/_keywords.py (see docstrings in
+jsonschema_spark/compiler/keywords.py).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark import CompiledValidator, SchemaCompileError, check_schema
+
+
+def _valid_flags(spark, ddl, rows, schema):
+    df = spark.createDataFrame(rows, ddl)
+    v = CompiledValidator(schema, df)
+    return [r["valid"] for r in
+            v.with_valid(df).orderBy("_i").select("valid").collect()]
+
+
+def test_range_keywords(spark):
+    ddl = "_i int, x double"
+    rows = [(0, 1.0), (1, 5.0), (2, 10.0), (3, None)]
+    schema = {"properties": {"x": {"minimum": 1, "exclusiveMaximum": 10}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [True, True, False, True]
+
+
+def test_multiple_of_float_parity(spark):
+    # reference float fast path: quotient = instance / dB (exact IEEE)
+    ddl = "_i int, x double"
+    # NaN excluded: not JSON-representable (the reference raises on it)
+    rows = [(0, 0.0075), (1, 0.00751), (2, 4.5), (3, 123.4567)]
+    schema = {"properties": {"x": {"multipleOf": 0.0001}}}
+    import jsonschema
+    expected = [jsonschema.Draft202012Validator(
+        {"multipleOf": 0.0001}).is_valid(r[1]) for r in rows]
+    assert _valid_flags(spark, ddl, rows, schema) == expected
+
+
+def test_string_keywords(spark):
+    ddl = "_i int, s string"
+    rows = [(0, "abc"), (1, ""), (2, "x" * 10), (3, None), (4, "abd")]
+    schema = {"properties": {"s": {"minLength": 1, "maxLength": 5,
+                                   "pattern": "ab[cz]"}}}
+    # None = absent property -> passes (properties not applied)
+    assert _valid_flags(spark, ddl, rows, schema) == [
+        True, False, False, True, False]
+
+
+def test_enum_bool_is_not_int(spark):
+    # bool != int for enum (_types.py:34-38, _utils.py:151-159)
+    ddl = "_i int, b boolean"
+    rows = [(0, True), (1, False)]
+    schema = {"properties": {"b": {"enum": [0, 1]}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [False, False]
+    schema = {"properties": {"b": {"enum": [True]}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [True, False]
+
+
+def test_integer_valued_float_is_integer(spark):
+    # draft6+: 1.0 is an integer (_types.py:195-201)
+    ddl = "_i int, x double"
+    rows = [(0, 1.0), (1, 1.5)]
+    schema = {"properties": {"x": {"type": "integer"}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [True, False]
+
+
+def test_required_and_dependent_required(spark):
+    ddl = "_i int, a string, b string"
+    rows = [(0, "x", "y"), (1, "x", None), (2, None, None)]
+    schema = {"required": ["a"], "dependentRequired": {"a": ["b"]}}
+    assert _valid_flags(spark, ddl, rows, schema) == [True, False, False]
+
+
+def test_array_keywords(spark):
+    ddl = "_i int, a array<int>"
+    rows = [(0, [1, 2, 3]), (1, [1, 1]), (2, []), (3, [1, 2, 3, 4, 5, 6])]
+    schema = {"properties": {"a": {"minItems": 1, "maxItems": 5,
+                                   "uniqueItems": True}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [
+        True, False, False, False]
+
+
+def test_items_and_contains(spark):
+    ddl = "_i int, a array<int>"
+    rows = [(0, [1, 2, 3]), (1, [1, 2, 300]), (2, [5, 6])]
+    schema = {"properties": {"a": {
+        "items": {"maximum": 100},
+        "contains": {"minimum": 3}, "maxContains": 2}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [True, False, True]
+
+
+def test_prefix_items(spark):
+    ddl = "_i int, a array<int>"
+    rows = [(0, [1, 50]), (1, [99, 50]), (2, [1])]
+    schema = {"properties": {"a": {"prefixItems": [{"maximum": 10},
+                                                   {"minimum": 10}]}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [True, False, True]
+
+
+def test_composition(spark):
+    ddl = "_i int, x int"
+    rows = [(0, 5), (1, 15), (2, 25)]
+    schema = {"properties": {"x": {"anyOf": [{"maximum": 10},
+                                             {"minimum": 20}]}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [True, False, True]
+    schema = {"properties": {"x": {"oneOf": [{"maximum": 20},
+                                             {"minimum": 10}]}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [True, False, True]
+    schema = {"properties": {"x": {"not": {"minimum": 10}}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [True, False, False]
+
+
+def test_if_then_else(spark):
+    ddl = "_i int, x int, y string"
+    rows = [(0, 5, "small"), (1, 5, "big"), (2, 50, "big"), (3, 50, "small")]
+    schema = {"if": {"properties": {"x": {"maximum": 10}}},
+              "then": {"properties": {"y": {"const": "small"}}},
+              "else": {"properties": {"y": {"const": "big"}}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [
+        True, False, True, False]
+
+
+def test_ref_defs(spark):
+    ddl = "_i int, x int, y int"
+    rows = [(0, 5, 5), (1, 5, 500)]
+    schema = {"$defs": {"small": {"maximum": 100}},
+              "properties": {"x": {"$ref": "#/$defs/small"},
+                             "y": {"$ref": "#/$defs/small"}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [True, False]
+
+
+def test_nested_struct(spark):
+    ddl = "_i int, meta struct<author:string, stars:int>"
+    rows = [(0, ("alice", 5)), (1, ("bob", 50)), (2, None)]
+    schema = {"properties": {"meta": {
+        "type": "object", "required": ["author"],
+        "properties": {"stars": {"maximum": 10}}}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [True, False, True]
+
+
+def test_boolean_schema_false(spark):
+    ddl = "_i int, x int"
+    rows = [(0, 1), (1, None)]
+    schema = {"properties": {"x": False}}
+    # present -> fails, absent -> passes
+    assert _valid_flags(spark, ddl, rows, schema) == [False, True]
+
+
+def test_violation_rows_shape(spark):
+    df = spark.createDataFrame([("a", 0), ("b", 5)], "id string, x int")
+    v = CompiledValidator(
+        {"properties": {"x": {"minimum": 1}}}, df)
+    out = v.violations(df, ["id"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id"], r["keyword"], r["json_path"]) == ("a", "minimum", "$.x")
+    assert r["schema_path"] == "properties/x/minimum"
+
+
+def test_check_schema_rejects_malformed():
+    with pytest.raises(SchemaCompileError):
+        check_schema({"minimum": "ten"})
+    with pytest.raises(SchemaCompileError):
+        check_schema({"pattern": "["})
+    with pytest.raises(SchemaCompileError):
+        check_schema({"required": "name"})
+    with pytest.raises(SchemaCompileError):
+        check_schema({"type": "strng"})
+    check_schema({"minimum": 1, "pattern": "^a$", "required": ["x"]})
+
+
+def test_unknown_keyword_warns(spark):
+    df = spark.createDataFrame([("a",)], "s string")
+    v = CompiledValidator({"properties": {"s": {"frobnicate": 1}}}, df)
+    assert any("frobnicate" in w for w in v.warnings)
+    assert v.with_valid(df).first()["valid"] is True
+
+
+def test_format_keywords(spark):
+    ddl = "_i int, s string"
+    schema = {"properties": {"s": {"format": "ipv4"}}}
+    rows = [(0, "1.2.3.4"), (1, "256.1.1.1"), (2, "01.1.1.1"), (3, "x")]
+    assert _valid_flags(spark, ddl, rows, schema) == [
+        True, False, False, False]
+    schema = {"properties": {"s": {"format": "uuid"}}}
+    rows = [(0, "12345678-1234-5678-1234-567812345678"), (1, "not-a-uuid")]
+    assert _valid_flags(spark, ddl, rows, schema) == [True, False]
+    # unknown format always passes (_format.py:133-134)
+    schema = {"properties": {"s": {"format": "no-such-format"}}}
+    assert _valid_flags(spark, ddl, rows, schema) == [True, True]

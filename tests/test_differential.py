@@ -1,0 +1,73 @@
+"""Differential oracle: 100% agreement with the installed reference.
+
+This is the agreement clause of BASELINE.json's metric: our engine's
+pass/fail AND (keyword, json_path) violation sets must match
+``jsonschema.Draft202012Validator.iter_errors`` row-for-row on the
+synthetic north-star table (FIXTURES.md §3).
+"""
+
+import jsonschema
+import pytest
+
+from jsonschema_spark import CompiledValidator
+from jsonschema_spark.sources.images import IMAGES_SCHEMA, images_df
+
+N = 3_000
+
+
+def _ref_schema():
+    s = {k: v for k, v in IMAGES_SCHEMA.items() if k != "x-spark"}
+    return s
+
+
+def _row_to_instance(row):
+    """Table row -> JSON instance: NULL column = absent property, binary
+    dropped (not JSON-representable; not constrained row-level)."""
+    d = row.asDict()
+    d.pop("bytes", None)
+    return {k: v for k, v in d.items() if v is not None}
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    df = images_df(spark, N, partitions=4).withColumn(
+        "_row", __import__("pyspark").sql.functions.monotonically_increasing_id())
+    df = df.cache()
+    v = CompiledValidator(_ref_schema(), df)
+    engine = {r["_row"]: r for r in v.with_valid(df).collect()}
+    viols = v.violations(df, ["_row"]).collect()
+    by_row = {}
+    for r in viols:
+        by_row.setdefault(r["_row"], set()).add((r["keyword"], r["json_path"]))
+    return df, engine, by_row
+
+
+def test_pass_fail_and_violation_sets_agree(spark, frames):
+    df, engine, engine_viols = frames
+    ref = jsonschema.Draft202012Validator(_ref_schema())
+    rows = df.collect()
+    assert len(rows) == N
+    n_invalid = 0
+    for row in rows:
+        inst = _row_to_instance(row)
+        ref_errors = list(ref.iter_errors(inst))
+        ref_valid = not ref_errors
+        eng_valid = engine[row["_row"]]["valid"]
+        assert eng_valid == ref_valid, (
+            f"pass/fail mismatch for {inst}: engine={eng_valid} "
+            f"reference={ref_valid} ref_errors={[e.message for e in ref_errors]}")
+        ref_set = {(e.validator, e.json_path) for e in ref_errors}
+        eng_set = engine_viols.get(row["_row"], set())
+        assert eng_set == ref_set, (
+            f"violation-set mismatch for {inst}: engine={eng_set} "
+            f"reference={ref_set}")
+        n_invalid += 0 if ref_valid else 1
+    # the fixture must actually exercise failures
+    assert n_invalid > 0
+
+
+def test_planted_violation_rates(spark, frames):
+    df, engine, _ = frames
+    invalid = sum(0 if r["valid"] else 1 for r in engine.values())
+    # planted row-level rates sum to ~2.2%; allow slack for overlap
+    assert 0.01 < invalid / N < 0.05
