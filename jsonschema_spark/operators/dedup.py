@@ -1,0 +1,249 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — all expressed with native higher-order functions (aggregate /
+transform / zip_with) so signatures are computed JVM-side in one narrow
+pass; the only shuffles are the band/bucket groupBys, which carry
+signatures (tens of bytes), never documents.  That property is what makes
+the plan survive 100 TB: document payloads stay columnar in the scan and
+are never moved.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_HASH = (1 << 62)
+
+
+# ------------------------------------------------------------- exact ------
+
+def exact_duplicates(df: DataFrame, cols: Sequence[str],
+                     id_col: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: rows sharing identical `cols` content.
+    Returns (content_hash, dup_count, ids) for groups with >1 member."""
+    h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"),
+                                               F.lit("\x00"))
+                                    for c in cols]))
+    return (df.withColumn("content_hash", h)
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("dup_count"),
+                 F.sort_array(F.collect_list(id_col)).alias("ids"))
+            .filter(F.col("dup_count") > 1))
+
+
+# ---------------------------------------------------------- shingling -----
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of `text` (native, no UDF)."""
+    n = F.greatest(F.length(text) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.substring(text, i, k)))
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (native)."""
+    words = F.split(F.trim(text), r"\s+")
+    cnt = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), cnt),
+                    lambda i: F.array_join(F.slice(words, i, n), " ")))
+
+
+# ------------------------------------------------------------ minhash -----
+
+def minhash_signature(items: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for each of `num_hashes` seeded hash functions,
+    the min of xxhash64(item, seed) over the item set.  One pass via
+    F.aggregate with a zip_with(least) accumulator — O(|items| * H) JVM
+    work, zero Python."""
+    init = F.array_repeat(F.lit(MAX_HASH).cast("long"), num_hashes)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        items, init,
+        lambda acc, it: F.zip_with(
+            acc,
+            F.transform(seeds, lambda s: F.xxhash64(it, s)),
+            lambda a, b: F.least(a, b)))
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of `bands` LSH bucket keys: hash of each signature slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            b, F.array_join(
+                F.transform(F.slice(sig, b * rows_per_band + 1,
+                                    rows_per_band),
+                            lambda x: x.cast("string")), ",")))
+
+
+def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 64, bands: int = 16,
+                       shingle_k: int = 5,
+                       min_jaccard: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH.
+
+    Pipeline: shingle -> signature (narrow) -> explode bands -> groupBy
+    band bucket (shuffle of signatures only) -> pairs within buckets ->
+    estimated Jaccard = fraction of agreeing minhashes -> threshold.
+    Returns (id_a, id_b, est_jaccard), id_a < id_b, deduped across bands.
+    """
+    rows = num_hashes // bands
+    sigs = (df
+            .filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    minhash_signature(shingles(F.col(text_col), shingle_k),
+                                      num_hashes).alias("_sig")))
+    banded = sigs.select(
+        "_id", "_sig",
+        F.posexplode(minhash_bands(F.col("_sig"), bands, rows))
+        .alias("_band", "_bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, (F.col("a._band") == F.col("b._band"))
+                    & (F.col("a._bucket") == F.col("b._bucket"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.size(F.filter(
+                         F.zip_with(F.col("a._sig"), F.col("b._sig"),
+                                    lambda x, y: x == y),
+                         lambda v: v)).alias("_agree")))
+    est = F.col("_agree") / F.lit(float(num_hashes))
+    return (pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= min_jaccard)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("est_jaccard").alias("est_jaccard")))
+
+
+# ------------------------------------------------------------ simhash -----
+
+def simhash(items: Column, bits: int = 64) -> Column:
+    """SimHash over an item set as an array<int> of sign bits: per bit b,
+    1 when the sum of +-1 contributions (parity of xxhash64(item, b))
+    is positive.  One native aggregate pass over the items."""
+    init = F.array_repeat(F.lit(0), bits)
+    bit_seq = F.sequence(F.lit(0), F.lit(bits - 1))
+    counts = F.aggregate(
+        items, init,
+        lambda acc, it: F.zip_with(
+            acc,
+            F.transform(bit_seq,
+                        lambda b: F.when(
+                            F.pmod(F.xxhash64(it, b), F.lit(2)) == 0,
+                            F.lit(1)).otherwise(F.lit(-1))),
+            lambda a, v: a + v))
+    return F.transform(counts, lambda c: (c > 0).cast("int"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two bit arrays (native)."""
+    return F.size(F.filter(F.zip_with(a, b, lambda x, y: x != y),
+                           lambda v: v))
+
+
+def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
+                       bits: int = 64, max_hamming: int = 3,
+                       band_bits: int = 16) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, blocked by
+    `bits/band_bits` bands so at least one band matches exactly when the
+    distance is small (pigeonhole)."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    sigs = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    simhash(F.array_distinct(tokens), bits).alias("_sh")))
+    n_bands = bits // band_bits
+    banded = sigs.select(
+        "_id", "_sh",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.xxhash64(F.array_join(
+                F.transform(F.slice(F.col("_sh"), b * band_bits + 1,
+                                    band_bits),
+                            lambda x: x.cast("string")), ""))))
+        .alias("_band", "_bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a._band") == F.col("b._band"))
+                    & (F.col("a._bucket") == F.col("b._bucket"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     hamming_distance(F.col("a._sh"),
+                                      F.col("b._sh")).alias("hamming")))
+    return (pairs.filter(F.col("hamming") <= max_hamming)
+            .groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming")))
+
+
+# ------------------------------------------------------ ngram jaccard -----
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, min_jaccard: float = 0.6,
+                        max_bucket: int = 200) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate pairs blocked by a shared
+    rare n-gram (inverted-index join).  `max_bucket` drops stop-gram
+    buckets — the classic posting-list skew guard."""
+    grams = (df.filter(F.col(text_col).isNotNull())
+             .select(F.col(id_col).alias("_id"),
+                     word_ngrams(F.col(text_col), n).alias("_grams")))
+    posting = (grams.select("_id", F.explode("_grams").alias("_g")))
+    small = (posting.groupBy("_g")
+             .agg(F.count(F.lit(1)).alias("_df"))
+             .filter(F.col("_df").between(2, max_bucket)))
+    posting = posting.join(F.broadcast(small.select("_g")), "_g")
+    a, b = posting.alias("a"), posting.alias("b")
+    cand = (a.join(b, (F.col("a._g") == F.col("b._g"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"))
+            .distinct())
+    ga = grams.select(F.col("_id").alias("id_a"),
+                      F.col("_grams").alias("_ga"))
+    gb = grams.select(F.col("_id").alias("id_b"),
+                      F.col("_grams").alias("_gb"))
+    joined = cand.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size(F.array_union("_ga", "_gb"))
+    jac = inter / union
+    return (joined.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= min_jaccard))
+
+
+# ----------------------------------------------- embedding near-dup -------
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two array<float/double> columns — native zip_with +
+    aggregate (no UDF)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
+                              threshold: float = 0.95,
+                              n_planes: int = 16,
+                              seed: int = 42) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold, blocked by a random-
+    hyperplane LSH bucket (deterministic planes) so the self-join is
+    bucket-local instead of a full cross join."""
+    from .similarity import hyperplane_signature
+    keyed = df.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).cast("array<double>").alias("_v"))
+    keyed = keyed.withColumn(
+        "_bucket", hyperplane_signature(keyed, "_v", n_planes, seed))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (a.join(b, (F.col("a._bucket") == F.col("b._bucket"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     cosine_similarity(F.col("a._v"),
+                                       F.col("b._v")).alias("cosine")))
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,89 @@
+"""Distribution-drift checks: histograms + KS / L1 / chi-square vs a
+baseline snapshot.
+
+No direct reference analogue (closest is enum-membership frequency,
+/root/reference/jsonschema/_keywords.py:269-271); mandated by
+BASELINE.json north_star.  Histograms are a single groupBy over a
+native bucket expression (partial+final agg — the only shuffle), and the
+statistic comparison runs on the tiny aggregated frames.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_expr(col: str, lo: float, hi: float, bins: int):
+    """Equal-width bucket index in [0, bins): floor((x-lo)/step), clamped.
+    Plain arithmetic (not width_bucket) so a DuckDB oracle can reproduce
+    it exactly."""
+    step = (hi - lo) / bins
+    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(step)).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float,
+              bins: int = 32) -> DataFrame:
+    """(bucket, n) — one shuffle, map-side combined."""
+    return (df.filter(F.col(col).isNotNull())
+            .groupBy(bucket_expr(col, lo, hi, bins).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def categorical_histogram(df: DataFrame, col: str) -> DataFrame:
+    return (df.groupBy(F.col(col).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def drift_statistics(current: DataFrame, baseline: DataFrame) -> dict:
+    """KS (max |CDF diff|), L1/total-variation, and chi-square over two
+    (bucket, n) histograms.  Joins two already-aggregated tiny frames —
+    driver cost only."""
+    cur = current.withColumnRenamed("n", "n_cur")
+    base = baseline.withColumnRenamed("n", "n_base")
+    joined = (cur.join(base, "bucket", "full_outer")
+              .fillna(0, ["n_cur", "n_base"])
+              .orderBy("bucket"))
+    rows = joined.collect()
+    tot_c = sum(r["n_cur"] for r in rows) or 1
+    tot_b = sum(r["n_base"] for r in rows) or 1
+    ks = 0.0
+    l1 = 0.0
+    chi2 = 0.0
+    cdf_c = cdf_b = 0.0
+    for r in rows:
+        pc = r["n_cur"] / tot_c
+        pb = r["n_base"] / tot_b
+        cdf_c += pc
+        cdf_b += pb
+        ks = max(ks, abs(cdf_c - cdf_b))
+        l1 += abs(pc - pb)
+        expected = pb * tot_c
+        if expected > 0:
+            chi2 += (r["n_cur"] - expected) ** 2 / expected
+    return {"ks": ks, "l1": l1 / 2.0, "chi2": chi2,
+            "n_current": tot_c, "n_baseline": tot_b}
+
+
+def drift_violations(current: DataFrame, baseline: DataFrame, col: str,
+                     max_ks: float = 0.1,
+                     max_l1: Optional[float] = None) -> DataFrame:
+    """Violation rows (keyword 'drift:<stat>') when the drift statistic
+    between two histograms of `col` exceeds its threshold."""
+    stats = drift_statistics(current, baseline)
+    rows = []
+    if stats["ks"] > max_ks:
+        rows.append(("drift:ks", f"$.{col}", f"x-spark/drift/{col}/ks",
+                     f"KS statistic {stats['ks']:.4f} exceeds {max_ks}",
+                     f"{stats['ks']:.6f}"))
+    if max_l1 is not None and stats["l1"] > max_l1:
+        rows.append(("drift:l1", f"$.{col}", f"x-spark/drift/{col}/l1",
+                     f"L1 distance {stats['l1']:.4f} exceeds {max_l1}",
+                     f"{stats['l1']:.6f}"))
+    spark = current.sparkSession
+    schema = ("keyword string, json_path string, schema_path string, "
+              "message string, failing_value string")
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+random-hyperplane LSH bucketing (deterministic, seeded planes) so the
+self-join is bucket-local — at 10^12 rows a full cross join is
+impossible, a bucketed one shuffles each vector once.  All math is
+native ``zip_with``/``aggregate`` (JVM codegen); no UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_similarity
+
+
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return 0
+    return first["d"]
+
+
+def hyperplane_signature(df: DataFrame, vec_col: str,
+                         n_planes: int = 16, seed: int = 42,
+                         dim: Optional[int] = None) -> Column:
+    """LSH bucket id: sign pattern of `n_planes` seeded random
+    hyperplanes, folded into one long.  Planes are literal arrays
+    (constant-folded by Catalyst); the dot products are native."""
+    d = dim or _vector_dim(df, vec_col)
+    rng = random.Random(seed)
+    acc = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(rng.gauss(0.0, 1.0)) for _ in range(d)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), plane,
+                       lambda x, w: x * w),
+            F.lit(0.0), lambda a, v: a + v)
+        acc = acc * 2 + (dot > 0).cast("long")
+    return acc
+
+
+def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
+                     k: int = 1, round_to: Optional[int] = None) -> DataFrame:
+    """Exact cosine top-k neighbours per vector via a full self-join —
+    the small-N baseline an ANN variant is measured against.
+    Returns (id, neighbour_id, cosine)."""
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    a, b = base.alias("a"), base.alias("b")
+    sim = cosine_similarity(F.col("a._v"), F.col("b._v"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    pairs = (a.join(b, F.col("a._id") != F.col("b._id"))
+             .select(F.col("a._id").alias("id"),
+                     F.col("b._id").alias("neighbour_id"),
+                     sim.alias("cosine")))
+    w = (Window.partitionBy("id")
+         .orderBy(F.col("cosine").desc(), F.col("neighbour_id").asc()))
+    return (pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def lsh_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
+             n_planes: int = 8, seed: int = 42,
+             probes: int = 1) -> DataFrame:
+    """ANN top-k: candidates restricted to vectors sharing the
+    hyperplane-sign bucket (multi-probe: `probes` single-bit flips widen
+    recall).  Exact cosine rerank within buckets."""
+    dim = _vector_dim(df, vec_col)
+    keyed = df.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).cast("array<double>").alias("_v"))
+    keyed = keyed.withColumn(
+        "_sig", hyperplane_signature(keyed, "_v", n_planes, seed, dim))
+    # probe buckets: the bucket itself + single-bit flips
+    flips = [F.col("_sig")]
+    for b in range(min(probes - 1, n_planes)):
+        flips.append(F.col("_sig").bitwiseXOR(F.lit(1 << b)))
+    probed = keyed.select("_id", "_v",
+                          F.explode(F.array(*flips)).alias("_bucket"))
+    anchor = keyed.select(F.col("_id").alias("id"),
+                          F.col("_v").alias("av"),
+                          F.col("_sig").alias("_bucket"))
+    cand = (anchor.join(probed, "_bucket")
+            .filter(F.col("id") != F.col("_id"))
+            .select("id", "av", F.col("_id").alias("neighbour_id"),
+                    F.col("_v").alias("bv"))
+            .dropDuplicates(["id", "neighbour_id"]))
+    sim = cosine_similarity(F.col("av"), F.col("bv"))
+    scored = cand.select("id", "neighbour_id", sim.alias("cosine"))
+    w = (Window.partitionBy("id")
+         .orderBy(F.col("cosine").desc(), F.col("neighbour_id").asc()))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def max_cosine_per_vector(df: DataFrame, id_col: str, vec_col: str,
+                          round_to: int = 4) -> DataFrame:
+    """Per vector: max cosine similarity to any other vector (rounded for
+    oracle-stable comparison).  Brute force; the oracle-checkable core of
+    the similarity stack."""
+    top1 = brute_force_topk(df, id_col, vec_col, k=1)
+    return (top1.groupBy("id")
+            .agg(F.round(F.max("cosine"), round_to).alias("max_cosine")))

@@ -1,0 +1,124 @@
+"""Dataset-level operators: stats, uniqueness, referential, drift,
+best_match/ErrorTree, runner resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.bestmatch import best_match, error_tree
+from jsonschema_spark.operators.drift import (drift_statistics, histogram,
+                                              drift_violations)
+from jsonschema_spark.operators.referential import (orphans,
+                                                    referential_violations)
+from jsonschema_spark.operators.stats import column_stats, stats_violations
+from jsonschema_spark.operators.uniqueness import (duplicate_keys,
+                                                   uniqueness_violations)
+from jsonschema_spark.sources.images import images_df, licenses_df
+
+
+def test_column_stats_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "aa"), (2, 20.0, None), (3, None, "cccc")],
+        "id int, x double, s string")
+    out = {r["column"]: r for r in column_stats(df).collect()}
+    assert out["x"]["rows"] == 3
+    assert out["x"]["nulls"] == 1
+    assert out["x"]["min"] == 10.0 and out["x"]["max"] == 20.0
+    assert out["s"]["nulls"] == 1
+    assert out["s"]["min"] == 2.0 and out["s"]["max"] == 4.0  # lengths
+    assert abs(out["id"]["null_rate"]) < 1e-9
+
+
+def test_stats_violations(spark):
+    df = spark.createDataFrame([(i, None if i % 2 else float(i))
+                                for i in range(100)], "id int, x double")
+    v = stats_violations(df, {"x": {"max_null_rate": 0.1, "max": 50.0}})
+    kws = {r["keyword"] for r in v.collect()}
+    assert kws == {"stats:max_null_rate", "stats:max"}
+
+
+def test_duplicate_keys_both_strategies(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "c"), (5, "a"), (6, "b")],
+        "id int, k string")
+    for strat in ("groupby", "sort"):
+        out = {r["k"]: r["dup_count"]
+               for r in duplicate_keys(df, ["k"], strategy=strat).collect()}
+        assert out == {"a": 3, "b": 2}, strat
+    salted = {r["k"]: r["dup_count"]
+              for r in duplicate_keys(df, ["k"], salt=4).collect()}
+    assert salted == {"a": 3, "b": 2}
+
+
+def test_uniqueness_violations_on_images(spark):
+    df = images_df(spark, 2000)
+    viols = uniqueness_violations(df, "image_id", ["image_id"])
+    n = viols.count()
+    # 0.5% duplicated ids -> 10 dup pairs -> 20 participating rows
+    assert n == 20
+    assert viols.first()["keyword"] == "uniqueItems:image_id"
+
+
+def test_referential(spark):
+    img = images_df(spark, 2000, with_license=True)
+    dim = licenses_df(spark)
+    bad = orphans(img, "license_id", dim, "license_id")
+    assert bad.count() == 2000 // 500  # 0.2% planted orphans
+    v = referential_violations(img, "license_id", dim, "license_id",
+                               ["image_id"])
+    assert v.first()["keyword"] == "referential:license_id"
+
+
+def test_drift(spark):
+    base = spark.range(10_000).select(
+        (F.col("id") % 100).cast("double").alias("x"))
+    same = histogram(base, "x", 0, 100, 20)
+    shifted = spark.range(10_000).select(
+        ((F.col("id") % 100) * 0.5 + 50).alias("x"))
+    s_same = drift_statistics(histogram(base, "x", 0, 100, 20), same)
+    assert s_same["ks"] < 1e-9 and s_same["l1"] < 1e-9
+    s_shift = drift_statistics(histogram(shifted, "x", 0, 100, 20), same)
+    assert s_shift["ks"] > 0.3
+    v = drift_violations(histogram(shifted, "x", 0, 100, 20), same, "x",
+                         max_ks=0.1)
+    assert v.count() == 1
+
+
+def test_best_match_and_error_tree(spark):
+    from jsonschema_spark import CompiledValidator
+    df = spark.createDataFrame(
+        [("r1", 0, "zz"), ("r2", 5, "ok")],
+        "id string, x int, s string")
+    schema = {"properties": {
+        "x": {"minimum": 1},
+        "s": {"anyOf": [{"const": "ok"}, {"minLength": 5}]}}}
+    v = CompiledValidator(schema, df)
+    viols = v.violations(df, ["id"])
+    bm = {r["id"]: r["keyword"] for r in best_match(viols, ["id"]).collect()}
+    # r1 has minimum (strong) + anyOf (weak): strong wins
+    assert bm["r1"] == "minimum"
+    tree = {r["json_path"]: r["total_errors"]
+            for r in error_tree(viols).collect()}
+    assert tree == {"$.x": 1, "$.s": 1}
+
+
+def test_runner_resume(spark, tmp_path):
+    from jsonschema_spark.runner import ValidationRun
+    from jsonschema_spark.sources.images import IMAGES_SCHEMA
+    df = images_df(spark, 1000)
+    schema = {k: v for k, v in IMAGES_SCHEMA.items() if k != "x-spark"}
+    run = ValidationRun(spark, str(tmp_path / "out"), schema, "fmt")
+    r1 = run.run(df, ["image_id"])
+    # planted "" fmt is sanitized to a filesystem-safe sentinel
+    expected = {r["fmt"] or "__empty__"
+                for r in df.select("fmt").distinct().collect()}
+    assert set(r1.completed) == expected
+    assert r1.skipped == []
+    # resume: everything committed -> all skipped, nothing recomputed
+    r2 = run.run(df, ["image_id"])
+    assert r2.completed == [] and sorted(r2.skipped) == sorted(r1.completed)
+    m = run.manifest()
+    total = m.agg(F.sum("rows")).first()[0]
+    assert total == 1000
+    # violations written under part= dirs and readable as one table
+    viol = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    assert viol.count() > 0

@@ -1,0 +1,153 @@
+"""Pipeline operators: dedup (exact/minhash/simhash/ngram/embedding),
+similarity search, text analysis, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.dedup import (embedding_near_duplicates,
+                                              exact_duplicates,
+                                              minhash_candidates,
+                                              ngram_jaccard_pairs,
+                                              simhash_duplicates)
+from jsonschema_spark.operators.multimodal import decode_images, psnr_check
+from jsonschema_spark.operators.similarity import (brute_force_topk,
+                                                   lsh_topk,
+                                                   max_cosine_per_vector)
+from jsonschema_spark.operators.text import text_profile
+from jsonschema_spark.sources.images import images_df
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3, "completely different text about machine learning and spark sql"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (5, "der schnelle braune fuchs springt und der hund ist nicht da und"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs, ["text"], "doc_id").collect()
+    assert len(out) == 1
+    assert out[0]["ids"] == [1, 4] and out[0]["dup_count"] == 2
+
+
+def test_minhash_candidates(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_candidates(docs, "doc_id", "text",
+                                         num_hashes=64, bands=16,
+                                         min_jaccard=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs  # near dup (one word differs)
+    assert not any({3, 5} & {a, b} for a, b in pairs)
+
+
+def test_simhash_duplicates(docs):
+    # one changed token in a ~11-token set flips ~10/64 bits, so the
+    # near-dup needs loose thresholds + narrow bands (more bands = higher
+    # recall at a given hamming distance)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_duplicates(docs, "doc_id", "text", max_hamming=12,
+                                band_bits=4).collect()}
+    assert pairs[(1, 4)] == 0  # exact dup
+    assert (1, 2) in pairs
+    assert (3, 5) not in pairs  # unrelated (hamming ~27)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                 min_jaccard=0.5).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert 0.5 <= pairs[(1, 2)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base]))
+        if i < 5:  # planted near-dups: tiny perturbation of vec i
+            rows.append((100 + i,
+                         [float(x + rng.gauss(0, 0.01)) for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>").cache()
+
+
+def test_brute_force_topk(vectors):
+    top1 = {r["id"]: (r["neighbour_id"], r["cosine"])
+            for r in brute_force_topk(vectors, "vec_id", "v", k=1).collect()}
+    for i in range(5):
+        assert top1[i][0] == 100 + i
+        assert top1[i][1] > 0.999
+
+
+def test_embedding_near_duplicates(vectors):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_duplicates(vectors, "vec_id", "v",
+                                       threshold=0.99,
+                                       n_planes=8).collect()}
+    assert all((i, 100 + i) in pairs for i in range(5))
+
+
+def test_lsh_topk_recall(vectors):
+    exact = {r["id"]: r["neighbour_id"]
+             for r in brute_force_topk(vectors, "vec_id", "v", k=1).collect()}
+    ann = {r["id"]: r["neighbour_id"]
+           for r in lsh_topk(vectors, "vec_id", "v", k=1, n_planes=4,
+                             probes=3).collect()}
+    hits = sum(1 for i in exact if ann.get(i) == exact[i])
+    # random gaussian vectors have weak true neighbours, so global top-1
+    # recall is modest; the planted near-dups below are the strict check
+    assert hits / len(exact) >= 0.5
+    # the planted near-dups land in the same bucket (cosine ~ 1)
+    for i in range(5):
+        assert ann.get(i) == 100 + i
+
+
+def test_max_cosine_per_vector(vectors):
+    out = {r["id"]: r["max_cosine"]
+           for r in max_cosine_per_vector(vectors, "vec_id", "v").collect()}
+    for i in range(5):
+        assert out[i] > 0.999
+
+
+def test_text_profile(spark, docs):
+    prof = {r["doc_id"]: r for r in
+            text_profile(docs, "doc_id", "text").collect()}
+    assert prof[1]["lang_detected"] == "en"
+    assert prof[5]["lang_detected"] == "de"
+    assert prof[1]["n_tokens"] == 13
+    assert prof[1]["fingerprint"] == prof[4]["fingerprint"]
+    assert prof[1]["content_key"] == prof[4]["content_key"]
+    assert prof[1]["fingerprint"] != prof[3]["fingerprint"]
+    assert 0.0 <= prof[3]["quality"] <= 1.0
+
+
+def test_decode_images_and_psnr(spark):
+    img = images_df(spark, 2000)
+    dec = decode_images(img)
+    rows = dec.collect()
+    assert len(rows) == 2000
+    ok = [r for r in rows if r["header_ok"]]
+    # 0.1% truncated -> 2 rows fail header/psnr
+    assert len(rows) - len(ok) == 2
+    # header round-trips the clamped dims
+    sample = {r["image_id"]: r for r in ok}
+    src = {r["image_id"]: r for r in img.collect()}
+    for iid, r in list(sample.items())[:50]:
+        assert r["decoded_w"] == max(src[iid]["w"], 1)
+        assert r["decoded_h"] == max(src[iid]["h"], 1)
+    viol = psnr_check(img)
+    # truncated payloads fail psnr; rows with w/h planted out of range
+    # fail the metadata-equality invariant
+    assert viol.count() >= 2
+    assert viol.first()["keyword"] == "pixelInvariant"
