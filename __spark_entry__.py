@@ -1,38 +1,495 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship validation on sf0.001;
+``queries()`` exposes each implemented operator from SURVEY.md §2 over the
+driver testdata tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible query (the rest get the driver's rows-only
+check).  Column names/aliases match between engine and oracle because the
+driver's compare hashes values after sorting columns by name.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- specs ----
+
+LINEITEM_SPEC = {
+    "type": "object",
+    "required": ["l_orderkey", "l_shipdate"],
+    "properties": {
+        "l_quantity": {"minimum": 1, "maximum": 30},
+        "l_discount": {"minimum": 0, "maximum": 0.08},
+        "l_extendedprice": {"exclusiveMinimum": 0},
+        "l_returnflag": {"enum": ["A", "N", "R"]},
+        "l_linestatus": {"enum": ["O"]},
+    },
+}
+
+ORDERS_SPEC = {
+    "type": "object",
+    "required": ["o_orderkey"],
+    "properties": {
+        "o_totalprice": {"maximum": 300000},
+        "o_orderpriority": {"pattern": "^[1-3]-"},
+    },
+}
+
+PART_SPEC = {
+    "type": "object",
+    "required": ["p_partkey", "p_name"],
+    "properties": {
+        "p_size": {"minimum": 1, "maximum": 40},
+        "p_brand": {"pattern": "^Brand#[0-9]+$"},
+        "p_retailprice": {"exclusiveMinimum": 0, "maximum": 1800},
+    },
+}
+
+
+# ------------------------------------------------------------- queries ----
+
+def q_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level keyword validation -> violation counts (compiler core)."""
+    from jsonschema_spark import CompiledValidator
+    li = _t(spark, sf_dir, "lineitem")
+    v = CompiledValidator(LINEITEM_SPEC, li)
+    return (v.violations(li)
+            .groupBy("keyword", "json_path")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_violations_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark import CompiledValidator
+    p = _t(spark, sf_dir, "part")
+    v = CompiledValidator(PART_SPEC, p)
+    return (v.violations(p)
+            .groupBy("keyword", "json_path")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_manifest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition pass/fail manifest (is_valid lifted to groupBy)."""
+    from jsonschema_spark import CompiledValidator
+    o = _t(spark, sf_dir, "orders")
+    v = CompiledValidator(ORDERS_SPEC, o)
+    return v.manifest(o, ["o_orderstatus"])
+
+
+def q_best_match_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """best_match ranking: one most-relevant violation per failing row."""
+    from jsonschema_spark import CompiledValidator
+    from jsonschema_spark.operators.bestmatch import best_match
+    li = _t(spark, sf_dir, "lineitem")
+    v = CompiledValidator(LINEITEM_SPEC, li)
+    viols = v.violations(li, ["l_orderkey", "l_linenumber"])
+    return best_match(viols, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", "keyword", "json_path")
+
+
+def q_error_tree_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ErrorTree: violations grouped by instance path."""
+    from jsonschema_spark import CompiledValidator
+    from jsonschema_spark.operators.bestmatch import error_tree
+    li = _t(spark, sf_dir, "lineitem")
+    v = CompiledValidator(LINEITEM_SPEC, li)
+    return error_tree(v.violations(li)).select(
+        "json_path", "total_errors",
+        F.array_join("keywords", ",").alias("keywords"))
+
+
+def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column stats (exact fields only, oracle-comparable)."""
+    from jsonschema_spark.operators.stats import column_stats
+    li = _t(spark, sf_dir, "lineitem")
+    return column_stats(li, ["l_quantity", "l_extendedprice",
+                             "l_discount"]).select(
+        "column", "rows", "nulls",
+        F.col("min").cast("double").alias("min_val"),
+        F.col("max").cast("double").alias("max_val"))
+
+
+def q_duplicate_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness check: customers with more than one order."""
+    from jsonschema_spark.operators.uniqueness import duplicate_keys
+    o = _t(spark, sf_dir, "orders")
+    return duplicate_keys(o, ["o_custkey"], strategy="groupby")
+
+
+def q_duplicate_custkeys_sortmerge(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Same semantics via the repartition+sortWithinPartitions strategy
+    mandated by north_rule — must agree with the groupBy strategy."""
+    from jsonschema_spark.operators.uniqueness import duplicate_keys
+    o = _t(spark, sf_dir, "orders")
+    return duplicate_keys(o, ["o_custkey"], strategy="sort")
+
+
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential checks ($ref lifted to anti-joins): orphan counts."""
+    from jsonschema_spark.operators.referential import orphans
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    cu = _t(spark, sf_dir, "customer")
+    a = orphans(li, "l_orderkey", o, "o_orderkey").agg(
+        F.count(F.lit(1)).alias("orphans")).select(
+        F.lit("lineitem.l_orderkey->orders").alias("fk"), "orphans")
+    b = orphans(ev, "user_id", cu, "c_custkey").agg(
+        F.count(F.lit(1)).alias("orphans")).select(
+        F.lit("events.user_id->customer").alias("fk"), "orphans")
+    return a.unionByName(b)
+
+
+def q_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-check building block: fixed-width histogram of o_totalprice."""
+    from jsonschema_spark.operators.drift import histogram
+    o = _t(spark, sf_dir, "orders")
+    return histogram(o, "o_totalprice", 0.0, 500000.0, 20)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregation over the events stream table (batch form of
+    the streaming tumbling-window agg); bucket = epoch hour (TZ-proof)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).alias("hour_bucket")
+    return (ev.groupBy(hour, "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("sum_value_cents")))
+
+
+def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts + order-insensitive content key."""
+    from jsonschema_spark.operators.text import (content_fingerprint,
+                                                 token_count)
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        content_fingerprint(F.col("text")).alias("content_key"))
+
+
+def q_docs_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic distribution."""
+    from jsonschema_spark.operators.text import detect_language
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(detect_language(F.col("text")).alias("lang_detected"))
+            .groupBy("lang_detected")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_docs_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized token-set content key."""
+    from jsonschema_spark.operators.text import content_fingerprint
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(content_fingerprint(F.col("text")).alias("content_key"),
+                     "doc_id")
+            .groupBy("content_key")
+            .agg(F.count(F.lit(1)).alias("dup_count"),
+                 F.min("doc_id").alias("first_doc"))
+            .filter(F.col("dup_count") > 1))
+
+
+def q_embeddings_max_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search baseline: per-vector max cosine to any other."""
+    from jsonschema_spark.operators.similarity import max_cosine_per_vector
+    e = _t(spark, sf_dir, "embeddings")
+    return max_cosine_per_vector(e, "vec_id", "embedding", round_to=4)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (rows-only check: LSH banding is
+    not ANSI-SQL-expressible)."""
+    from jsonschema_spark.operators.dedup import minhash_candidates
+    d = _t(spark, sf_dir, "documents")
+    return minhash_candidates(d, "doc_id", "text", num_hashes=64,
+                              bands=16, min_jaccard=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only)."""
+    from jsonschema_spark.operators.dedup import simhash_duplicates
+    d = _t(spark, sf_dir, "documents")
+    return simhash_duplicates(d, "doc_id", "text", max_hamming=12,
+                              band_bits=4)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (rows-only: blocked join)."""
+    from jsonschema_spark.operators.dedup import ngram_jaccard_pairs
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.6)
+
+
+def q_images_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star flagship (rows-only): full validation of the synthetic
+    image+caption table — row keywords + uniqueness + referential +
+    pixel-invariant, one violations summary."""
+    from jsonschema_spark import CompiledValidator
+    from jsonschema_spark.operators.multimodal import psnr_check
+    from jsonschema_spark.operators.referential import referential_violations
+    from jsonschema_spark.operators.uniqueness import uniqueness_violations
+    from jsonschema_spark.sources.images import (IMAGES_SCHEMA, images_df,
+                                                 licenses_df)
+    img = images_df(spark, 20_000, with_license=True).cache()
+    spec = {k: v for k, v in IMAGES_SCHEMA.items() if k != "x-spark"}
+    v = CompiledValidator(spec, img)
+    row_viols = v.violations(img, ["image_id"])
+    uniq = uniqueness_violations(img, "image_id", ["image_id"]).unionByName(
+        uniqueness_violations(img, "phash", ["image_id"]))
+    ref = referential_violations(img, "license_id", licenses_df(spark),
+                                 "license_id", ["image_id"])
+    pix = psnr_check(img)
+    cols = ["image_id", "keyword", "json_path", "schema_path", "message",
+            "failing_value"]
+    allv = (row_viols.select(cols).unionByName(uniq.select(cols))
+            .unionByName(ref.select(cols)).unionByName(pix.select(cols)))
+    return (allv.groupBy("keyword")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("keyword"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: lineitem validation ->
+    violation counts by keyword."""
+    return q_violations_lineitem(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "violations_lineitem": q_violations_lineitem,
+        "violations_part": q_violations_part,
+        "manifest_orders": q_manifest_orders,
+        "best_match_lineitem": q_best_match_lineitem,
+        "error_tree_lineitem": q_error_tree_lineitem,
+        "stats_lineitem": q_stats_lineitem,
+        "duplicate_custkeys": q_duplicate_custkeys,
+        "duplicate_custkeys_sortmerge": q_duplicate_custkeys_sortmerge,
+        "referential_orphans": q_referential_orphans,
+        "drift_histogram": q_drift_histogram,
+        "events_hourly": q_events_hourly,
+        "docs_profile": q_docs_profile,
+        "docs_language": q_docs_language,
+        "docs_exact_dups": q_docs_exact_dups,
+        "embeddings_max_cosine": q_embeddings_max_cosine,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "images_validation": q_images_validation,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracles ----
+
+_LI_CHECKS = [
+    ("required", "$", "l_shipdate IS NULL"),
+    ("minimum", "$.l_quantity",
+     "l_quantity IS NOT NULL AND NOT (l_quantity >= 1)"),
+    ("maximum", "$.l_quantity",
+     "l_quantity IS NOT NULL AND NOT (l_quantity <= 30)"),
+    ("minimum", "$.l_discount",
+     "l_discount IS NOT NULL AND NOT (l_discount >= 0)"),
+    ("maximum", "$.l_discount",
+     "l_discount IS NOT NULL AND NOT (l_discount <= 0.08)"),
+    ("exclusiveMinimum", "$.l_extendedprice",
+     "l_extendedprice IS NOT NULL AND NOT (l_extendedprice > 0)"),
+    ("enum", "$.l_returnflag",
+     "l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')"),
+    ("enum", "$.l_linestatus",
+     "l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O')"),
+]
+
+_LI_REQUIRED_KEYS = "l_orderkey IS NULL OR l_shipdate IS NULL"
+
+_LI_VIOLATION_ROWS = " UNION ALL ".join(
+    f"SELECT l_orderkey, l_linenumber, '{kw}' AS keyword, "
+    f"'{jp}' AS json_path FROM lineitem WHERE {cond}"
+    for kw, jp, cond in (
+        [("required", "$", "l_orderkey IS NULL")] + _LI_CHECKS))
+
+_LANG_RATES = """
+  SELECT
+    len(regexp_extract_all(lower(text),
+      '\\b(the|and|of|to|in|is|that|with)\\b'))
+      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS r_en,
+    len(regexp_extract_all(lower(text),
+      '\\b(der|die|das|und|ist|nicht|mit|ein)\\b'))
+      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS r_de,
+    len(regexp_extract_all(lower(text),
+      '\\b(le|la|les|et|est|dans|que|une)\\b'))
+      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS r_fr,
+    len(regexp_extract_all(lower(text),
+      '\\b(el|la|los|que|de|es|con|una)\\b'))
+      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS r_es
+  FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    li_unions = " UNION ALL ".join(
+        f"SELECT '{kw}' AS keyword, '{jp}' AS json_path, count(*) AS n "
+        f"FROM lineitem WHERE {cond} HAVING count(*) > 0"
+        for kw, jp, cond in
+        ([("required", "$", "l_orderkey IS NULL")] + _LI_CHECKS))
+    part_checks = [
+        ("required", "$", "p_partkey IS NULL"),
+        ("required", "$", "p_name IS NULL"),
+        ("minimum", "$.p_size", "p_size IS NOT NULL AND NOT (p_size >= 1)"),
+        ("maximum", "$.p_size", "p_size IS NOT NULL AND NOT (p_size <= 40)"),
+        ("pattern", "$.p_brand",
+         "p_brand IS NOT NULL AND NOT regexp_matches(p_brand, '^Brand#[0-9]+$')"),
+        ("exclusiveMinimum", "$.p_retailprice",
+         "p_retailprice IS NOT NULL AND NOT (p_retailprice > 0)"),
+        ("maximum", "$.p_retailprice",
+         "p_retailprice IS NOT NULL AND NOT (p_retailprice <= 1800)"),
+    ]
+    part_unions = " UNION ALL ".join(
+        f"SELECT '{kw}' AS keyword, '{jp}' AS json_path, count(*) AS n "
+        f"FROM part WHERE {cond} HAVING count(*) > 0"
+        for kw, jp, cond in part_checks)
+    orders_invalid = ("NOT ((o_orderkey IS NOT NULL) "
+                      "AND (o_totalprice IS NULL OR o_totalprice <= 300000) "
+                      "AND (o_orderpriority IS NULL OR "
+                      "regexp_matches(o_orderpriority, '^[1-3]-')))")
+    return {
+        "violations_lineitem": li_unions,
+        "violations_part": part_unions,
+        "manifest_orders": f"""
+            SELECT o_orderstatus,
+                   count(*) AS rows,
+                   CAST(sum(CASE WHEN {orders_invalid} THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows,
+                   (sum(CASE WHEN {orders_invalid} THEN 1 ELSE 0 END) = 0) AS passed
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "best_match_lineitem": f"""
+            WITH viols AS ({_LI_VIOLATION_ROWS}),
+            ranked AS (
+              SELECT l_orderkey, l_linenumber, keyword, json_path,
+                     row_number() OVER (
+                       PARTITION BY l_orderkey, l_linenumber
+                       ORDER BY CASE WHEN keyword IN ('anyOf','oneOf')
+                                     THEN 1 ELSE 0 END,
+                                len(string_split_regex(json_path,
+                                    '\\.|\\[')) - 1,
+                                json_path, keyword) AS rn
+              FROM viols)
+            SELECT l_orderkey, l_linenumber, keyword, json_path
+            FROM ranked WHERE rn = 1
+        """,
+        "error_tree_lineitem": f"""
+            WITH viols AS ({_LI_VIOLATION_ROWS})
+            SELECT json_path, count(*) AS total_errors,
+                   array_to_string(list_sort(list(DISTINCT keyword)), ',')
+                     AS keywords
+            FROM viols GROUP BY json_path
+        """,
+        "stats_lineitem": """
+            SELECT 'l_quantity' AS column, count(*) AS rows,
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   CAST(min(l_quantity) AS DOUBLE) AS min_val,
+                   CAST(max(l_quantity) AS DOUBLE) AS max_val FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*),
+                   CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(min(l_extendedprice) AS DOUBLE),
+                   CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*),
+                   CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(min(l_discount) AS DOUBLE),
+                   CAST(max(l_discount) AS DOUBLE) FROM lineitem
+        """,
+        "duplicate_custkeys": """
+            SELECT o_custkey, count(*) AS dup_count
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "duplicate_custkeys_sortmerge": """
+            SELECT o_custkey, count(*) AS dup_count
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "referential_orphans": """
+            SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS orphans
+            FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'events.user_id->customer', count(*)
+            FROM events e WHERE e.user_id IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id)
+        """,
+        "drift_histogram": """
+            SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / 25000.0)
+                                       AS BIGINT), 0), 19) AS bucket,
+                   count(*) AS n
+            FROM orders WHERE o_totalprice IS NOT NULL
+            GROUP BY 1
+        """,
+        "events_hourly": """
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "docs_profile": """
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END::BIGINT AS n_tokens,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split_regex(lower(trim(text)), '\\W+'))), ' '))
+                     AS content_key
+            FROM documents
+        """,
+        "docs_language": f"""
+            WITH rates AS ({_LANG_RATES})
+            SELECT CASE
+                     WHEN r_en > 0.05 AND r_en >= greatest(r_de, r_fr, r_es)
+                       THEN 'en'
+                     WHEN r_de > 0.05 AND r_de >= greatest(r_fr, r_es)
+                       THEN 'de'
+                     WHEN r_fr > 0.05 AND r_fr >= r_es THEN 'fr'
+                     WHEN r_es > 0.05 THEN 'es'
+                     ELSE 'und'
+                   END AS lang_detected, count(*) AS n
+            FROM rates GROUP BY 1
+        """,
+        "docs_exact_dups": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(
+                         string_split_regex(lower(trim(text)), '\\W+'))),
+                         ' ')) AS content_key
+              FROM documents)
+            SELECT content_key, count(*) AS dup_count,
+                   min(doc_id) AS first_doc
+            FROM keyed GROUP BY content_key HAVING count(*) > 1
+        """,
+        "embeddings_max_cosine": """
+            SELECT a.vec_id AS id,
+                   round(max(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[]))), 4) AS max_cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            GROUP BY a.vec_id
+        """,
+        # minhash_pairs / simhash_pairs / ngram_jaccard_pairs /
+        # images_validation: non-SQL-expressible (LSH banding, synthetic
+        # generation) -> rows-only driver check.
+    }

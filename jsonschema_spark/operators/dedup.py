@@ -82,23 +82,43 @@ def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
                             lambda x: x.cast("string")), ",")))
 
 
+def minhash_signatures_df(df: DataFrame, id_col: str, text_col: str,
+                          num_hashes: int = 64,
+                          shingle_k: int = 5) -> DataFrame:
+    """(_id, _sig) MinHash signatures via explode + codegen'd min-aggs.
+
+    HOF lambdas (aggregate/zip_with) are interpreted, so per-item x
+    per-hash work inside them is ~100x slower than whole-stage codegen.
+    Exploding shingles and taking `num_hashes` min(xxhash64(shingle, s))
+    aggregates keeps everything codegen'd; map-side partial aggregation
+    means the shuffle carries one partial signature per doc per
+    partition, never the shingles."""
+    toks = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    F.explode(shingles(F.col(text_col), shingle_k))
+                    .alias("_sh")))
+    aggs = [F.min(F.xxhash64(F.col("_sh"), F.lit(s))).alias(f"_h{s}")
+            for s in range(num_hashes)]
+    return (toks.groupBy("_id").agg(*aggs)
+            .select("_id", F.array(*[F.col(f"_h{s}")
+                                     for s in range(num_hashes)])
+                    .alias("_sig")))
+
+
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 64, bands: int = 16,
                        shingle_k: int = 5,
                        min_jaccard: float = 0.5) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH.
 
-    Pipeline: shingle -> signature (narrow) -> explode bands -> groupBy
-    band bucket (shuffle of signatures only) -> pairs within buckets ->
+    Pipeline: shingle -> signature (codegen'd explode+agg) -> explode
+    bands -> self-join on band bucket (shuffle of signatures only) ->
     estimated Jaccard = fraction of agreeing minhashes -> threshold.
     Returns (id_a, id_b, est_jaccard), id_a < id_b, deduped across bands.
     """
     rows = num_hashes // bands
-    sigs = (df
-            .filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("_id"),
-                    minhash_signature(shingles(F.col(text_col), shingle_k),
-                                      num_hashes).alias("_sig")))
+    sigs = minhash_signatures_df(df, id_col, text_col, num_hashes,
+                                 shingle_k)
     banded = sigs.select(
         "_id", "_sig",
         F.posexplode(minhash_bands(F.col("_sig"), bands, rows))
@@ -124,20 +144,24 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
 # ------------------------------------------------------------ simhash -----
 
 def simhash(items: Column, bits: int = 64) -> Column:
-    """SimHash over an item set as an array<int> of sign bits: per bit b,
-    1 when the sum of +-1 contributions (parity of xxhash64(item, b))
-    is positive.  One native aggregate pass over the items."""
+    """SimHash over an item set as an array<int> of sign bits: ONE
+    64-bit hash per item, bit b's +-1 contribution extracted with literal
+    shifts (cheap bit ops, not per-bit re-hashing).  One native aggregate
+    pass over the items."""
+    assert bits <= 64
     init = F.array_repeat(F.lit(0), bits)
-    bit_seq = F.sequence(F.lit(0), F.lit(bits - 1))
+
+    def contribs(it: Column) -> Column:
+        h = F.xxhash64(it)
+        return F.array(*[
+            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+            for b in range(bits)
+        ])
+
     counts = F.aggregate(
         items, init,
-        lambda acc, it: F.zip_with(
-            acc,
-            F.transform(bit_seq,
-                        lambda b: F.when(
-                            F.pmod(F.xxhash64(it, b), F.lit(2)) == 0,
-                            F.lit(1)).otherwise(F.lit(-1))),
-            lambda a, v: a + v))
+        lambda acc, it: F.zip_with(acc, contribs(it), lambda a, v: a + v))
     return F.transform(counts, lambda c: (c > 0).cast("int"))
 
 
@@ -147,34 +171,90 @@ def hamming_distance(a: Column, b: Column) -> Column:
                            lambda v: v))
 
 
+def simhash_signatures_df(df: DataFrame, id_col: str, text_col: str,
+                          bits: int = 64) -> DataFrame:
+    """(_id, _sh) SimHash bit-array signatures via explode + codegen'd
+    sum-aggs — ONE xxhash64 per token.
+
+    Per-bit ones-counts are packed 4-per-long in 16-bit lanes, so 64 bits
+    need only bits/4 aggregate expressions (+1 count) instead of 64:
+    smaller generated code, 4x narrower shuffle rows.  Lane l of group g
+    counts tokens whose hash bit (4g+l) is set; bit b of the signature is
+    1 iff 2*ones_b > n_tokens (== sign of the classic +-1 sum; ties -> 0).
+    Safe for up to 65535 distinct tokens per document (lane width)."""
+    assert bits % 4 == 0
+    n_groups = bits // 4
+    tokens = F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    toks = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    F.explode(tokens).alias("_tok")))
+    h = F.xxhash64(F.col("_tok"))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for g in range(n_groups):
+        lanes = None
+        for lane in range(4):
+            b = 4 * g + lane
+            term = F.when(F.shiftrightunsigned(h, b)
+                          .bitwiseAND(F.lit(1)) == 1,
+                          F.lit(1 << (16 * lane)).cast("long")) \
+                    .otherwise(F.lit(0).cast("long"))
+            lanes = term if lanes is None else lanes + term
+        aggs.append(F.sum(lanes).alias(f"_g{g}"))
+    packed = toks.groupBy("_id").agg(*aggs)
+    bit_cols = []
+    for b in range(bits):
+        g, lane = divmod(b, 4)
+        ones = (F.shiftrightunsigned(F.col(f"_g{g}"), 16 * lane)
+                .bitwiseAND(F.lit(0xFFFF)))
+        bit_cols.append((ones * 2 > F.col("_n")).cast("int"))
+    return packed.select("_id", F.array(*bit_cols).alias("_sh"))
+
+
+def simhash_packed_df(df: DataFrame, id_col: str, text_col: str,
+                      bits: int = 64) -> DataFrame:
+    """(_id, _sh long) — the bit array folded into one long with
+    python-literal bit values, so downstream hamming is a codegen'd
+    bit_count(xor) instead of an interpreted array zip."""
+    assert bits <= 64
+    sigs = simhash_signatures_df(df, id_col, text_col, bits)
+    packed = None
+    for b in range(bits):
+        bitval = -(1 << 63) if b == 63 else (1 << b)
+        term = F.when(F.element_at("_sh", b + 1) == 1,
+                      F.lit(bitval).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return sigs.select("_id", packed.alias("_sh"))
+
+
 def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
                        bits: int = 64, max_hamming: int = 3,
                        band_bits: int = 16) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, blocked by
     `bits/band_bits` bands so at least one band matches exactly when the
-    distance is small (pigeonhole)."""
-    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    sigs = (df.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("_id"),
-                    simhash(F.array_distinct(tokens), bits).alias("_sh")))
+    distance is small (pigeonhole).  Band extraction and hamming are
+    literal shift/mask/bit_count — fully codegen'd."""
+    sigs = simhash_packed_df(df, id_col, text_col, bits).cache()
     n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    bucket_exprs = [
+        F.struct(F.lit(b).alias("_band"),
+                 F.shiftrightunsigned(F.col("_sh"), b * band_bits)
+                 .bitwiseAND(F.lit(mask)).alias("_bucket"))
+        for b in range(n_bands)
+    ]
     banded = sigs.select(
         "_id", "_sh",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands - 1)),
-            lambda b: F.xxhash64(F.array_join(
-                F.transform(F.slice(F.col("_sh"), b * band_bits + 1,
-                                    band_bits),
-                            lambda x: x.cast("string")), ""))))
-        .alias("_band", "_bucket"))
+        F.explode(F.array(*bucket_exprs)).alias("_bb")
+    ).select("_id", "_sh", "_bb._band", "_bb._bucket")
     a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
     pairs = (a.join(b, (F.col("a._band") == F.col("b._band"))
                     & (F.col("a._bucket") == F.col("b._bucket"))
                     & (F.col("a._id") < F.col("b._id")))
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"),
-                     hamming_distance(F.col("a._sh"),
-                                      F.col("b._sh")).alias("hamming")))
+                     ham.alias("hamming")))
     return (pairs.filter(F.col("hamming") <= max_hamming)
             .groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming")))
 

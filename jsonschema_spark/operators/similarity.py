@@ -45,15 +45,31 @@ def hyperplane_signature(df: DataFrame, vec_col: str,
     return acc
 
 
+def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(_id, _v) with _v L2-normalized ONCE per row, so pairwise cosine
+    after a join is a single dot product — norms are never recomputed
+    per pair (O(n*d) instead of O(n^2*d) extra work)."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(v, lambda x: x / norm).alias("_v"))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
 def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
                      k: int = 1, round_to: Optional[int] = None) -> DataFrame:
     """Exact cosine top-k neighbours per vector via a full self-join —
     the small-N baseline an ANN variant is measured against.
     Returns (id, neighbour_id, cosine)."""
-    base = df.select(F.col(id_col).alias("_id"),
-                     F.col(vec_col).cast("array<double>").alias("_v"))
+    base = _normalized(df, id_col, vec_col)
     a, b = base.alias("a"), base.alias("b")
-    sim = cosine_similarity(F.col("a._v"), F.col("b._v"))
+    sim = dot_product(F.col("a._v"), F.col("b._v"))
     if round_to is not None:
         sim = F.round(sim, round_to)
     pairs = (a.join(b, F.col("a._id") != F.col("b._id"))
