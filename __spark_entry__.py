@@ -226,8 +226,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only)."""
     from jsonschema_spark.operators.dedup import simhash_duplicates
     d = _t(spark, sf_dir, "documents")
-    return simhash_duplicates(d, "doc_id", "text", max_hamming=12,
-                              band_bits=4)
+    return simhash_duplicates(d, "doc_id", "text", max_hamming=3,
+                              band_bits=16)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

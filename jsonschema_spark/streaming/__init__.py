@@ -1,0 +1,10 @@
+from .validate import (dedup_stream, run_validation_stream, validate_stream,
+                       windowed_manifest, with_valid_stream)
+
+__all__ = [
+    "dedup_stream",
+    "run_validation_stream",
+    "validate_stream",
+    "windowed_manifest",
+    "with_valid_stream",
+]

@@ -1,0 +1,122 @@
+"""Structured Streaming validation.
+
+The reference validates an unbounded sequence of instances one at a time
+(CLI stdin loop, /root/reference/jsonschema/cli.py:259-270); the Spark
+lift is a Structured Streaming pipeline: ``readStream`` -> the same
+compiled Column predicates (they are pure expressions, so the identical
+compiled plan serves batch and streaming) -> ``writeStream``.
+
+Dataset-level semantics in streaming form:
+
+- violations stream      == ``iter_errors`` per micro-batch (append mode)
+- windowed manifest      == per-event-time-window pass/fail aggregate
+  with a watermark bounding state (late rows beyond the watermark are
+  dropped, mirroring the reference's "validate what arrives" model)
+- streaming uniqueness   == ``dropDuplicates`` on the key within the
+  watermark horizon (state-bounded analogue of the uniqueItems lift)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..validator import CompiledValidator
+
+
+def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with zone); parquet often carries
+    TIMESTAMP_NTZ — cast in place (session TZ is UTC, so values are
+    preserved bitwise)."""
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
+def validate_stream(stream_df: DataFrame, schema: Any,
+                    id_cols: Sequence[str] = ()) -> DataFrame:
+    """Violation-rows stream: one output row per (input row x failed
+    keyword).  Pure narrow transformation — append-mode safe, no state."""
+    v = CompiledValidator(schema, stream_df)
+    return v.violations(stream_df, id_cols)
+
+
+def with_valid_stream(stream_df: DataFrame, schema: Any,
+                      col: str = "valid") -> DataFrame:
+    """Input stream + boolean ``valid`` column (is_valid per row)."""
+    return CompiledValidator(schema, stream_df).with_valid(stream_df, col)
+
+
+def windowed_manifest(stream_df: DataFrame, schema: Any, ts_col: str,
+                      window: str = "1 minute",
+                      watermark: str = "10 minutes",
+                      partition_by: Sequence[str] = ()) -> DataFrame:
+    """Per-event-time-window pass/fail manifest.
+
+    Watermark bounds the aggregation state so the query runs forever on
+    unbounded input; emit is append-mode once the watermark passes the
+    window end.  The aggregate mirrors ``CompiledValidator.manifest``.
+    """
+    stream_df = _ensure_event_time(stream_df, ts_col)
+    v = CompiledValidator(schema, stream_df)
+    annotated = (stream_df
+                 .withWatermark(ts_col, watermark)
+                 .withColumn("_valid", v.valid_column))
+    keys = [F.window(F.col(ts_col), window).alias("window"),
+            *[F.col(c) for c in partition_by]]
+    return (annotated.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((~F.col("_valid")).cast("long")).alias("invalid_rows"),
+        (F.sum((~F.col("_valid")).cast("long")) == 0).alias("passed"),
+    ).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *partition_by, "rows", "invalid_rows", "passed",
+    ))
+
+
+def dedup_stream(stream_df: DataFrame, key_cols: Sequence[str],
+                 ts_col: str, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming uniqueness enforcement: keep the first row per key
+    within the watermark horizon (state-bounded uniqueItems lift)."""
+    return (_ensure_event_time(stream_df, ts_col)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))
+
+
+def run_validation_stream(stream_df: DataFrame, schema: Any,
+                          id_cols: Sequence[str], out_dir: str,
+                          ts_col: Optional[str] = None,
+                          window: str = "1 minute",
+                          watermark: str = "10 minutes",
+                          available_now: bool = True):
+    """End-to-end streaming job: violations + (optional) windowed
+    manifest written to parquet under ``out_dir`` with a checkpoint —
+    exactly-once per micro-batch, resumable from the checkpoint dir
+    (the streaming analogue of runner.ValidationRun).
+
+    Returns the list of started StreamingQuery handles.
+    """
+    queries = []
+    trig = {"availableNow": True} if available_now else \
+           {"processingTime": "10 seconds"}
+    viols = validate_stream(stream_df, schema, id_cols)
+    queries.append(
+        viols.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "violations"))
+        .option("checkpointLocation",
+                os.path.join(out_dir, "_ckpt_violations"))
+        .outputMode("append").trigger(**trig).start())
+    if ts_col is not None:
+        man = windowed_manifest(stream_df, schema, ts_col, window, watermark)
+        queries.append(
+            man.writeStream.format("parquet")
+            .option("path", os.path.join(out_dir, "manifest"))
+            .option("checkpointLocation",
+                    os.path.join(out_dir, "_ckpt_manifest"))
+            .outputMode("append").trigger(**trig).start())
+    return queries

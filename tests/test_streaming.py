@@ -1,0 +1,116 @@
+"""Structured Streaming validation: streaming results must agree with
+the identical batch computation (the compiled plan is shared)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark import CompiledValidator
+from jsonschema_spark.streaming import (dedup_stream, run_validation_stream,
+                                        validate_stream, windowed_manifest)
+
+EVENTS_SPEC = {
+    "type": "object",
+    "required": ["event_id", "ts"],
+    "properties": {
+        "value": {"minimum": 0, "maximum": 500},
+        "event_type": {"enum": ["click", "view", "purchase", "scroll"]},
+    },
+}
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("events_src"))
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    batch.write.mode("overwrite").parquet(src)
+    sch = batch.schema
+    return (spark.readStream.schema(sch).parquet(src),
+            spark.read.parquet(src))
+
+
+def _drain(q):
+    q.awaitTermination(120)
+
+
+def test_streaming_violations_match_batch(spark, events_stream, tmp_path):
+    stream, batch = events_stream
+    out = str(tmp_path / "viols")
+    q = (validate_stream(stream, EVENTS_SPEC, ["event_id"])
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    _drain(q)
+    got = spark.read.parquet(out)
+    want = CompiledValidator(EVENTS_SPEC, batch).violations(
+        batch, ["event_id"])
+    assert got.count() == want.count()
+    g = {tuple(r) for r in got.select(
+        "event_id", "keyword", "json_path").collect()}
+    w = {tuple(r) for r in want.select(
+        "event_id", "keyword", "json_path").collect()}
+    assert g == w
+
+
+def test_windowed_manifest_matches_batch_windows(spark, events_stream,
+                                                 tmp_path):
+    stream, batch = events_stream
+    out = str(tmp_path / "man")
+    man = windowed_manifest(stream, EVENTS_SPEC, "ts",
+                            window="1 hour", watermark="0 seconds")
+    q = (man.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .outputMode("append").trigger(availableNow=True).start())
+    _drain(q)
+    got = spark.read.parquet(out)
+    batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    v = CompiledValidator(EVENTS_SPEC, batch)
+    want = (batch.withColumn("_valid", v.valid_column)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.sum((~F.col("_valid")).cast("long")).alias("invalid_rows"))
+            .select(F.col("w.start").alias("window_start"),
+                    "rows", "invalid_rows"))
+    # availableNow + watermark may hold back the final window; every
+    # emitted window must match its batch counterpart and cover >=90%.
+    got_rows = {r["window_start"]: (r["rows"], r["invalid_rows"])
+                for r in got.collect()}
+    want_rows = {r["window_start"]: (r["rows"], r["invalid_rows"])
+                 for r in want.collect()}
+    assert len(got_rows) >= 0.9 * len(want_rows)
+    for k, v_ in got_rows.items():
+        assert want_rows[k] == v_
+
+
+def test_dedup_stream_removes_key_dups(spark, events_stream, tmp_path):
+    stream, batch = events_stream
+    out = str(tmp_path / "dedup")
+    q = (dedup_stream(stream, ["user_id"], "ts", watermark="365 days")
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt3"))
+         .outputMode("append").trigger(availableNow=True).start())
+    _drain(q)
+    got = spark.read.parquet(out)
+    n_users = batch.select("user_id").distinct().count()
+    assert got.count() == n_users
+    assert got.select("user_id").distinct().count() == n_users
+
+
+def test_run_validation_stream_end_to_end(spark, events_stream, tmp_path):
+    stream, batch = events_stream
+    out = str(tmp_path / "job")
+    qs = run_validation_stream(stream, EVENTS_SPEC, ["event_id"], out,
+                               ts_col="ts", window="1 hour",
+                               watermark="0 seconds")
+    for q in qs:
+        _drain(q)
+    viols = spark.read.parquet(os.path.join(out, "violations"))
+    assert viols.count() == CompiledValidator(EVENTS_SPEC, batch) \
+        .violations(batch).count()
+    assert os.path.isdir(os.path.join(out, "_ckpt_violations"))
