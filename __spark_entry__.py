@@ -237,6 +237,152 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.6)
 
 
+COMPOSED_ORDERS_SPEC = {
+    "type": "object",
+    "anyOf": [
+        {"properties": {"o_totalprice": {"maximum": 150000}}},
+        {"properties": {"o_orderpriority": {"pattern": "^1-"}}},
+    ],
+    "oneOf": [
+        {"properties": {"o_orderstatus": {"enum": ["O"]}}},
+        {"properties": {"o_totalprice": {"minimum": 100000}}},
+    ],
+    "not": {"properties": {"o_orderstatus": {"const": "X"}}},
+    "if": {"properties": {"o_orderstatus": {"const": "F"}}},
+    "then": {"properties": {"o_totalprice": {"maximum": 400000}}},
+    "else": {"required": ["o_custkey"]},
+}
+
+QUANTITY_ARRAY_SPEC = {
+    "properties": {
+        "quantities": {
+            "minItems": 2, "maxItems": 6, "uniqueItems": True,
+            "contains": {"minimum": 45}, "maxContains": 2,
+        },
+    },
+}
+
+
+def q_composition_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applicator keywords (anyOf/oneOf/not/if-then-else) as boolean
+    algebra over child predicates — violation counts by keyword."""
+    from jsonschema_spark import CompiledValidator
+    o = _t(spark, sf_dir, "orders")
+    v = CompiledValidator(COMPOSED_ORDERS_SPEC, o)
+    return (v.violations(o)
+            .groupBy("keyword", "json_path")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_array_keywords_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array keywords via higher-order functions over per-order
+    quantity arrays (minItems/maxItems/uniqueItems/contains)."""
+    from jsonschema_spark import CompiledValidator
+    li = _t(spark, sf_dir, "lineitem")
+    arr = (li.filter(F.col("l_quantity").isNotNull())
+           .groupBy("l_orderkey")
+           .agg(F.sort_array(F.collect_list("l_quantity"))
+                .alias("quantities")))
+    v = CompiledValidator(QUANTITY_ARRAY_SPEC, arr)
+    return (v.violations(arr)
+            .groupBy("keyword", "json_path")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (the oracle-checkable core of the
+    stats operator; at scale approx_percentile sketches replace this)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_totalprice").isNotNull())
+            .groupBy("o_orderstatus")
+            .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+                 .alias("p50"),
+                 F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
+                 .alias("p90"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q_drift_ks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS + L1 drift between o_totalprice distributions of O-status vs
+    F-status orders (current vs baseline histogram compare)."""
+    from jsonschema_spark.operators.drift import drift_statistics, histogram
+    o = _t(spark, sf_dir, "orders")
+    cur = histogram(o.filter(F.col("o_orderstatus") == "O"),
+                    "o_totalprice", 0.0, 500000.0, 20)
+    base = histogram(o.filter(F.col("o_orderstatus") == "F"),
+                     "o_totalprice", 0.0, 500000.0, 20)
+    s = drift_statistics(cur, base)
+    return spark.createDataFrame(
+        [(round(s["ks"], 6), round(s["l1"], 6),
+          s["n_current"], s["n_baseline"])],
+        "ks double, l1 double, n_current bigint, n_baseline bigint")
+
+
+def q_formats_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format keyword (email/uuid/date) over deterministically
+    synthesized strings with planted violations."""
+    from jsonschema_spark import CompiledValidator
+    c = _t(spark, sf_dir, "customer")
+    md5 = F.md5(F.col("c_name"))
+    uid = F.concat_ws("-", F.substring(md5, 1, 8), F.substring(md5, 9, 4),
+                      F.substring(md5, 13, 4), F.substring(md5, 17, 4),
+                      F.substring(md5, 21, 12))
+    synth = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 97 == 0,
+               F.concat(F.lower(F.col("c_name")), F.lit(".example.com")))
+        .otherwise(F.concat(F.lower(F.col("c_name")), F.lit("@example.com")))
+        .alias("email"),
+        F.when(F.col("c_custkey") % 89 == 0, F.substring(uid, 2, 35))
+        .otherwise(uid).alias("uid"),
+        F.format_string("2024-02-%02d",
+                        (F.col("c_custkey") % 40).cast("int")).alias("dt"),
+    )
+    spec = {"properties": {"email": {"format": "email"},
+                           "uid": {"format": "uuid"},
+                           "dt": {"format": "date"}}}
+    v = CompiledValidator(spec, synth)
+    return (v.violations(synth)
+            .groupBy("keyword", "json_path")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal features per document (native regexp_count path)."""
+    from jsonschema_spark.operators.text import quality_features
+    d = _t(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f.getField("n_chars").alias("n_chars"),
+        f.getField("n_tokens").cast("long").alias("n_tokens"),
+        F.round(f.getField("mean_token_len"), 6).alias("mean_token_len"),
+        F.round(f.getField("punct_ratio"), 6).alias("punct_ratio"),
+        F.round(f.getField("stopword_rate"), 6).alias("stopword_rate"),
+        F.round(f.getField("distinct_token_ratio"), 6)
+        .alias("distinct_token_ratio"))
+
+
+def q_embeddings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbours (k=3) — the ANN baseline."""
+    from jsonschema_spark.operators.similarity import brute_force_topk
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, "vec_id", "embedding", k=3, round_to=4)
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function sessionization: 30-minute-gap sessions/user."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (ev.withColumn("_new", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("_new").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 def q_images_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star flagship (rows-only): full validation of the synthetic
     image+caption table — row keywords + uniqueness + referential +
@@ -292,6 +438,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "images_validation": q_images_validation,
+        "composition_orders": q_composition_orders,
+        "array_keywords_lineitem": q_array_keywords_lineitem,
+        "quantiles_orders": q_quantiles_orders,
+        "drift_ks_orders": q_drift_ks_orders,
+        "formats_customer": q_formats_customer,
+        "text_quality": q_text_quality,
+        "embeddings_topk": q_embeddings_topk,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -338,6 +492,79 @@ _LANG_RATES = """
       '\\b(el|la|los|que|de|es|con|una)\\b'))
       / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS r_es
   FROM documents
+"""
+
+
+# composition predicate fragments (NULL-explicit so SQL three-valued
+# logic matches the engine's guard semantics exactly)
+_ANY1 = "(o_totalprice IS NULL OR o_totalprice <= 150000)"
+_ANY2 = "(o_orderpriority IS NULL OR regexp_matches(o_orderpriority, '^1-'))"
+_ONE1 = "(o_orderstatus IS NULL OR o_orderstatus = 'O')"
+_ONE2 = "(o_totalprice IS NULL OR o_totalprice >= 100000)"
+_NOT_CHILD = "(o_orderstatus IS NULL OR o_orderstatus = 'X')"
+_IF_OK = "(o_orderstatus IS NULL OR o_orderstatus = 'F')"
+
+_COMPOSITION_CHECKS = [
+    ("anyOf", "$", f"NOT ({_ANY1} OR {_ANY2})"),
+    ("oneOf", "$",
+     f"(CAST({_ONE1} AS INT) + CAST({_ONE2} AS INT)) != 1"),
+    ("not", "$", _NOT_CHILD),
+    ("maximum", "$.o_totalprice",
+     f"{_IF_OK} AND o_totalprice IS NOT NULL AND o_totalprice > 400000"),
+    ("required", "$", f"NOT {_IF_OK} AND o_custkey IS NULL"),
+]
+
+_COMPOSITION_ORACLE = " UNION ALL ".join(
+    f"SELECT '{kw}' AS keyword, '{jp}' AS json_path, count(*) AS n "
+    f"FROM orders WHERE {cond} HAVING count(*) > 0"
+    for kw, jp, cond in _COMPOSITION_CHECKS)
+
+_ARRAY_KW_CHECKS = [
+    ("minItems", "len(q) < 2"),
+    ("maxItems", "len(q) > 6"),
+    ("uniqueItems", "len(q) != len(list_distinct(q))"),
+    ("contains", "len(list_filter(q, x -> x >= 45)) < 1"),
+    ("maxContains", "len(list_filter(q, x -> x >= 45)) > 2"),
+]
+
+_ARRAY_KW_ORACLE = " UNION ALL ".join(
+    f"SELECT '{kw}' AS keyword, '$.quantities' AS json_path, count(*) AS n "
+    f"FROM (SELECT l_orderkey, list(l_quantity) AS q FROM lineitem "
+    f"WHERE l_quantity IS NOT NULL GROUP BY l_orderkey) "
+    f"WHERE {cond} HAVING count(*) > 0"
+    for kw, cond in _ARRAY_KW_CHECKS)
+
+_UUID_RX = ("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+            "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+
+_FORMATS_ORACLE = f"""
+    WITH synth AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 97 = 0
+                  THEN lower(c_name) || '.example.com'
+                  ELSE lower(c_name) || '@example.com' END AS email,
+             CASE WHEN c_custkey % 89 = 0
+                  THEN substring(u, 2, 35) ELSE u END AS uid,
+             printf('2024-02-%02d', CAST(c_custkey % 40 AS INT)) AS dt
+      FROM (SELECT c_custkey, c_name,
+                   substring(md5(c_name), 1, 8) || '-' ||
+                   substring(md5(c_name), 9, 4) || '-' ||
+                   substring(md5(c_name), 13, 4) || '-' ||
+                   substring(md5(c_name), 17, 4) || '-' ||
+                   substring(md5(c_name), 21, 12) AS u
+            FROM customer))
+    SELECT 'format' AS keyword, '$.email' AS json_path, count(*) AS n
+    FROM synth WHERE email NOT LIKE '%@%' HAVING count(*) > 0
+    UNION ALL
+    SELECT 'format', '$.uid', count(*)
+    FROM synth WHERE NOT regexp_matches(uid, '{_UUID_RX}')
+    HAVING count(*) > 0
+    UNION ALL
+    SELECT 'format', '$.dt', count(*)
+    FROM synth
+    WHERE NOT (regexp_matches(dt, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+               AND try_cast(dt AS DATE) IS NOT NULL)
+    HAVING count(*) > 0
 """
 
 
@@ -488,6 +715,93 @@ def oracle_sql() -> dict[str, str]:
                        CAST(b.embedding AS DOUBLE[]))), 4) AS max_cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
             GROUP BY a.vec_id
+        """,
+        "composition_orders": _COMPOSITION_ORACLE,
+        "array_keywords_lineitem": _ARRAY_KW_ORACLE,
+        "quantiles_orders": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   count(*) AS n
+            FROM orders WHERE o_totalprice IS NOT NULL
+            GROUP BY o_orderstatus
+        """,
+        "drift_ks_orders": """
+            WITH h AS (
+              SELECT least(greatest(CAST(floor(o_totalprice / 25000.0)
+                                         AS BIGINT), 0), 19) AS bucket,
+                     sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                       AS n_cur,
+                     sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                       AS n_base
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('O', 'F')
+              GROUP BY 1),
+            t AS (SELECT sum(n_cur) AS tc, sum(n_base) AS tb FROM h),
+            c AS (
+              SELECT h.bucket, h.n_cur, h.n_base,
+                     sum(h.n_cur) OVER (ORDER BY h.bucket) AS cum_c,
+                     sum(h.n_base) OVER (ORDER BY h.bucket) AS cum_b
+              FROM h)
+            SELECT round(max(abs(cum_c * 1.0 / t.tc - cum_b * 1.0 / t.tb)),
+                         6) AS ks,
+                   round(sum(abs(n_cur * 1.0 / t.tc - n_base * 1.0 / t.tb))
+                         / 2, 6) AS l1,
+                   CAST(t.tc AS BIGINT) AS n_current,
+                   CAST(t.tb AS BIGINT) AS n_baseline
+            FROM c, t GROUP BY t.tc, t.tb
+        """,
+        "formats_customer": _FORMATS_ORACLE,
+        "text_quality": r"""
+            SELECT doc_id,
+                   len(text) AS n_chars,
+                   (CASE WHEN len(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+'))
+                    END)::BIGINT AS n_tokens,
+                   round(greatest(len(text), 1) * 1.0
+                         / greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+                                    ELSE len(string_split_regex(trim(text),
+                                             '\s+')) END, 1), 6)
+                     AS mean_token_len,
+                   round(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                         / greatest(len(text), 1), 6) AS punct_ratio,
+                   round(len(regexp_extract_all(text,
+                         '(?i)\b(the|and|of|to|in|is|that|with)\b')) * 1.0
+                         / greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+                                    ELSE len(string_split_regex(trim(text),
+                                             '\s+')) END, 1), 6)
+                     AS stopword_rate,
+                   round(len(list_distinct(string_split_regex(trim(text),
+                                                              '\s+'))) * 1.0
+                         / greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+                                    ELSE len(string_split_regex(trim(text),
+                                             '\s+')) END, 1), 6)
+                     AS distinct_token_ratio
+            FROM documents
+        """,
+        "embeddings_topk": """
+            WITH p AS (
+              SELECT a.vec_id AS id, b.vec_id AS neighbour_id,
+                     round(list_cosine_similarity(
+                         CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY id ORDER BY cosine DESC, neighbour_id ASC)
+                    AS rn FROM p)
+            SELECT id, neighbour_id, cosine FROM r WHERE rn <= 3
+        """,
+        "events_sessions": """
+            WITH s AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id
         """,
         # minhash_pairs / simhash_pairs / ngram_jaccard_pairs /
         # images_validation: non-SQL-expressible (LSH banding, synthetic

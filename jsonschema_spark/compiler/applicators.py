@@ -457,79 +457,251 @@ def c_contains(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
     return out
 
 
-# --------------------------------------------- unevaluated* (static subset)
+# ---------------------------------- unevaluated* (dynamic Column tracking)
+#
+# The reference computes evaluated keys/indexes at runtime by re-running
+# sibling applicators (_utils.py:240-406).  In the vectorized engine the
+# candidate key set is static (struct fields) and array elements carry a
+# position, so the *conditions* under which each key/index is evaluated
+# compile to Columns: "anyOf branch i evaluated key k" becomes
+# `branch_i_ok & eval_cond(branch_i, k)`.  Exact per-row semantics, no
+# approximation — Catalyst CSE dedups repeated branch predicates.
 
-def _statically_evaluated_keys(schema: dict) -> tuple[set[str], list[str]]:
-    """Keys/patterns evaluated by this schema and its in-place applicators.
+def _or_conds(conds: list[Any]) -> Any:
+    """OR of static bools and Columns; True short-circuits statically."""
+    cols = []
+    for c in conds:
+        if c is True:
+            return True
+        if c is False:
+            continue
+        cols.append(c)
+    if not cols:
+        return False
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
 
-    Static approximation of the reference's annotation tracking
-    (_utils.py:317-406): properties/patternProperties from the schema
-    itself plus allOf/anyOf/oneOf/if/then/else/dependentSchemas/$ref-free
-    children.  Dynamic sources (contains) are not tracked.
-    """
-    keys: set[str] = set(schema.get("properties", {}))
-    patterns: list[str] = list(schema.get("patternProperties", {}))
-    subs: list[Any] = []
-    subs.extend(schema.get("allOf", []))
-    subs.extend(schema.get("anyOf", []))
-    subs.extend(schema.get("oneOf", []))
-    for k in ("if", "then", "else"):
-        if k in schema:
-            subs.append(schema[k])
-    subs.extend(schema.get("dependentSchemas", {}).values())
-    for s in subs:
-        if isinstance(s, dict):
-            k2, p2 = _statically_evaluated_keys(s)
-            keys |= k2
-            patterns.extend(p2)
-    return keys, patterns
+
+def _sub_ok(ctx: CompileContext, sub: Any, fragment: str) -> Any:
+    """Validity (static bool or Column) of the bound instance under a
+    sibling subschema — the `is_valid(descend(...))` of _utils.py."""
+    if sub is True or sub == {}:
+        return True
+    if sub is False:
+        return False
+    node = compile_subschema(ctx.child(schema_fragment=fragment), sub)
+    cols = [c.pred for c in node.checks] + list(node._extra_ok)
+    if not cols:
+        return True
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def _member_ok(ctx: CompileContext, sub: Any, member: Column,
+               dtype: T.DataType, fragment: str) -> Any:
+    """Validity of one member value under `sub` (bool or Column)."""
+    if sub is True or sub == {}:
+        return True
+    if sub is False:
+        return False
+    return _element_ok(ctx, sub, member, dtype, fragment)
+
+
+def _evaluated_prop_cond(ctx: CompileContext, schema: Any,
+                         fld: T.StructField, member: Column,
+                         depth: int = 0) -> Any:
+    """Condition under which struct member `fld` is *evaluated* by
+    `schema` — the Column lift of find_evaluated_property_keys_by_schema
+    (_utils.py:317-406).  Consulted only for present (non-null) members.
+    Returns True/False statically or a boolean Column."""
+    if not isinstance(schema, dict) or depth > 12:
+        return False
+    conds: list[Any] = []
+    for kw in ("$ref", "$dynamicRef"):
+        if kw in schema and isinstance(schema[kw], str):
+            try:
+                resolved = _resolve_ref(ctx, schema[kw])
+            except SchemaCompileError:
+                resolved = None
+            conds.append(_evaluated_prop_cond(ctx, resolved, fld, member,
+                                              depth + 1))
+    props = schema.get("properties")
+    if isinstance(props, dict) and fld.name in props:
+        conds.append(True)
+    for kw in ("additionalProperties", "unevaluatedProperties"):
+        if kw in schema:
+            conds.append(_member_ok(ctx, schema[kw], member, fld.dataType,
+                                    kw))
+    pp = schema.get("patternProperties")
+    if isinstance(pp, dict) and _pattern_matched_names(pp, [fld.name]):
+        conds.append(True)
+    ds = schema.get("dependentSchemas")
+    if isinstance(ds, dict):
+        names = [f.name for f in _struct_members(ctx)]
+        for prop, sub in ds.items():
+            if prop not in names:
+                continue  # trigger statically absent -> never applies
+            trigger = (F.col(prop) if _row_scope(ctx)
+                       else ctx.target.getField(prop)).isNotNull()
+            rec = _evaluated_prop_cond(ctx, sub, fld, member, depth + 1)
+            if rec is False:
+                continue
+            conds.append(trigger if rec is True else trigger & rec)
+    for kw in ("allOf", "oneOf", "anyOf"):
+        for i, sub in enumerate(schema.get(kw) or []):
+            rec = _evaluated_prop_cond(ctx, sub, fld, member, depth + 1)
+            if rec is False:
+                continue
+            ok = _sub_ok(ctx, sub, f"{kw}/{i}")
+            if ok is False:
+                continue
+            if ok is True:
+                conds.append(rec)
+            else:
+                conds.append(ok if rec is True else ok & rec)
+    if "if" in schema:
+        if_ok = _sub_ok(ctx, schema["if"], "if")
+        branches = [(if_ok, schema["if"])]
+        if "then" in schema:
+            branches.append((if_ok, schema["then"]))
+        if "else" in schema:
+            neg = (not if_ok) if isinstance(if_ok, bool) else ~if_ok
+            branches.append((neg, schema["else"]))
+        for gate, sub in branches:
+            rec = _evaluated_prop_cond(ctx, sub, fld, member, depth + 1)
+            if rec is False or gate is False:
+                continue
+            if gate is True:
+                conds.append(rec)
+            else:
+                conds.append(gate if rec is True else gate & rec)
+    return _or_conds(conds)
 
 
 def c_unevaluated_properties(ctx: CompileContext, value: Any,
                              schema: dict) -> Optional[Node]:
-    """`unevaluatedProperties` (_keywords.py:407-436) — static subset: any
-    branch that *could* evaluate a key counts as evaluating it."""
-    keys, patterns = _statically_evaluated_keys(schema)
-    ctx.warn("unevaluatedProperties compiled with static annotation "
-             "approximation")
-    return _extras_keyword(ctx, value, schema, "unevaluatedProperties",
-                           known=keys, patterns=patterns)
+    """`unevaluatedProperties` (_keywords.py:407-436): a present member
+    violates iff no sibling applicator evaluated it AND it fails the
+    unevaluatedProperties subschema (False = always fails)."""
+    out = Node()
+    if _row_scope(ctx) or ctx.is_struct():
+        for fld in _struct_members(ctx):
+            member = (F.col(fld.name) if _row_scope(ctx)
+                      else ctx.target.getField(fld.name))
+            evaluated = _evaluated_prop_cond(ctx, schema, fld, member)
+            if evaluated is True:
+                continue
+            sub_ok = _member_ok(ctx, value, member, fld.dataType,
+                                "unevaluatedProperties")
+            bad = member.isNotNull()
+            if evaluated is not False:
+                bad = bad & ~evaluated
+            if sub_ok is True:
+                continue
+            if sub_ok is not False:
+                bad = bad & ~sub_ok
+            n = make_check(
+                ctx.child(path_fragment=fld.name, row_fields=None),
+                "unevaluatedProperties", ~bad,
+                F.lit(f"Unevaluated properties are not allowed "
+                      f"('{fld.name}' was unexpected)"))
+            n.checks[0].failing_value = member.cast("string")
+            out.checks.extend(n.checks)
+        return out
+    if ctx.is_map():
+        # fall back to the static key approximation for map payloads
+        known = set(schema.get("properties", {}))
+        patterns = list(schema.get("patternProperties", {}))
+        return _extras_keyword(ctx, value, schema, "unevaluatedProperties",
+                               known=known, patterns=patterns)
+    return None
 
 
-def _static_prefix_len(schema: dict) -> tuple[int, bool]:
-    prefix = len(schema.get("prefixItems", []))
-    all_eval = "items" in schema
-    for s in (schema.get("allOf", []) + schema.get("anyOf", [])
-              + schema.get("oneOf", [])
-              + [schema[k] for k in ("if", "then", "else") if k in schema]):
-        if isinstance(s, dict):
-            p, a = _static_prefix_len(s)
-            prefix = max(prefix, p)
-            all_eval = all_eval or a
-    return prefix, all_eval
+def _evaluated_item_cond(ctx: CompileContext, schema: Any, x: Column,
+                         i: Column, depth: int = 0) -> Any:
+    """Condition under which element `x` at 0-based index `i` is
+    evaluated — the Column lift of find_evaluated_item_indexes_by_schema
+    (_utils.py:240-313)."""
+    if not isinstance(schema, dict) or depth > 12:
+        return False
+    if "items" in schema:
+        return True  # _utils.py:251-252: items evaluates every index
+    conds: list[Any] = []
+    for kw in ("$ref", "$dynamicRef"):
+        if kw in schema and isinstance(schema[kw], str):
+            try:
+                resolved = _resolve_ref(ctx, schema[kw])
+            except SchemaCompileError:
+                resolved = None
+            conds.append(_evaluated_item_cond(ctx, resolved, x, i,
+                                              depth + 1))
+    prefix = schema.get("prefixItems")
+    if isinstance(prefix, list) and prefix:
+        conds.append(i < F.lit(len(prefix)))
+    if "if" in schema:
+        if_ok = _sub_ok(ctx, schema["if"], "if")
+        branches = [(if_ok, schema["if"])]
+        if "then" in schema:
+            branches.append((if_ok, schema["then"]))
+        if "else" in schema:
+            neg = (not if_ok) if isinstance(if_ok, bool) else ~if_ok
+            branches.append((neg, schema["else"]))
+        for gate, sub in branches:
+            rec = _evaluated_item_cond(ctx, sub, x, i, depth + 1)
+            if rec is False or gate is False:
+                continue
+            if gate is True:
+                conds.append(rec)
+            else:
+                conds.append(gate if rec is True else gate & rec)
+    for kw in ("contains", "unevaluatedItems"):
+        if kw in schema:
+            conds.append(_member_ok(ctx, schema[kw], x,
+                                    ctx.dtype.elementType, kw))
+    for kw in ("allOf", "oneOf", "anyOf"):
+        for bi, sub in enumerate(schema.get(kw) or []):
+            rec = _evaluated_item_cond(ctx, sub, x, i, depth + 1)
+            if rec is False:
+                continue
+            ok = _sub_ok(ctx, sub, f"{kw}/{bi}")
+            if ok is False:
+                continue
+            if ok is True:
+                conds.append(rec)
+            else:
+                conds.append(ok if rec is True else ok & rec)
+    return _or_conds(conds)
 
 
 def c_unevaluated_items(ctx: CompileContext, value: Any,
                         schema: dict) -> Optional[Node]:
-    """`unevaluatedItems` (_keywords.py:392-404) — static subset."""
+    """`unevaluatedItems` (_keywords.py:392-404): fails iff some element
+    is neither evaluated by a sibling applicator nor valid under the
+    unevaluatedItems subschema."""
     if _row_scope(ctx) or not ctx.is_array():
         return None
-    prefix, all_eval = _static_prefix_len(schema)
-    if all_eval:
-        return None
-    ctx.warn("unevaluatedItems compiled with static annotation approximation")
     c = ctx.target
-    if value is False:
-        return make_check(ctx, "unevaluatedItems", F.size(c) <= prefix,
-                          F.lit("array has unevaluated items"))
-    if value is True:
-        return None
-    rest = F.slice(c, prefix + 1, F.greatest(F.size(c) - prefix, F.lit(0)))
-    ok = F.forall(rest, lambda x: _element_ok(ctx, value, x,
-                                              ctx.dtype.elementType,
-                                              "unevaluatedItems"))
-    return make_check(ctx, "unevaluatedItems", ok,
-                      F.lit("an unevaluated item fails its subschema"))
+
+    def bad_elem(x: Column, i: Column) -> Column:
+        evaluated = _evaluated_item_cond(ctx, schema, x, i)
+        if evaluated is True:
+            return F.lit(False)
+        sub_ok = _member_ok(ctx, value, x, ctx.dtype.elementType,
+                            "unevaluatedItems")
+        bad = F.lit(True) if evaluated is False else ~evaluated
+        if sub_ok is True:
+            return F.lit(False)
+        if sub_ok is not False:
+            bad = bad & ~sub_ok
+        return bad
+
+    pred = F.size(F.filter(c, bad_elem)) == 0
+    return make_check(ctx, "unevaluatedItems", pred,
+                      F.lit("Unevaluated items are not allowed"))
 
 
 def register_all(reg: KeywordRegistry) -> None:

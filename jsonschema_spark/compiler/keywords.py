@@ -110,42 +110,75 @@ def _is_static_false(p: Optional[Column]) -> bool:
 
 # ------------------------------------------------------------ enum/const --
 
-def _literal_eq(ctx: CompileContext, v: Any) -> Optional[Column]:
-    """Null-safe typed equality per the reference's ``equal``
-    (_utils.py:133-148): bool is never equal to 0/1; numeric equality is
-    mathematical (1 == 1.0).  Returns None when `v` can never equal a
-    value of the bound Spark type.
+def typed_literal_eq(c: Column, dtype: Optional[T.DataType],
+                     v: Any) -> Column:
+    """Structural equality of a typed expression against a JSON literal,
+    per the reference's ``equal`` (_utils.py:133-148): bool is never
+    equal to 0/1, numeric equality is mathematical (1 == 1.0), object
+    equality is key-order-insensitive, absent member == NULL field.
+    Static type mismatches fold to ``lit(False)`` ("can never equal").
     """
-    c = ctx.target
+    def never() -> Column:
+        return F.lit(False)
+
     if v is None:
         return c.isNull()
+    present = c.isNotNull()
     if isinstance(v, bool):
-        return (c == F.lit(v)) if ctx.is_boolean() else None
+        if not isinstance(dtype, T.BooleanType):
+            return never()
+        return present & (c == F.lit(v))
     if isinstance(v, (int, float)):
-        if not ctx.is_numeric():
-            return None
-        return c == F.lit(v)
+        if not isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                                  T.LongType, T.FloatType, T.DoubleType,
+                                  T.DecimalType)):
+            return never()
+        if isinstance(v, int) and isinstance(dtype, (T.ByteType, T.ShortType,
+                                                     T.IntegerType, T.LongType)):
+            return present & (c == F.lit(v))
+        return present & (c.cast("double") == F.lit(float(v)))
     if isinstance(v, str):
-        return (c == F.lit(v)) if ctx.is_string() else None
+        if not isinstance(dtype, T.StringType):
+            return never()
+        return present & (c == F.lit(v))
     if isinstance(v, list):
-        if not ctx.is_array():
-            return None
-        try:
-            return c == F.lit(v)
-        except Exception:
-            ctx.warn(f"array literal {v!r} not expressible; enum member skipped")
-            return None
+        if not isinstance(dtype, T.ArrayType):
+            return never()
+        pred = present & (F.size(c) == len(v))
+        for i, e in enumerate(v):
+            pred = pred & typed_literal_eq(
+                F.element_at(c, i + 1), dtype.elementType, e)
+        return pred
     if isinstance(v, dict):
-        if not (ctx.is_struct() or ctx.is_map()):
-            return None
-        # structural equality via canonical JSON of the bound value
-        return F.to_json(c) == F.lit(_canon_json(v))
-    return None
+        if isinstance(dtype, T.StructType):
+            names = {f.name: f.dataType for f in dtype.fields}
+            pred = present
+            for k, val in v.items():
+                if k not in names:
+                    return never()
+                pred = pred & typed_literal_eq(c.getField(k), names[k], val)
+            for f in dtype.fields:      # extra non-null field -> not equal
+                if f.name not in v:
+                    pred = pred & c.getField(f.name).isNull()
+            return pred
+        if isinstance(dtype, T.MapType):
+            pred = present & (F.size(c) == len(v))
+            for k, val in v.items():
+                pred = pred & typed_literal_eq(
+                    F.element_at(c, F.lit(k)), dtype.valueType, val)
+            return pred
+        return never()
+    return never()
 
 
-def _canon_json(v: Any) -> str:
-    import json
-    return json.dumps(v, separators=(",", ":"), sort_keys=False)
+def _literal_eq(ctx: CompileContext, v: Any) -> Optional[Column]:
+    """Typed equality of the bound target against a literal; None when
+    the literal can never equal a value of the bound Spark type (dropped
+    from enum disjunctions — same truth value as lit(False))."""
+    pred = typed_literal_eq(ctx.target, ctx.dtype, v)
+    if _is_static_false(pred):
+        return None
+    return pred
 
 
 def c_enum(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:

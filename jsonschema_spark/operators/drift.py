@@ -53,13 +53,13 @@ def drift_statistics(current: DataFrame, baseline: DataFrame) -> dict:
     ks = 0.0
     l1 = 0.0
     chi2 = 0.0
-    cdf_c = cdf_b = 0.0
+    cum_c = cum_b = 0
     for r in rows:
         pc = r["n_cur"] / tot_c
         pb = r["n_base"] / tot_b
-        cdf_c += pc
-        cdf_b += pb
-        ks = max(ks, abs(cdf_c - cdf_b))
+        cum_c += r["n_cur"]
+        cum_b += r["n_base"]
+        ks = max(ks, abs(cum_c / tot_c - cum_b / tot_b))
         l1 += abs(pc - pb)
         expected = pb * tot_c
         if expected > 0:

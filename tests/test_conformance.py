@@ -1,0 +1,30 @@
+"""Official JSON-Schema-Test-Suite guard: the scalar + applicator +
+unevaluated* keyword files must execute with zero failures (skips are
+documented data-model deltas, counted but not failures).
+
+Full-suite numbers live in CONFORMANCE.md (tools/run_conformance.py).
+"""
+
+import pytest
+
+from jsonschema_spark.conformance import run_suite
+
+FILES = [
+    "type.json", "enum.json", "const.json", "minimum.json", "maximum.json",
+    "exclusiveMinimum.json", "exclusiveMaximum.json", "multipleOf.json",
+    "minLength.json", "maxLength.json", "pattern.json", "required.json",
+    "allOf.json", "anyOf.json", "oneOf.json", "not.json",
+    "if-then-else.json", "contains.json", "uniqueItems.json",
+    "prefixItems.json", "items.json", "boolean_schema.json",
+    "unevaluatedItems.json", "unevaluatedProperties.json",
+]
+
+
+@pytest.mark.slow
+def test_suite_keyword_files_zero_failures(spark):
+    rep = run_suite(spark, "draft2020-12", files=FILES)
+    fails = rep.failures()
+    assert not fails, [f"{r.file}/{r.case}/{r.test}: {r.reason}"
+                       for r in fails[:10]]
+    c = rep.counts()
+    assert c["pass"] > 500  # the corpus actually executed
