@@ -19,6 +19,18 @@ from pyspark.sql import functions as F
 MAX_HASH = (1 << 62)
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    input arrives in fewer partitions (e.g. one small parquet file) —
+    explode-heavy signature stages are CPU-bound, so a single input
+    partition serializes them.  At scale inputs carry far more
+    partitions than cores and this is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ------------------------------------------------------------- exact ------
 
 def exact_duplicates(df: DataFrame, cols: Sequence[str],
@@ -93,7 +105,7 @@ def minhash_signatures_df(df: DataFrame, id_col: str, text_col: str,
     aggregates keeps everything codegen'd; map-side partial aggregation
     means the shuffle carries one partial signature per doc per
     partition, never the shingles."""
-    toks = (df.filter(F.col(text_col).isNotNull())
+    toks = (ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
             .select(F.col(id_col).alias("_id"),
                     F.explode(shingles(F.col(text_col), shingle_k))
                     .alias("_sh")))
@@ -186,7 +198,7 @@ def simhash_signatures_df(df: DataFrame, id_col: str, text_col: str,
     n_groups = bits // 4
     tokens = F.array_distinct(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    toks = (df.filter(F.col(text_col).isNotNull())
+    toks = (ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
             .select(F.col(id_col).alias("_id"),
                     F.explode(tokens).alias("_tok")))
     h = F.xxhash64(F.col("_tok"))
@@ -264,32 +276,37 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, min_jaccard: float = 0.6,
                         max_bucket: int = 200) -> DataFrame:
-    """Exact word-n-gram Jaccard over candidate pairs blocked by a shared
-    rare n-gram (inverted-index join).  `max_bucket` drops stop-gram
-    buckets — the classic posting-list skew guard."""
-    grams = (df.filter(F.col(text_col).isNotNull())
+    """Word-n-gram Jaccard via a counting posting-list join: document
+    gram *arrays are never shuffled* — the intersection size is
+    ``count(shared grams)`` from the inverted-index self-join and the
+    union is ``|A| + |B| - inter`` from pre-aggregated set sizes.
+
+    Exact whenever no shared gram's document frequency exceeds
+    `max_bucket`; grams above it (stop-grams) are dropped from pairing —
+    the classic posting-list skew guard (a df-D gram alone generates
+    D^2/2 join rows, which is what kills this join at 100 TB).  A df=1
+    gram can never be shared, so the lower bound loses nothing.
+    """
+    grams = (ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
              .select(F.col(id_col).alias("_id"),
                      word_ngrams(F.col(text_col), n).alias("_grams")))
-    posting = (grams.select("_id", F.explode("_grams").alias("_g")))
-    small = (posting.groupBy("_g")
-             .agg(F.count(F.lit(1)).alias("_df"))
-             .filter(F.col("_df").between(2, max_bucket)))
-    posting = posting.join(F.broadcast(small.select("_g")), "_g")
+    sized = grams.select("_id", F.size("_grams").alias("_n"))
+    posting = grams.select("_id", F.explode("_grams").alias("_g"))
+    shared = (posting.groupBy("_g")
+              .agg(F.count(F.lit(1)).alias("_df"))
+              .filter(F.col("_df").between(2, max_bucket)))
+    posting = posting.join(shared.select("_g"), "_g")
     a, b = posting.alias("a"), posting.alias("b")
-    cand = (a.join(b, (F.col("a._g") == F.col("b._g"))
-                   & (F.col("a._id") < F.col("b._id")))
-            .select(F.col("a._id").alias("id_a"),
-                    F.col("b._id").alias("id_b"))
-            .distinct())
-    ga = grams.select(F.col("_id").alias("id_a"),
-                      F.col("_grams").alias("_ga"))
-    gb = grams.select(F.col("_id").alias("id_b"),
-                      F.col("_grams").alias("_gb"))
-    joined = cand.join(ga, "id_a").join(gb, "id_b")
-    inter = F.size(F.array_intersect("_ga", "_gb"))
-    union = F.size(F.array_union("_ga", "_gb"))
-    jac = inter / union
-    return (joined.select("id_a", "id_b", jac.alias("jaccard"))
+    inter = (a.join(b, (F.col("a._g") == F.col("b._g"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .groupBy(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("_inter")))
+    na = sized.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = sized.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= min_jaccard))
 
 

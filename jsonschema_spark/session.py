@@ -8,7 +8,8 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "jsonschema_spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              max_partition_bytes: int | None = None) -> SparkSession:
     """Local session with the knobs that matter at scale turned on:
     AQE (runtime re-plan + skew-join splitting), Arrow for the pandas-UDF
     tier, ANSI off (validation wants NULL-tolerant expression semantics,
@@ -16,8 +17,14 @@ def get_spark(app: str = "jsonschema_spark", cores: int | None = None,
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     shuffle = shuffle_partitions or cores
+    # scan-split size: smaller splits -> more waves -> less ragged-tail
+    # idle time when task count isn't a multiple of cores (aim for >=4
+    # waves; 128MB default leaves 2 ragged waves on mid-size inputs)
+    mpb = max_partition_bytes or int(
+        os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", 128 << 20))
     return (
         SparkSession.builder
+        .config("spark.sql.files.maxPartitionBytes", str(mpb))
         .master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
