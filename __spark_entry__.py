@@ -383,6 +383,37 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events")))
 
 
+DRAFT4_ORDERS_SPEC = {
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "properties": {"o_totalprice": {"maximum": 200000,
+                                    "exclusiveMaximum": True}},
+    "dependencies": {"o_custkey": ["o_orderdate"]},
+}
+
+
+def q_violations_draft4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy-draft profile dispatch: $schema picks the draft4 compiler
+    (boolean exclusiveMaximum modifier, dependencies keyword)."""
+    from jsonschema_spark import CompiledValidator
+    o = _t(spark, sf_dir, "orders")
+    v = CompiledValidator(DRAFT4_ORDERS_SPEC, o)
+    return (v.violations(o)
+            .groupBy("keyword", "json_path")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_standard_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Official output-format units (keywordLocation/instanceLocation),
+    aggregated."""
+    from jsonschema_spark import CompiledValidator
+    from jsonschema_spark.operators.bestmatch import standard_output
+    o = _t(spark, sf_dir, "orders")
+    v = CompiledValidator(ORDERS_SPEC, o)
+    return (standard_output(v.violations(o))
+            .groupBy("valid", "keywordLocation", "instanceLocation")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def q_images_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star flagship (rows-only): full validation of the synthetic
     image+caption table — row keywords + uniqueness + referential +
@@ -446,6 +477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "embeddings_topk": q_embeddings_topk,
         "events_sessions": q_events_sessions,
+        "violations_draft4": q_violations_draft4,
+        "standard_output": q_standard_output,
     }
 
 
@@ -802,6 +835,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "violations_draft4": """
+            SELECT 'maximum' AS keyword, '$.o_totalprice' AS json_path,
+                   count(*) AS n
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice < 200000)
+            HAVING count(*) > 0
+            UNION ALL
+            SELECT 'dependencies', '$', count(*)
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_orderdate IS NULL
+            HAVING count(*) > 0
+        """,
+        "standard_output": """
+            SELECT FALSE AS valid, '/required' AS keywordLocation,
+                   '' AS instanceLocation, count(*) AS n
+            FROM orders WHERE o_orderkey IS NULL HAVING count(*) > 0
+            UNION ALL
+            SELECT FALSE, '/properties/o_totalprice/maximum',
+                   '/o_totalprice', count(*)
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice <= 300000)
+            HAVING count(*) > 0
+            UNION ALL
+            SELECT FALSE, '/properties/o_orderpriority/pattern',
+                   '/o_orderpriority', count(*)
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+            HAVING count(*) > 0
         """,
         # minhash_pairs / simhash_pairs / ngram_jaccard_pairs /
         # images_validation: non-SQL-expressible (LSH banding, synthetic

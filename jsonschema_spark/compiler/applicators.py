@@ -109,8 +109,10 @@ def _json_pointer(doc: Any, pointer: str) -> Any:
     node = doc
     if pointer in ("", "#"):
         return node
+    from urllib.parse import unquote
     for part in pointer.lstrip("#").lstrip("/").split("/"):
-        part = part.replace("~1", "/").replace("~0", "~")
+        # URI fragment percent-decoding, then JSON-pointer ~-escapes
+        part = unquote(part).replace("~1", "/").replace("~0", "~")
         if isinstance(node, list):
             node = node[int(part)]
         elif isinstance(node, dict):
@@ -131,6 +133,9 @@ def _find_anchor(doc: Any, name: str) -> Optional[dict]:
         node = queue.pop(0)
         if isinstance(node, dict):
             if node.get("$anchor") == name or node.get("$dynamicAnchor") == name:
+                return node
+            # pre-2019 location-independent identifiers: id/$id == "#name"
+            if node.get("$id") == f"#{name}" or node.get("id") == f"#{name}":
                 return node
             queue.extend(node.values())
         elif isinstance(node, list):

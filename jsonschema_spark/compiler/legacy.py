@@ -1,0 +1,202 @@
+"""Legacy-draft keyword compilers + profile registries.
+
+Mirrors /root/reference/jsonschema/_legacy_keywords.py and the per-draft
+validator definitions (validators.py:601-761).  A profile is just a
+KeywordRegistry variant: the same compile loop with draft-specific
+compilers swapped in — exactly how the reference builds Draft4/6/7
+classes from the same ``create()`` factory.
+
+Differences handled:
+
+- ``items`` (draft4-2019): list -> positional subschemas, else
+  all-elements subschema (_legacy_keywords.py:92-135)
+- ``additionalItems``: extras beyond a positional ``items`` list
+  (_legacy_keywords.py:106-121)
+- ``dependencies`` (draft4-7): array -> dependentRequired, else
+  dependentSchemas (_legacy_keywords.py:47-74)
+- draft4 ``minimum``/``maximum`` with boolean ``exclusiveMinimum``/
+  ``exclusiveMaximum`` sibling modifiers (_legacy_keywords.py:138-167)
+- draft4 ``type: integer`` excludes integer-valued floats
+  (_types.py:194, draft6+ relaxation at _types.py:195-201)
+- pre-2019 ``$ref`` ignores sibling keywords
+  (_legacy_keywords.py:9-21, wired at validators.py:632-760)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import functions as F
+
+from .context import CompileContext
+from .node import Node
+from .registry import (KeywordRegistry, SchemaCompileError, compile_subschema,
+                       make_check, stringify)
+from . import applicators, keywords
+
+
+def c_items_legacy(ctx: CompileContext, value: Any,
+                   schema: dict) -> Optional[Node]:
+    """draft4-2019 `items` (_legacy_keywords.py:92-135)."""
+    if applicators._row_scope(ctx) or not ctx.is_array():
+        return None
+    if isinstance(value, list):
+        # positional — identical to 2020-12 prefixItems
+        return applicators.c_prefix_items(ctx, value, schema)
+    out = Node()
+    ok = F.forall(ctx.target,
+                  lambda x: applicators._element_ok(
+                      ctx, value, x, ctx.dtype.elementType, "items"))
+    n = make_check(ctx, "items", ok,
+                   F.format_string("%s has items failing the subschema",
+                                   stringify(ctx)))
+    out.checks.extend(n.checks)
+    return out
+
+
+def c_additional_items(ctx: CompileContext, value: Any,
+                       schema: dict) -> Optional[Node]:
+    """`additionalItems` (_legacy_keywords.py:106-121): applies only when
+    the sibling `items` is positional."""
+    if applicators._row_scope(ctx) or not ctx.is_array():
+        return None
+    items = schema.get("items")
+    if not isinstance(items, list):
+        return None  # items-as-schema evaluates everything
+    prefix = len(items)
+    c = ctx.target
+    if value is False:
+        return make_check(
+            ctx, "additionalItems", F.size(c) <= prefix,
+            F.lit(f"Additional items are not allowed (beyond index "
+                  f"{prefix})"))
+    if value is True or value == {}:
+        return None
+    rest = F.slice(c, prefix + 1, F.greatest(F.size(c) - prefix, F.lit(0)))
+    ok = F.forall(rest, lambda x: applicators._element_ok(
+        ctx, value, x, ctx.dtype.elementType, "additionalItems"))
+    return make_check(ctx, "additionalItems", ok,
+                      F.lit("an additional item fails its subschema"))
+
+
+def c_dependencies(ctx: CompileContext, value: Any,
+                   schema: dict) -> Optional[Node]:
+    """draft4-7 `dependencies` (_legacy_keywords.py:47-74)."""
+    if not isinstance(value, dict):
+        raise SchemaCompileError("dependencies must be an object")
+    out = Node()
+    req: dict[str, list] = {}
+    schemas: dict[str, Any] = {}
+    for prop, dep in value.items():
+        if isinstance(dep, list):
+            req[prop] = dep
+        else:
+            schemas[prop] = dep
+    if req:
+        n = keywords.c_dependent_required(ctx, req, schema)
+        if n is not None:
+            for chk in n.checks:
+                chk.keyword = "dependencies"
+            out.checks.extend(n.checks)
+            out._extra_ok.extend(n._extra_ok)
+    if schemas:
+        n = applicators.c_dependent_schemas(ctx, schemas, schema)
+        if n is not None:
+            out.checks.extend(n.checks)
+            out._extra_ok.extend(n._extra_ok)
+    return out
+
+
+def c_minimum_draft4(ctx: CompileContext, value: Any,
+                     schema: dict) -> Optional[Node]:
+    """draft4 `minimum` with boolean `exclusiveMinimum` sibling
+    (_legacy_keywords.py:138-151)."""
+    if schema.get("exclusiveMinimum") is True:
+        return keywords._numeric_kw(ctx, "minimum", value,
+                                    lambda c, v: c > v)
+    return keywords.c_minimum(ctx, value, schema)
+
+
+def c_maximum_draft4(ctx: CompileContext, value: Any,
+                     schema: dict) -> Optional[Node]:
+    """draft4 `maximum` with boolean `exclusiveMaximum` sibling
+    (_legacy_keywords.py:154-167)."""
+    if schema.get("exclusiveMaximum") is True:
+        return keywords._numeric_kw(ctx, "maximum", value,
+                                    lambda c, v: c < v)
+    return keywords.c_maximum(ctx, value, schema)
+
+
+def c_type_draft4(ctx: CompileContext, value: Any,
+                  schema: dict) -> Optional[Node]:
+    """draft4 `type`: integer excludes integer-valued floats
+    (_types.py:194)."""
+    types = value if isinstance(value, list) else [value]
+    if "integer" in types and not ctx.is_integral() and ctx.is_numeric() \
+            and ctx.target is not None:
+        # float column can never be a draft4 integer
+        rest = [t for t in types if t != "integer"]
+        if not rest:
+            return make_check(
+                ctx, "type", F.lit(False),
+                F.format_string("%s is not of type 'integer'",
+                                stringify(ctx)))
+        return keywords.c_type(ctx, rest, schema)
+    return keywords.c_type(ctx, value, schema)
+
+
+_IGNORE = lambda ctx, value, schema: None  # noqa: E731
+
+
+def draft7_registry() -> KeywordRegistry:
+    """Draft 6/7 profile: legacy items/additionalItems/dependencies,
+    $ref ignores siblings, no 2020-12 keywords."""
+    reg = KeywordRegistry()
+    keywords.register_all(reg)
+    applicators.register_all(reg)
+    reg = reg.extend({
+        "items": c_items_legacy,
+        "additionalItems": c_additional_items,
+        "dependencies": c_dependencies,
+    })
+    reg.ref_ignores_siblings = True
+    return reg
+
+
+def draft6_registry() -> KeywordRegistry:
+    return draft7_registry()
+
+
+def draft4_registry() -> KeywordRegistry:
+    """Draft 4 profile: boolean exclusive bounds, strict integer type."""
+    reg = draft7_registry()
+    reg = reg.extend({
+        "minimum": c_minimum_draft4,
+        "maximum": c_maximum_draft4,
+        "exclusiveMinimum": _IGNORE,   # boolean modifier, read by minimum
+        "exclusiveMaximum": _IGNORE,
+        "type": c_type_draft4,
+    })
+    reg.ref_ignores_siblings = True
+    return reg
+
+
+#: $schema URI -> registry factory — the engine's validator_for
+#: (validators.py:1335-1410)
+PROFILES = {
+    "https://json-schema.org/draft/2020-12/schema": None,   # default
+    "https://json-schema.org/draft/2019-09/schema": None,   # same compilers
+    "http://json-schema.org/draft-07/schema#": draft7_registry,
+    "http://json-schema.org/draft-06/schema#": draft6_registry,
+    "http://json-schema.org/draft-04/schema#": draft4_registry,
+}
+
+
+def registry_for(schema: Any) -> Optional[KeywordRegistry]:
+    """Pick the profile registry from `$schema` (None = default)."""
+    if isinstance(schema, dict):
+        uri = schema.get("$schema")
+        factory = PROFILES.get(uri)
+        if factory is not None:
+            return factory()
+    return None

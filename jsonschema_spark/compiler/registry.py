@@ -43,6 +43,9 @@ class KeywordRegistry:
     """Mutable keyword->compiler mapping; ``extend()`` mirrors the
     reference's validator-extension API (validators.py:516-598)."""
 
+    #: pre-2019 drafts drop sibling keywords next to $ref
+    ref_ignores_siblings: bool = False
+
     def __init__(self, compilers: Optional[dict[str, CompilerFn]] = None):
         self._compilers: dict[str, CompilerFn] = dict(compilers or {})
 
@@ -109,8 +112,12 @@ def compile_subschema(ctx: CompileContext, schema: Any) -> Node:
             f"schema at {ctx.schema_path or '<root>'} must be a dict or bool, "
             f"got {type(schema).__name__}")
 
-    # pre-2019 drafts ignore $ref siblings (_legacy_keywords.py:9-21);
-    # 2020-12 evaluates them alongside — we follow 2020-12.
+    # pre-2019 drafts ignore $ref siblings (_legacy_keywords.py:9-21,
+    # applicable_validators wiring at validators.py:632-760); 2020-12
+    # evaluates them alongside.  Profile registries set the flag.
+    if "$ref" in schema and getattr(ctx.registry, "ref_ignores_siblings",
+                                    False):
+        schema = {"$ref": schema["$ref"]}
     out = Node()
     for keyword, value in schema.items():
         if keyword in ANNOTATION_KEYWORDS:

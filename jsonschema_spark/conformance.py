@@ -41,6 +41,17 @@ from .compiler.registry import (SchemaCompileError, compile_subschema,
 
 SUITE_DIR = "/root/reference/json/tests"
 
+
+def _registry_for_draft(draft: str):
+    from .compiler.legacy import (draft4_registry, draft6_registry,
+                                  draft7_registry)
+    return {
+        "draft7": draft7_registry,
+        "draft6": draft6_registry,
+        "draft4": draft4_registry,
+    }.get(draft, default_registry)()
+
+
 #: suite files skipped wholesale, with the documented reason
 FILE_SKIPS = {
     "format.json": "engine asserts format; suite tests annotation-only",
@@ -168,7 +179,8 @@ def _schema_uses_remote_ref(schema: Any) -> bool:
 
 
 def evaluate_case(spark: SparkSession, schema: Any,
-                  instances: list[Any]) -> list[Optional[bool]]:
+                  instances: list[Any],
+                  registry: Any = None) -> list[Optional[bool]]:
     """Engine verdicts for `instances` under `schema`.
 
     Groups instances by identical inferred Spark schema so one compile +
@@ -195,7 +207,8 @@ def evaluate_case(spark: SparkSession, schema: Any,
                 for v, i in zip(insts, range(len(insts)))]
         df = spark.createDataFrame(rows, sschema)
         ctx = CompileContext(
-            registry=default_registry(), target=F.col("value"), dtype=dtype,
+            registry=registry or default_registry(),
+            target=F.col("value"), dtype=dtype,
             root_schema=schema if isinstance(schema, dict) else None,
             null_is_absent=False)
         node = compile_subschema(ctx, schema)
@@ -214,6 +227,7 @@ def run_suite(spark: SparkSession, draft: str = "draft2020-12",
     base = os.path.join(SUITE_DIR, draft)
     names = sorted(files or
                    [f for f in os.listdir(base) if f.endswith(".json")])
+    registry = _registry_for_draft(draft)
     report = SuiteReport()
     for name in names:
         if name in FILE_SKIPS and files is None:
@@ -239,7 +253,7 @@ def run_suite(spark: SparkSession, draft: str = "draft2020-12",
                 continue
             insts = [t["data"] for t in tests]
             try:
-                verdicts = evaluate_case(spark, schema, insts)
+                verdicts = evaluate_case(spark, schema, insts, registry)
             except (SchemaCompileError, RecursionError, Exception) as e:
                 for t in tests:
                     report.results.append(CaseResult(

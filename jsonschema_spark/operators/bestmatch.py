@@ -51,3 +51,27 @@ def error_counts_by_keyword(violations: DataFrame) -> DataFrame:
     return (violations.groupBy("keyword", "json_path")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("keyword", "json_path"))
+
+
+def standard_output(violations: DataFrame) -> DataFrame:
+    """The official JSON-Schema "basic" output-format unit shape
+    (/root/reference/json/output-tests/draft2020-12/output-schema.json):
+    one row per output unit with ``valid``, ``keywordLocation`` (a JSON
+    pointer through the schema incl. applicators), ``instanceLocation``,
+    and ``error``.  Our schema_path is slash-joined from the root, so the
+    pointer is '/' + schema_path; json_path renders to a pointer by
+    mapping `$`->'' , `.k`->'/k', `[i]`->'/i'."""
+    kw_loc = F.concat(F.lit("/"), F.col("schema_path"))
+    inst = F.col("json_path")
+    inst_ptr = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(inst, r"^\$", ""),
+            r"\['([^']*)'\]", "/$1"),
+        r"\[(\d+)\]", "/$1")
+    inst_ptr = F.regexp_replace(inst_ptr, r"\.", "/")
+    return violations.select(
+        F.lit(False).alias("valid"),
+        kw_loc.alias("keywordLocation"),
+        inst_ptr.alias("instanceLocation"),
+        F.col("message").alias("error"),
+    )

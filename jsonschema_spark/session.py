@@ -30,6 +30,12 @@ def get_spark(app: str = "jsonschema_spark", cores: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # validation stages are CPU-heavy per byte: AQE's 64MB byte-packing
+        # target under-parallelizes reduce stages (measured 2x slowdown on
+        # the 32M-row uniqueness shuffle); 16MB keeps cores busy while
+        # still coalescing genuinely tiny stages
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", "16m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

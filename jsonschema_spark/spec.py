@@ -54,6 +54,10 @@ def check_schema(schema: Any, path: str = "#") -> None:
             raise bad("enum", "must be a non-empty array")
     for kw in _NUMBER_KW:
         if kw in schema and not _is_number(schema[kw]):
+            # draft4 spells exclusiveMinimum/Maximum as boolean modifiers
+            # of minimum/maximum (_legacy_keywords.py:138-167)
+            if kw.startswith("exclusive") and isinstance(schema[kw], bool):
+                continue
             raise bad(kw, "must be a number")
     if "multipleOf" in schema:
         v = schema["multipleOf"]
@@ -92,9 +96,28 @@ def check_schema(schema: Any, path: str = "#") -> None:
         if kw in schema and not isinstance(schema[kw], str):
             raise bad(kw, "must be a string")
 
+    if "dependencies" in schema:
+        v = schema["dependencies"]
+        if not isinstance(v, dict):
+            raise bad("dependencies", "must be an object")
+        for name, dep in v.items():
+            if isinstance(dep, list):
+                if not all(isinstance(d, str) for d in dep):
+                    raise bad("dependencies",
+                              f"{name!r}: array form must hold strings")
+            else:
+                check_schema(dep, f"{path}/dependencies/{name}")
     for kw in _SCHEMA_KW:
         if kw in schema:
-            check_schema(schema[kw], f"{path}/{kw}")
+            v = schema[kw]
+            if kw == "items" and isinstance(v, list):
+                # draft4-2019 positional form (_legacy_keywords.py:92-103)
+                for i, sub in enumerate(v):
+                    check_schema(sub, f"{path}/items/{i}")
+                continue
+            check_schema(v, f"{path}/{kw}")
+    if "additionalItems" in schema:
+        check_schema(schema["additionalItems"], f"{path}/additionalItems")
     for kw in _SCHEMA_LIST_KW:
         if kw in schema:
             v = schema[kw]

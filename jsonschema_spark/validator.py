@@ -37,6 +37,11 @@ class CompiledValidator:
                  registry: Optional[KeywordRegistry] = None):
         check_schema(schema)
         self.schema = schema
+        if registry is None:
+            # validator_for: $schema picks the draft profile
+            # (validators.py:1335-1410); default = 2020-12
+            from .compiler.legacy import registry_for
+            registry = registry_for(schema)
         self.registry = registry or default_registry()
         ctx = CompileContext(
             registry=self.registry, target=None, dtype=None,
