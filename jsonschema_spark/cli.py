@@ -1,0 +1,97 @@
+"""CLI — the engine's ``python -m jsonschema`` analogue.
+
+Reference: /root/reference/jsonschema/cli.py:208-292 (parse_args, run,
+formatter output, exit codes).  Ours validates a *table* instead of JSON
+instance files: read parquet (or a directory of it), compile the spec,
+write/print violations + the per-partition manifest, exit 1 iff any row
+failed — so `spark-submit --py-files jsonschema_spark.zip -m` works as a
+batch validation job.
+
+Usage::
+
+    python -m jsonschema_spark SPEC.json TABLE.parquet \
+        [--id-cols image_id] [--partition-by fmt] [--out DIR] \
+        [--sample N] [--format plain|json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional, Sequence
+
+
+def parse_args(argv: Sequence[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="jsonschema_spark",
+        description="Validate a parquet table against a JSON-Schema "
+                    "constraint spec (vectorized, Spark-native).")
+    p.add_argument("spec", help="path to the constraint-spec JSON file")
+    p.add_argument("table", help="path to the parquet table")
+    p.add_argument("--id-cols", default="",
+                   help="comma-separated id columns carried onto "
+                        "violation rows")
+    p.add_argument("--partition-by", default="",
+                   help="comma-separated manifest partition columns "
+                        "(default: spark partition id)")
+    p.add_argument("--out", default=None,
+                   help="directory to write violations/ + manifest/ "
+                        "parquet (default: print instead)")
+    p.add_argument("--sample", type=int, default=20,
+                   help="violations to print when --out is not given")
+    p.add_argument("--format", choices=("plain", "json"), default="plain",
+                   help="print format for sampled violations")
+    p.add_argument("--cores", type=int, default=None)
+    return p.parse_args(list(argv))
+
+
+def run(args: argparse.Namespace, spark=None) -> int:
+    from .session import get_spark
+    from .validator import CompiledValidator
+
+    with open(args.spec) as fh:
+        spec = json.load(fh)
+    own_session = spark is None
+    if own_session:
+        spark = get_spark("jsonschema-spark-cli", cores=args.cores)
+        spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = spark.read.parquet(args.table)
+        v = CompiledValidator(spec, df)  # raises SchemaCompileError early
+        for w in v.warnings:
+            print(f"warning: {w}", file=sys.stderr)
+        id_cols = [c for c in args.id_cols.split(",") if c]
+        part_by = [c for c in args.partition_by.split(",") if c] or None
+        manifest = v.manifest(df, part_by)
+        if args.out:
+            (v.violations(df, id_cols).write.mode("overwrite")
+             .parquet(f"{args.out}/violations"))
+            manifest.write.mode("overwrite").parquet(f"{args.out}/manifest")
+        rows = manifest.collect()
+        total = sum(r["rows"] for r in rows)
+        invalid = sum(r["invalid_rows"] for r in rows)
+        if not args.out:
+            sample = v.violations(df, id_cols).limit(args.sample).collect()
+            for r in sample:
+                d = r.asDict()
+                if args.format == "json":
+                    print(json.dumps(d, default=str))
+                else:
+                    ids = " ".join(f"{c}={d[c]}" for c in id_cols)
+                    print(f"{d['json_path']}: {d['message']} "
+                          f"[{d['keyword']}] {ids}".rstrip())
+        print(f"{total - invalid}/{total} rows valid "
+              f"({invalid} invalid)", file=sys.stderr)
+        return 0 if invalid == 0 else 1
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    return run(parse_args(argv if argv is not None else sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -633,9 +633,17 @@ def _evaluated_item_cond(ctx: CompileContext, schema: Any, x: Column,
     (_utils.py:240-313)."""
     if not isinstance(schema, dict) or depth > 12:
         return False
-    if "items" in schema:
+    if "items" in schema and not isinstance(schema["items"], list):
         return True  # _utils.py:251-252: items evaluates every index
     conds: list[Any] = []
+    if isinstance(schema.get("items"), list):
+        # 2019-09 positional form evaluates the prefix only
+        # (_legacy_keywords.py:255-256); additionalItems covers the rest
+        conds.append(i < F.lit(len(schema["items"])))
+        if "additionalItems" in schema:
+            conds.append(_member_ok(ctx, schema["additionalItems"], x,
+                                    ctx.dtype.elementType,
+                                    "additionalItems"))
     for kw in ("$ref", "$dynamicRef"):
         if kw in schema and isinstance(schema[kw], str):
             try:

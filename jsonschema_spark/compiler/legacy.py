@@ -167,6 +167,19 @@ def draft6_registry() -> KeywordRegistry:
     return draft7_registry()
 
 
+def draft2019_registry() -> KeywordRegistry:
+    """Draft 2019-09: legacy items/additionalItems (positional form),
+    modern dependent*/$recursiveRef, $ref siblings evaluated
+    (validators.py:763-810)."""
+    reg = KeywordRegistry()
+    keywords.register_all(reg)
+    applicators.register_all(reg)
+    return reg.extend({
+        "items": c_items_legacy,
+        "additionalItems": c_additional_items,
+    })
+
+
 def draft4_registry() -> KeywordRegistry:
     """Draft 4 profile: boolean exclusive bounds, strict integer type."""
     reg = draft7_registry()
@@ -185,7 +198,7 @@ def draft4_registry() -> KeywordRegistry:
 #: (validators.py:1335-1410)
 PROFILES = {
     "https://json-schema.org/draft/2020-12/schema": None,   # default
-    "https://json-schema.org/draft/2019-09/schema": None,   # same compilers
+    "https://json-schema.org/draft/2019-09/schema": draft2019_registry,
     "http://json-schema.org/draft-07/schema#": draft7_registry,
     "http://json-schema.org/draft-06/schema#": draft6_registry,
     "http://json-schema.org/draft-04/schema#": draft4_registry,

@@ -43,12 +43,13 @@ SUITE_DIR = "/root/reference/json/tests"
 
 
 def _registry_for_draft(draft: str):
-    from .compiler.legacy import (draft4_registry, draft6_registry,
-                                  draft7_registry)
+    from .compiler.legacy import (draft2019_registry, draft4_registry,
+                                  draft6_registry, draft7_registry)
     return {
         "draft7": draft7_registry,
         "draft6": draft6_registry,
         "draft4": draft4_registry,
+        "draft2019-09": draft2019_registry,
     }.get(draft, default_registry)()
 
 

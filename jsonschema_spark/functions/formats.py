@@ -131,6 +131,50 @@ def _uri_reference(c: Column) -> Column:
     return ~c.rlike(r"[\s\\]")
 
 
+_CSS21_COLORS = ("aqua black blue fuchsia gray green lime maroon navy "
+                 "olive orange purple red silver teal white yellow").split()
+
+
+def _color(c: Column) -> Column:
+    # CSS2.1 names + #hex (webcolors semantics, _format.py:443-453)
+    return c.isin(*_CSS21_COLORS) | c.rlike(r"^#[0-9a-fA-F]{3}$") \
+        | c.rlike(r"^#[0-9a-fA-F]{6}$")
+
+
+_URI_TEMPLATE = (r"^([^\x00-\x20\x7f\"'%<>\\^`{|}]|%[0-9A-Fa-f]{2}|"
+                 r"\{[+#./;?&=,!@|]?((\w|%[0-9A-Fa-f]{2})(\.?(\w|"
+                 r"%[0-9A-Fa-f]{2}))*(:[1-9][0-9]{0,3}|\*)?)(,((\w|"
+                 r"%[0-9A-Fa-f]{2})(\.?(\w|%[0-9A-Fa-f]{2}))*"
+                 r"(:[1-9][0-9]{0,3}|\*)?))*\})*$")
+
+
+def _iri(c: Column) -> Column:
+    # scheme-required absolute IRI: URI grammar + non-ASCII allowed
+    return c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:") & ~c.rlike(r"[\s\\]")
+
+
+def _idn_hostname(c: Column) -> Column:
+    # stdlib idna codec via Arrow batch (reference wraps the idna lib,
+    # _format.py:287-301)
+    @F.pandas_udf("boolean")
+    def _check(s: pd.Series) -> pd.Series:
+        def ok(v):
+            if v is None or not v:
+                return False
+            try:
+                v.encode("idna")
+                return True
+            except UnicodeError:
+                return False
+        return s.map(ok).astype("boolean")
+    return _check(c)
+
+
+register_format("color", _color)
+register_format("uri-template", lambda c: c.rlike(_URI_TEMPLATE))
+register_format("iri", _iri)
+register_format("iri-reference", _uri_reference)
+register_format("idn-hostname", _idn_hostname)
 register_format("email", _email)
 register_format("idn-email", _email)
 register_format("ipv4", lambda c: c.rlike(_IPV4))

@@ -10,7 +10,7 @@ statistic comparison runs on the tiny aggregated frames.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -66,6 +66,60 @@ def drift_statistics(current: DataFrame, baseline: DataFrame) -> dict:
             chi2 += (r["n_cur"] - expected) ** 2 / expected
     return {"ks": ks, "l1": l1 / 2.0, "chi2": chi2,
             "n_current": tot_c, "n_baseline": tot_b}
+
+
+def save_baseline(df: DataFrame, path: str,
+                  numeric: dict[str, tuple[float, float, int]] = {},
+                  categorical: Sequence[str] = ()) -> None:
+    """Persist a baseline-stats snapshot: one histogram per profiled
+    column, tagged, under `path` (the parquet stand-in for an Iceberg
+    snapshot table keyed by snapshot id).  `numeric` maps column ->
+    (lo, hi, bins)."""
+    parts = []
+    for col, (lo, hi, bins) in numeric.items():
+        parts.append(histogram(df, col, lo, hi, bins)
+                     .withColumn("column", F.lit(col))
+                     .withColumn("bucket", F.col("bucket").cast("string")))
+    for col in categorical:
+        parts.append(categorical_histogram(df, col)
+                     .withColumn("column", F.lit(col))
+                     .withColumn("bucket", F.col("bucket").cast("string")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(path)
+
+
+def load_baseline(spark, path: str, col: str) -> DataFrame:
+    """One column's histogram back out of a saved snapshot."""
+    return (spark.read.parquet(path)
+            .filter(F.col("column") == col)
+            .select("bucket", "n"))
+
+
+def check_against_baseline(df: DataFrame, baseline_path: str,
+                           numeric: dict[str, tuple[float, float, int]] = {},
+                           categorical: Sequence[str] = (),
+                           max_ks: float = 0.1,
+                           max_l1: Optional[float] = None) -> DataFrame:
+    """Drift violations of `df` vs a saved snapshot, per profiled
+    column — the north-star 'distribution-drift vs baseline snapshot'
+    check end-to-end."""
+    spark = df.sparkSession
+    out = None
+    for col, (lo, hi, bins) in numeric.items():
+        cur = (histogram(df, col, lo, hi, bins)
+               .withColumn("bucket", F.col("bucket").cast("string")))
+        v = drift_violations(cur, load_baseline(spark, baseline_path, col),
+                             col, max_ks, max_l1)
+        out = v if out is None else out.unionByName(v)
+    for col in categorical:
+        cur = (categorical_histogram(df, col)
+               .withColumn("bucket", F.col("bucket").cast("string")))
+        v = drift_violations(cur, load_baseline(spark, baseline_path, col),
+                             col, max_ks, max_l1)
+        out = v if out is None else out.unionByName(v)
+    return out
 
 
 def drift_violations(current: DataFrame, baseline: DataFrame, col: str,

@@ -1,0 +1,37 @@
+"""CLI entry point (reference cli.py analogue): exit codes, outputs."""
+
+import json
+import os
+
+from jsonschema_spark.cli import parse_args, run
+
+
+def _spec_file(tmp_path, spec):
+    p = tmp_path / "spec.json"
+    p.write_text(json.dumps(spec))
+    return str(p)
+
+
+def test_cli_exit_code_and_outputs(spark, tmp_path):
+    spec = _spec_file(tmp_path, {
+        "required": ["o_orderkey"],
+        "properties": {"o_totalprice": {"maximum": 100000}},
+    })
+    out = str(tmp_path / "out")
+    args = parse_args([spec, "/root/testdata/sf0.001/orders.parquet",
+                       "--id-cols", "o_orderkey",
+                       "--partition-by", "o_orderstatus",
+                       "--out", out])
+    rc = run(args, spark=spark)
+    assert rc == 1  # planted violations -> nonzero exit (cli.py:285-292)
+    viols = spark.read.parquet(os.path.join(out, "violations"))
+    man = spark.read.parquet(os.path.join(out, "manifest"))
+    assert viols.count() > 0
+    assert {"o_orderkey", "keyword", "json_path"} <= set(viols.columns)
+    assert man.count() == 3  # one row per o_orderstatus
+
+
+def test_cli_all_valid_exits_zero(spark, tmp_path):
+    spec = _spec_file(tmp_path, {"required": ["o_orderkey"]})
+    args = parse_args([spec, "/root/testdata/sf0.001/orders.parquet"])
+    assert run(args, spark=spark) == 0

@@ -28,3 +28,24 @@ def test_suite_keyword_files_zero_failures(spark):
                        for r in fails[:10]]
     c = rep.counts()
     assert c["pass"] > 500  # the corpus actually executed
+
+
+@pytest.mark.slow
+def test_draft7_legacy_keywords_zero_failures(spark):
+    rep = run_suite(spark, "draft7", files=[
+        "items.json", "additionalItems.json", "dependencies.json",
+        "ref.json", "type.json", "exclusiveMinimum.json",
+        "exclusiveMaximum.json"])
+    fails = rep.failures()
+    assert not fails, [f"{r.file}/{r.case}/{r.test}: {r.reason}"
+                       for r in fails[:10]]
+    assert rep.counts()["pass"] > 100
+
+
+@pytest.mark.slow
+def test_draft4_boolean_exclusive_zero_failures(spark):
+    rep = run_suite(spark, "draft4", files=[
+        "minimum.json", "maximum.json", "type.json",
+        "dependencies.json"])
+    assert not rep.failures()
+    assert rep.counts()["pass"] > 40
