@@ -415,28 +415,18 @@ def q_standard_output(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_images_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star flagship (rows-only): full validation of the synthetic
-    image+caption table — row keywords + uniqueness + referential +
-    pixel-invariant, one violations summary."""
-    from jsonschema_spark import CompiledValidator
-    from jsonschema_spark.operators.multimodal import psnr_check
-    from jsonschema_spark.operators.referential import referential_violations
-    from jsonschema_spark.operators.uniqueness import uniqueness_violations
+    """North-star flagship (rows-only): the x-spark extension block
+    executed end-to-end — row keywords + uniqueness + referential +
+    pixel-invariant, one unified violations summary."""
+    from jsonschema_spark import validate_dataset
     from jsonschema_spark.sources.images import (IMAGES_SCHEMA, images_df,
                                                  licenses_df)
     img = images_df(spark, 20_000, with_license=True).cache()
-    spec = {k: v for k, v in IMAGES_SCHEMA.items() if k != "x-spark"}
-    v = CompiledValidator(spec, img)
-    row_viols = v.violations(img, ["image_id"])
-    uniq = uniqueness_violations(img, "image_id", ["image_id"]).unionByName(
-        uniqueness_violations(img, "phash", ["image_id"]))
-    ref = referential_violations(img, "license_id", licenses_df(spark),
-                                 "license_id", ["image_id"])
-    pix = psnr_check(img)
-    cols = ["image_id", "keyword", "json_path", "schema_path", "message",
-            "failing_value"]
-    allv = (row_viols.select(cols).unionByName(uniq.select(cols))
-            .unionByName(ref.select(cols)).unionByName(pix.select(cols)))
+    spec = dict(IMAGES_SCHEMA)
+    spec["x-spark"] = dict(spec["x-spark"])
+    spec["x-spark"]["pixel_invariant"] = {"min_psnr": 40.0}
+    allv = validate_dataset(img, spec, ["image_id"],
+                            tables={"licenses": licenses_df(spark)})
     return (allv.groupBy("keyword")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("keyword"))

@@ -12,6 +12,7 @@ shuffles, and joins.
 
 from .compiler.registry import (KeywordRegistry, SchemaCompileError,
                                 default_registry)
+from .dataset import validate_dataset
 from .functions.formats import register_format
 from .spec import check_schema
 from .validator import CompiledValidator, is_valid, validate
@@ -25,6 +26,7 @@ __all__ = [
     "is_valid",
     "register_format",
     "validate",
+    "validate_dataset",
 ]
 
 __version__ = "0.1.0"

@@ -210,7 +210,19 @@ def c_properties(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node
         for name, sub in value.items():
             fld = fields.get(name)
             if fld is None:
-                continue  # absent property -> subschema never applies
+                # statically-absent property: value checks pass vacuously,
+                # but presence assertions (draft3 `required: true` inside
+                # the subschema, _legacy_keywords.py:170-192) must still
+                # fail — bind to a NULL literal so only skip_null_guard
+                # checks survive
+                child_ctx = ctx.child(
+                    target=F.lit(None), dtype=T.NullType(),
+                    path_fragment=name,
+                    schema_fragment=f"properties/{name}", row_fields=None)
+                child = compile_subschema(child_ctx, sub)
+                out.checks.extend(c for c in child.checks
+                                  if c.skip_null_guard)
+                continue
             child_ctx = _bind_member(ctx, fld, f"properties/{name}")
             child = compile_subschema(child_ctx, sub)
             out.checks.extend(child.checks)

@@ -148,6 +148,117 @@ def c_type_draft4(ctx: CompileContext, value: Any,
 _IGNORE = lambda ctx, value, schema: None  # noqa: E731
 
 
+# ------------------------------------------------------------- draft3 -----
+
+def _type_or_schema_pred(ctx: CompileContext, t: Any):
+    """draft3 type union member: a type name or a whole schema
+    (_legacy_keywords.py:195-217).  Returns (pred_or_None, static_bool)."""
+    from .keywords import _type_pred_for
+    if isinstance(t, str):
+        return _type_pred_for(ctx, t)
+    node = compile_subschema(ctx.child(schema_fragment="type"), t)
+    cols = [c.pred for c in node.checks] + list(node._extra_ok)
+    if not cols:
+        return None  # True schema: statically satisfied
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def c_type_draft3(ctx: CompileContext, value: Any,
+                  schema: dict) -> Optional[Node]:
+    """draft3 `type`: names and/or schemas (_legacy_keywords.py:195-217)."""
+    types = value if isinstance(value, list) else [value]
+    if ctx.target is None:
+        return None  # row scope is always an object
+    preds = [_type_or_schema_pred(ctx, t) for t in types]
+    if any(p is None for p in preds):
+        return None  # statically satisfied member
+    pred = preds[0]
+    for p in preds[1:]:
+        pred = pred | p
+    return make_check(ctx, "type", pred,
+                      F.format_string("%s is not of the permitted types",
+                                      stringify(ctx)))
+
+
+def c_disallow(ctx: CompileContext, value: Any,
+               schema: dict) -> Optional[Node]:
+    """draft3 `disallow`: negated type union (_legacy_keywords.py:77-81)."""
+    types = value if isinstance(value, list) else [value]
+    if ctx.target is None:
+        bad = "object" in types or "any" in types
+        if bad:
+            return make_check(ctx, "disallow", F.lit(False),
+                              F.lit("row matches a disallowed type"))
+        return None
+    preds = [_type_or_schema_pred(ctx, t) for t in types]
+    if any(p is None for p in preds):   # statically matched -> always fails
+        return make_check(ctx, "disallow",
+                          ctx.target.isNull() if ctx.null_is_absent
+                          else F.lit(False),
+                          F.lit("value matches a disallowed type"))
+    pred = preds[0]
+    for p in preds[1:]:
+        pred = pred | p
+    return make_check(ctx, "disallow", ~pred,
+                      F.format_string("%s matches a disallowed type",
+                                      stringify(ctx)))
+
+
+def c_extends(ctx: CompileContext, value: Any,
+              schema: dict) -> Optional[Node]:
+    """draft3 `extends`: proto-allOf (_legacy_keywords.py:84-89)."""
+    subs = value if isinstance(value, list) else [value]
+    return applicators.c_all_of(ctx, subs, schema)
+
+
+def c_required_draft3(ctx: CompileContext, value: Any,
+                      schema: dict) -> Optional[Node]:
+    """draft3 `required: true` inside a property subschema
+    (_legacy_keywords.py:170-192 wires it via properties)."""
+    if value is not True or ctx.target is None:
+        return None
+    n = make_check(ctx, "required", ctx.target.isNotNull(),
+                   F.lit("property is required"))
+    n.checks[0].skip_null_guard = True
+    n.checks[0].failing_value = F.lit(None).cast("string")
+    return n
+
+
+def c_dependencies_draft3(ctx: CompileContext, value: Any,
+                          schema: dict) -> Optional[Node]:
+    """draft3 `dependencies`: string | [string] | schema forms
+    (_legacy_keywords.py:24-44)."""
+    norm: dict[str, Any] = {}
+    for prop, dep in value.items():
+        norm[prop] = [dep] if isinstance(dep, str) else dep
+    return c_dependencies(ctx, norm, schema)
+
+
+def draft3_registry() -> KeywordRegistry:
+    reg = KeywordRegistry()
+    keywords.register_all(reg)
+    applicators.register_all(reg)
+    reg = reg.extend({
+        "items": c_items_legacy,
+        "additionalItems": c_additional_items,
+        "dependencies": c_dependencies_draft3,
+        "type": c_type_draft3,
+        "disallow": c_disallow,
+        "extends": c_extends,
+        "required": c_required_draft3,
+        "divisibleBy": keywords.c_multiple_of,
+        "minimum": c_minimum_draft4,
+        "maximum": c_maximum_draft4,
+        "exclusiveMinimum": _IGNORE,
+        "exclusiveMaximum": _IGNORE,
+    })
+    reg.ref_ignores_siblings = True
+    return reg
+
+
 def draft7_registry() -> KeywordRegistry:
     """Draft 6/7 profile: legacy items/additionalItems/dependencies,
     $ref ignores siblings, no 2020-12 keywords."""
@@ -202,6 +313,7 @@ PROFILES = {
     "http://json-schema.org/draft-07/schema#": draft7_registry,
     "http://json-schema.org/draft-06/schema#": draft6_registry,
     "http://json-schema.org/draft-04/schema#": draft4_registry,
+    "http://json-schema.org/draft-03/schema#": draft3_registry,
 }
 
 

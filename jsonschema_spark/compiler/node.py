@@ -35,6 +35,9 @@ class Check:
     pred: Column
     message: Column       # string Column with a reference-style message
     failing_value: Column # stringified offending value
+    #: presence assertions (draft3 `required: true` inside a property
+    #: subschema) must NOT be vacuously satisfied by a NULL binding
+    skip_null_guard: bool = False
 
 
 @dataclass

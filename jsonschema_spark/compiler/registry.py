@@ -132,7 +132,8 @@ def compile_subschema(ctx: CompileContext, schema: Any) -> Node:
         if node is None:
             continue
         for chk in node.checks:
-            chk.pred = guard(ctx, chk.pred)
+            if not chk.skip_null_guard:
+                chk.pred = guard(ctx, chk.pred)
             out.checks.append(chk)
         out._extra_ok.extend(guard(ctx, p) for p in node._extra_ok)
     return out

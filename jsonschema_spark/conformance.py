@@ -43,12 +43,14 @@ SUITE_DIR = "/root/reference/json/tests"
 
 
 def _registry_for_draft(draft: str):
-    from .compiler.legacy import (draft2019_registry, draft4_registry,
-                                  draft6_registry, draft7_registry)
+    from .compiler.legacy import (draft2019_registry, draft3_registry,
+                                  draft4_registry, draft6_registry,
+                                  draft7_registry)
     return {
         "draft7": draft7_registry,
         "draft6": draft6_registry,
         "draft4": draft4_registry,
+        "draft3": draft3_registry,
         "draft2019-09": draft2019_registry,
     }.get(draft, default_registry)()
 
@@ -58,6 +60,8 @@ FILE_SKIPS = {
     "format.json": "engine asserts format; suite tests annotation-only",
     "refRemote.json": "remote HTTP refs unavailable at compile time",
     "dynamicRef.json": "dynamic-scope anchors beyond compile-time inlining",
+    "recursiveRef.json": "dynamic-scope anchors beyond compile-time "
+                         "inlining ($recursiveAnchor)",
     "anchor.json": "$anchor URI indexing not implemented (plain $defs refs are)",
     "defs.json": "meta-schema self-validation case (remote meta-schema)",
     "infinite-loop-detection.json": "uses $defs/$ref shapes we bound by depth",

@@ -1,0 +1,97 @@
+"""Whole-table validation: the ``x-spark`` extension block executed.
+
+A constraint spec may carry an ``x-spark`` object declaring the
+dataset-scope checks that have no row-local JSON-Schema analogue::
+
+    "x-spark": {
+        "unique": ["image_id", "phash"],
+        "referential": [{"column": "license_id",
+                         "ref": {"table": "licenses", "key": "license_id"}}],
+        "stats": {"caption": {"max_null_rate": 0.01}},
+        "drift": {"baseline": "<path>",
+                  "numeric": {"w": [0.0, 16384.0, 32]},
+                  "categorical": ["fmt"]},
+        "pixel_invariant": {"min_psnr": 40.0}
+    }
+
+``validate_dataset`` compiles the row-level keywords through the normal
+registry AND runs every declared dataset check, returning one unified
+violation-rows DataFrame (same schema as ``CompiledValidator.violations``)
+— the engine's complete answer to BASELINE.json's north_star.
+
+Physical notes: the row pass is one narrow scan; each uniqueness check is
+one key shuffle; referential checks broadcast small dims; stats is one
+agg; drift compares pre-aggregated histograms; the pixel invariant is the
+only Python (Arrow-batched) stage and the only reader of ``bytes``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .validator import CompiledValidator
+
+VIOLATION_COLS = ("keyword", "json_path", "schema_path", "message",
+                  "failing_value")
+
+
+def validate_dataset(df: DataFrame, schema: dict,
+                     id_cols: Sequence[str] = (),
+                     tables: Optional[Mapping[str, DataFrame]] = None,
+                     registry: Any = None) -> DataFrame:
+    """Row-level + x-spark dataset checks -> unified violation rows."""
+    xs = schema.get("x-spark", {}) or {}
+    row_schema = {k: v for k, v in schema.items() if k != "x-spark"}
+    v = CompiledValidator(row_schema, df, registry)
+    keep = list(id_cols)
+
+    def pad(frame: DataFrame) -> DataFrame:
+        cols = set(frame.columns)
+        out = frame
+        for c in keep:
+            if c not in cols:
+                out = out.withColumn(c, F.lit(None).cast("string"))
+        return out.select(*keep, *VIOLATION_COLS)
+
+    parts = [v.violations(df, keep)]
+
+    for key in xs.get("unique", []):
+        from .operators.uniqueness import uniqueness_violations
+        parts.append(pad(uniqueness_violations(df, key, keep)))
+
+    for ref in xs.get("referential", []):
+        from .operators.referential import referential_violations
+        table = ref["ref"]["table"]
+        if tables is None or table not in tables:
+            raise ValueError(f"x-spark referential check needs table "
+                             f"{table!r} in `tables`")
+        parts.append(pad(referential_violations(
+            df, ref["column"], tables[table], ref["ref"]["key"], keep)))
+
+    if "stats" in xs:
+        from .operators.stats import stats_violations
+        parts.append(pad(stats_violations(df, xs["stats"])))
+
+    if "drift" in xs:
+        from .operators.drift import check_against_baseline
+        d = xs["drift"]
+        numeric = {c: tuple(v) for c, v in d.get("numeric", {}).items()}
+        viol = check_against_baseline(df, d["baseline"], numeric=numeric,
+                                      categorical=d.get("categorical", ()),
+                                      max_ks=d.get("max_ks", 0.1),
+                                      max_l1=d.get("max_l1"))
+        if viol is not None:
+            parts.append(pad(viol))
+
+    if "pixel_invariant" in xs:
+        from .operators.multimodal import psnr_check
+        parts.append(pad(psnr_check(
+            df, min_psnr=xs["pixel_invariant"].get("min_psnr", 40.0))))
+
+    out = parts[0].select(*keep, *VIOLATION_COLS)
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

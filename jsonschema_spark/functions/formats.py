@@ -41,25 +41,25 @@ def known_formats() -> set[str]:
 
 # --- native (regex / builtin) formats --------------------------------------
 
-_IPV4 = (r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
-         r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$")
+_IPV4 = (r"\A((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+         r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\z")
 
-_UUID = (r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
-         r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+_UUID = (r"\A[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+         r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\z")
 
-_HOSTNAME = (r"^(?=.{1,253}\.?$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
-             r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*\.?$")
+_HOSTNAME = (r"\A(?=.{1,253}\.?\z)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+             r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*\.?\z")
 
 _TIME_BODY = r"([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)(\.[0-9]+)?"
 _TZ = r"([Zz]|[+-]([01][0-9]|2[0-3]):[0-5][0-9])"
 _DATE_BODY = r"[0-9]{4}-[0-9]{2}-[0-9]{2}"
 
-_DURATION = (r"^P(?!$)([0-9]+W|"
+_DURATION = (r"\AP(?!\z)([0-9]+W|"
              r"([0-9]+Y)?([0-9]+M)?([0-9]+D)?"
-             r"(T(?=[0-9])([0-9]+H)?([0-9]+M)?([0-9]+(\.[0-9]+)?S)?)?)$")
+             r"(T(?=[0-9])([0-9]+H)?([0-9]+M)?([0-9]+(\.[0-9]+)?S)?)?)\z")
 
-_JSON_POINTER = r"^(/([^/~]|~[01])*)*$"
-_REL_JSON_POINTER = r"^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$"
+_JSON_POINTER = r"\A(/([^/~]|~[01])*)*\z"
+_REL_JSON_POINTER = r"\A(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)\z"
 
 
 def _email(c: Column) -> Column:
@@ -69,20 +69,20 @@ def _email(c: Column) -> Column:
 
 def _date(c: Column) -> Column:
     # regex + real-calendar check (_format.py:19,423-433)
-    return (c.rlike(f"^{_DATE_BODY}$")
+    return (c.rlike(f"\\A{_DATE_BODY}\\z")
             & F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).isNotNull())
 
 
 def _date_time(c: Column) -> Column:
     # RFC 3339 (rfc3339_validator semantics, _format.py:396-413): structural
     # regex (incl. leap-second :60) + calendar validity of the date part.
-    rx = f"^{_DATE_BODY}[Tt ]{_TIME_BODY}{_TZ}$"
+    rx = f"\\A{_DATE_BODY}[Tt ]{_TIME_BODY}{_TZ}\\z"
     return (c.rlike(rx)
             & F.try_to_timestamp(F.substring(c, 1, 10), F.lit("yyyy-MM-dd")).isNotNull())
 
 
 def _time(c: Column) -> Column:
-    return c.rlike(f"^{_TIME_BODY}{_TZ}$")
+    return c.rlike(f"\\A{_TIME_BODY}{_TZ}\\z")
 
 
 def _ipv6(c: Column) -> Column:
@@ -124,11 +124,11 @@ def _regex_fmt(c: Column) -> Column:
 
 def _uri(c: Column) -> Column:
     # scheme-required absolute URI, no whitespace / control chars
-    return c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$") & ~c.rlike(r"\s")
+    return c.rlike(r"\A[A-Za-z][A-Za-z0-9+.-]*:[^\s]*\z") & ~c.rlike(r"\s")
 
 
 def _uri_reference(c: Column) -> Column:
-    return ~c.rlike(r"[\s\\]")
+    return ~c.rlike(r"[\s\\]") & ~c.rlike(r"[^\x00-\x7f]")
 
 
 _CSS21_COLORS = ("aqua black blue fuchsia gray green lime maroon navy "
@@ -141,11 +141,11 @@ def _color(c: Column) -> Column:
         | c.rlike(r"^#[0-9a-fA-F]{6}$")
 
 
-_URI_TEMPLATE = (r"^([^\x00-\x20\x7f\"'%<>\\^`{|}]|%[0-9A-Fa-f]{2}|"
+_URI_TEMPLATE = (r"\A([^\x00-\x20\x7f\"'%<>\\^`{|}]|%[0-9A-Fa-f]{2}|"
                  r"\{[+#./;?&=,!@|]?((\w|%[0-9A-Fa-f]{2})(\.?(\w|"
                  r"%[0-9A-Fa-f]{2}))*(:[1-9][0-9]{0,3}|\*)?)(,((\w|"
                  r"%[0-9A-Fa-f]{2})(\.?(\w|%[0-9A-Fa-f]{2}))*"
-                 r"(:[1-9][0-9]{0,3}|\*)?))*\})*$")
+                 r"(:[1-9][0-9]{0,3}|\*)?))*\})*\z")
 
 
 def _iri(c: Column) -> Column:
@@ -173,7 +173,7 @@ def _idn_hostname(c: Column) -> Column:
 register_format("color", _color)
 register_format("uri-template", lambda c: c.rlike(_URI_TEMPLATE))
 register_format("iri", _iri)
-register_format("iri-reference", _uri_reference)
+register_format("iri-reference", lambda c: ~c.rlike(r"[\s\\]"))
 register_format("idn-hostname", _idn_hostname)
 register_format("email", _email)
 register_format("idn-email", _email)

@@ -47,8 +47,11 @@ def check_schema(schema: Any, path: str = "#") -> None:
     if "type" in schema:
         v = schema["type"]
         vals = v if isinstance(v, list) else [v]
-        if not all(isinstance(t, str) and t in _TYPES for t in vals):
-            raise bad("type", f"invalid type value {v!r}")
+        for t in vals:
+            if isinstance(t, dict):          # draft3: type may be a schema
+                check_schema(t, f"{path}/type")
+            elif not (isinstance(t, str) and t in _TYPES):
+                raise bad("type", f"invalid type value {v!r}")
     if "enum" in schema:
         if not isinstance(schema["enum"], list) or not schema["enum"]:
             raise bad("enum", "must be a non-empty array")
@@ -77,9 +80,10 @@ def check_schema(schema: Any, path: str = "#") -> None:
             raise bad("pattern", f"invalid regex: {e}")
     if "required" in schema:
         v = schema["required"]
-        if (not isinstance(v, list)
-                or not all(isinstance(x, str) for x in v)):
-            raise bad("required", "must be an array of strings")
+        if not isinstance(v, bool):          # draft3: boolean form
+            if (not isinstance(v, list)
+                    or not all(isinstance(x, str) for x in v)):
+                raise bad("required", "must be an array of strings")
     if "dependentRequired" in schema:
         v = schema["dependentRequired"]
         if not isinstance(v, dict) or not all(
