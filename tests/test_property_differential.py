@@ -1,0 +1,122 @@
+"""Property-based differential testing (the engine analogue of the
+reference's fuzz harness, /root/reference/jsonschema/tests/fuzz_validate.py):
+random flat schemas x random typed rows, asserting 100% per-row
+pass/fail agreement with the installed reference validator.
+"""
+
+import jsonschema
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from jsonschema_spark import CompiledValidator
+
+COLUMNS = {
+    "n": T.LongType(),
+    "x": T.DoubleType(),
+    "s": T.StringType(),
+    "b": T.BooleanType(),
+    "arr": T.ArrayType(T.LongType()),
+}
+
+SAFE_PATTERNS = ["^a", "b$", "a+b", "^[0-9]{2}", "x|y", "^$"]
+
+
+@st.composite
+def col_schema(draw, col):
+    dt = COLUMNS[col]
+    kws = {}
+    if isinstance(dt, T.LongType) or isinstance(dt, T.DoubleType):
+        for kw in ("minimum", "maximum", "exclusiveMinimum",
+                   "exclusiveMaximum"):
+            if draw(st.booleans()):
+                kws[kw] = draw(st.integers(-5, 5))
+        if draw(st.booleans()):
+            kws["multipleOf"] = draw(st.sampled_from([1, 2, 3]))
+        if draw(st.booleans()):
+            kws["enum"] = draw(st.lists(st.integers(-3, 3), min_size=1,
+                                        max_size=4))
+        if draw(st.booleans()):
+            kws["type"] = draw(st.sampled_from(["integer", "number"]))
+    elif isinstance(dt, T.StringType):
+        if draw(st.booleans()):
+            kws["minLength"] = draw(st.integers(0, 3))
+        if draw(st.booleans()):
+            kws["maxLength"] = draw(st.integers(0, 6))
+        if draw(st.booleans()):
+            kws["pattern"] = draw(st.sampled_from(SAFE_PATTERNS))
+        if draw(st.booleans()):
+            kws["enum"] = draw(st.lists(
+                st.sampled_from(["", "a", "ab", "xy", "0b"]),
+                min_size=1, max_size=3))
+    elif isinstance(dt, T.BooleanType):
+        if draw(st.booleans()):
+            kws["const"] = draw(st.booleans())
+        if draw(st.booleans()):
+            kws["enum"] = draw(st.lists(st.booleans(), min_size=1,
+                                        max_size=2))
+    elif isinstance(dt, T.ArrayType):
+        if draw(st.booleans()):
+            kws["minItems"] = draw(st.integers(0, 3))
+        if draw(st.booleans()):
+            kws["maxItems"] = draw(st.integers(0, 4))
+        if draw(st.booleans()):
+            kws["uniqueItems"] = True
+        if draw(st.booleans()):
+            kws["contains"] = {"minimum": draw(st.integers(-2, 2))}
+        if draw(st.booleans()):
+            kws["items"] = {"maximum": draw(st.integers(-2, 4))}
+    return kws
+
+
+@st.composite
+def schemas(draw):
+    props = {}
+    for col in draw(st.sets(st.sampled_from(sorted(COLUMNS)), min_size=1,
+                            max_size=4)):
+        props[col] = draw(col_schema(col))
+    out = {"properties": props}
+    req = draw(st.sets(st.sampled_from(sorted(COLUMNS)), max_size=2))
+    if req:
+        out["required"] = sorted(req)
+    if draw(st.booleans()):
+        out["anyOf"] = [
+            {"properties": {"n": {"minimum": draw(st.integers(-3, 3))}}},
+            {"required": ["s"]},
+        ]
+    if draw(st.booleans()):
+        out["not"] = {"required": [draw(st.sampled_from(sorted(COLUMNS)))]}
+    return out
+
+
+@st.composite
+def rows(draw):
+    def maybe(strategy):
+        return draw(st.one_of(st.none(), strategy))
+    return (
+        maybe(st.integers(-6, 6)),
+        maybe(st.sampled_from([-2.0, -0.5, 0.0, 1.0, 1.5, 3.0, 6.0])),
+        maybe(st.sampled_from(["", "a", "ab", "abc", "xy", "0b", "12ab"])),
+        maybe(st.booleans()),
+        maybe(st.lists(st.integers(-3, 5), max_size=5)),
+    )
+
+
+@pytest.mark.slow
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(schema=schemas(), data=st.lists(rows(), min_size=1, max_size=8))
+def test_random_schema_agreement(spark, schema, data):
+    sschema = T.StructType([
+        T.StructField(c, COLUMNS[c], True) for c in COLUMNS])
+    df = spark.createDataFrame(data, sschema)
+    eng = [r["valid"] for r in
+           CompiledValidator(schema, df).with_valid(df).collect()]
+    ref = jsonschema.Draft202012Validator(schema)
+    for got, row in zip(eng, data):
+        inst = {c: v for c, v in zip(COLUMNS, row) if v is not None}
+        want = ref.is_valid(inst)
+        assert got == want, (
+            f"disagreement on {inst} under {schema}: "
+            f"engine={got} reference={want}")
