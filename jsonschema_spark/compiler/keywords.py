@@ -54,7 +54,9 @@ def _type_pred_for(ctx: CompileContext, t: str) -> Optional[Column]:
         if ctx.is_integral():
             return None
         if ctx.is_numeric():  # float/double/decimal: zero fractional part
-            return (~F.isnan(c.cast("double"))) & (c == F.floor(c))
+            # modulo stays in the double domain (floor() returns BIGINT
+            # and overflows beyond int64 — 1e308 IS a draft6+ integer)
+            return (c.cast("double") % F.lit(1.0)) == 0.0
         return F.lit(False)
     if t == "number":
         return None if ctx.is_numeric() else F.lit(False)
@@ -260,7 +262,12 @@ def c_multiple_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Nod
         pred = (c % F.lit(value)) == 0
     else:
         q = c.cast("double") / F.lit(float(value))
-        pred = (~F.isnan(q)) & (q == F.floor(q))
+        # quotient-integrality fast path (reference _keywords.py:171-180,
+        # via double-domain modulo — floor() overflows past int64)
+        # OR exact-zero remainder — covers the overflow case (q = inf)
+        # where the reference falls back to Fraction (:181-186)
+        pred = ((q % F.lit(1.0)) == 0.0) \
+            | ((c.cast("double") % F.lit(float(value))) == 0.0)
     msg = F.format_string(f"%s is not a multiple of {value}", stringify(ctx))
     return make_check(ctx, "multipleOf", pred, msg)
 
