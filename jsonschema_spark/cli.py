@@ -28,7 +28,11 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
         description="Validate a parquet table against a JSON-Schema "
                     "constraint spec (vectorized, Spark-native).")
     p.add_argument("spec", help="path to the constraint-spec JSON file")
-    p.add_argument("table", help="path to the parquet table")
+    p.add_argument("table", help="path to the instance table")
+    p.add_argument("--input-format", default="parquet",
+                   choices=("parquet", "json", "csv", "orc"),
+                   help="table format (json = NDJSON instances, the "
+                        "reference CLI's input mode)")
     p.add_argument("--id-cols", default="",
                    help="comma-separated id columns carried onto "
                         "violation rows")
@@ -57,7 +61,8 @@ def run(args: argparse.Namespace, spark=None) -> int:
         spark = get_spark("jsonschema-spark-cli", cores=args.cores)
         spark.sparkContext.setLogLevel("ERROR")
     try:
-        df = spark.read.parquet(args.table)
+        from .sources.io import read_table
+        df = read_table(spark, args.table, args.input_format)
         v = CompiledValidator(spec, df)  # raises SchemaCompileError early
         for w in v.warnings:
             print(f"warning: {w}", file=sys.stderr)

@@ -183,18 +183,50 @@ def _literal_eq(ctx: CompileContext, v: Any) -> Optional[Column]:
     return pred
 
 
+def _scalar_isin_values(ctx: CompileContext, value: list) -> Optional[list]:
+    """Values compatible with one `isin` call on the bound scalar type,
+    or None when the structural path is required.  bool/number literal
+    partitioning preserves the reference's `equal` semantics because the
+    column's Spark type already excludes cross-type equality."""
+    out = []
+    for v in value:
+        if v is None or isinstance(v, (list, dict)):
+            return None
+        if isinstance(v, bool):
+            if not ctx.is_boolean():
+                continue  # can never equal; drop from the disjunction
+        elif isinstance(v, (int, float)):
+            if not ctx.is_numeric():
+                continue
+        elif isinstance(v, str):
+            if not ctx.is_string():
+                continue
+        else:
+            return None
+        out.append(v)
+    return out
+
+
 def c_enum(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
-    """`enum` (_keywords.py:269-271)."""
+    """`enum` (_keywords.py:269-271): scalar enums compile to ONE
+    `isin` (broadcast hash lookup, one py4j call regardless of enum
+    size — the const-vs-enum guard); structural members fall back to
+    typed equality."""
     if _row_scope(ctx):
         ctx.warn("enum at row scope unsupported; ignored")
         return None
-    eqs = [e for e in (_literal_eq(ctx, v) for v in value) if e is not None]
-    if not eqs:
-        pred = F.lit(False)
+    scalars = _scalar_isin_values(ctx, value)
+    if scalars is not None:
+        pred = ctx.target.isin(*scalars) if scalars else F.lit(False)
     else:
-        pred = eqs[0]
-        for e in eqs[1:]:
-            pred = pred | e
+        eqs = [e for e in (_literal_eq(ctx, v) for v in value)
+               if e is not None]
+        if not eqs:
+            pred = F.lit(False)
+        else:
+            pred = eqs[0]
+            for e in eqs[1:]:
+                pred = pred | e
     msg = F.format_string("%s is not one of the permitted values",
                           stringify(ctx))
     return make_check(ctx, "enum", pred, msg)
