@@ -67,6 +67,12 @@ FILE_SKIPS = {
     "infinite-loop-detection.json": "uses $defs/$ref shapes we bound by depth",
     "vocabulary.json": "custom vocabulary/meta-schema machinery",
     "content.json": "content* keywords are annotations (accepted, unchecked)",
+    "dependencies-compatibility.json":
+        "dependencies is not a 2020-12 core keyword — the reference's "
+        "Draft202012Validator ignores it too",
+    "ecmascript-regex.json":
+        "ECMA-262 regex dialect — the reference skips these "
+        "(tests/test_jsonschema_test_suite.py:29-31)",
     "id.json": "$id-based URI rebasing not implemented",
     "unknownKeyword.json": "$id-in-unknown-keyword edge cases",
 }
