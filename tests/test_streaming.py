@@ -114,3 +114,28 @@ def test_run_validation_stream_end_to_end(spark, events_stream, tmp_path):
     assert viols.count() == CompiledValidator(EVENTS_SPEC, batch) \
         .violations(batch).count()
     assert os.path.isdir(os.path.join(out, "_ckpt_violations"))
+
+
+def test_stateful_running_counts_match_batch(spark, events_stream,
+                                             tmp_path):
+    from jsonschema_spark import CompiledValidator
+    from jsonschema_spark.streaming.stateful import running_validity_counts
+    stream, batch = events_stream
+    stream = stream.withColumn("event_type",
+                               F.col("event_type").cast("string"))
+    out = running_validity_counts(stream, EVENTS_SPEC, ["event_type"])
+    q = (out.writeStream.format("memory").queryName("running_counts")
+         .outputMode("update").trigger(availableNow=True).start())
+    _drain(q)
+    # last emitted row per key == batch totals
+    got = {r["event_type"]: (r["rows"], r["invalid_rows"])
+           for r in spark.sql(
+               "SELECT * FROM running_counts").collect()}
+    v = CompiledValidator(EVENTS_SPEC, batch)
+    want = {r["event_type"]: (r["rows"], r["invalid"])
+            for r in batch.withColumn("_v", v.valid_column)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.sum((~F.col("_v")).cast("long")).alias("invalid"))
+            .collect()}
+    assert got == want
