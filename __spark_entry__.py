@@ -370,6 +370,14 @@ def q_embeddings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, "vec_id", "embedding", k=3, round_to=4)
 
 
+def q_embeddings_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (rows-only: KMeans cells aren't SQL-expressible) —
+    the scale path the brute-force oracle queries baseline."""
+    from jsonschema_spark.operators.similarity import ivf_topk
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, "vec_id", "embedding", k=3, n_lists=16, n_probe=3)
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function sessionization: 30-minute-gap sessions/user."""
     from pyspark.sql import Window
@@ -469,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "violations_draft4": q_violations_draft4,
         "standard_output": q_standard_output,
+        "embeddings_ann_ivf": q_embeddings_ann_ivf,
     }
 
 

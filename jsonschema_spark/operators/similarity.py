@@ -151,6 +151,69 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
             .filter(F.col("_rn") <= k).drop("_rn"))
 
 
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
+             n_lists: int = 16, n_probe: int = 2,
+             seed: int = 42, sample_fraction: float = 1.0) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: KMeans coarse quantizer -> search
+    only the `n_probe` nearest cells per query vector.
+
+    Scale shape: centroids are tiny and broadcast; each vector is
+    assigned to one cell (narrow pass); the candidate join is
+    cell-local, so work scales with n/n_lists * n_probe per query
+    instead of n.  Exact cosine rerank inside probed cells."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    keyed = df.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).cast("array<double>").alias("_v"))
+    norm = F.sqrt(F.aggregate(F.transform(F.col("_v"), lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    keyed = keyed.select(
+        "_id", F.transform("_v", lambda x: x / norm).alias("_v"))
+    train = keyed.select(array_to_vector("_v").alias("features"))
+    if sample_fraction < 1.0:
+        train = train.sample(sample_fraction, seed=seed)
+    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    centers = np.stack([np.asarray(c) for c in km.clusterCenters()])
+    cn = np.linalg.norm(centers, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    bc = df.sparkSession.sparkContext.broadcast(centers / cn)
+
+    def assign(probe: int):
+        """cells array for each vector: nearest `probe` centroids
+        (cosine), as a native expression over broadcast literals."""
+        cents = bc.value
+
+        @F.pandas_udf("array<int>")
+        def _cells(s):
+            import numpy as np  # noqa: F811
+            import pandas as pd
+            A = np.asarray(list(s), dtype=np.float64)
+            sims = A @ cents.T
+            order = np.argsort(-sims, axis=1)[:, :probe]
+            return pd.Series(list(order.astype("int32")))
+        return _cells
+
+    inv = keyed.withColumn("_cell",
+                           F.element_at(assign(1)(F.col("_v")), 1))
+    queries = keyed.withColumn("_cells", assign(n_probe)(F.col("_v"))) \
+                   .select(F.col("_id").alias("id"),
+                           F.col("_v").alias("qv"),
+                           F.explode("_cells").alias("_cell"))
+    cand = (queries.join(inv, "_cell")
+            .filter(F.col("id") != F.col("_id"))
+            .select("id", "qv", F.col("_id").alias("neighbour_id"),
+                    F.col("_v").alias("cv"))
+            .dropDuplicates(["id", "neighbour_id"]))
+    sim = dot_product(F.col("qv"), F.col("cv"))
+    scored = cand.select("id", "neighbour_id", sim.alias("cosine"))
+    w = (Window.partitionBy("id")
+         .orderBy(F.col("cosine").desc(), F.col("neighbour_id").asc()))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
 def max_cosine_per_vector(df: DataFrame, id_col: str, vec_col: str,
                           round_to: int = 4) -> DataFrame:
     """Per vector: max cosine similarity to any other vector (rounded for

@@ -151,3 +151,18 @@ def test_decode_images_and_psnr(spark):
     # fail the metadata-equality invariant
     assert viol.count() >= 2
     assert viol.first()["keyword"] == "pixelInvariant"
+
+
+def test_ivf_topk_recall(spark):
+    from jsonschema_spark.operators.similarity import (brute_force_topk,
+                                                       ivf_topk)
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    truth = {r["id"]: r["neighbour_id"]
+             for r in brute_force_topk(e, "vec_id", "embedding",
+                                       k=1).collect()}
+    approx = {r["id"]: r["neighbour_id"]
+              for r in ivf_topk(e, "vec_id", "embedding", k=1,
+                                n_lists=8, n_probe=3).collect()}
+    hits = sum(1 for i, nb in truth.items() if approx.get(i) == nb)
+    recall = hits / len(truth)
+    assert recall >= 0.6, f"IVF top-1 recall {recall:.2f} too low"
