@@ -21,7 +21,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
-IMAGES_ROWS = int(os.environ.get("BENCH_IMAGES_ROWS", 2_000_000))
+IMAGES_ROWS = int(os.environ.get("BENCH_IMAGES_ROWS", 8_000_000))
 
 
 def _force(df) -> int:

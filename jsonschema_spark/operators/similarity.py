@@ -174,7 +174,7 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
     train = keyed.select(array_to_vector("_v").alias("features"))
     if sample_fraction < 1.0:
         train = train.sample(sample_fraction, seed=seed)
-    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    km = KMeans(k=n_lists, seed=seed, maxIter=8).fit(train)
     centers = np.stack([np.asarray(c) for c in km.clusterCenters()])
     cn = np.linalg.norm(centers, axis=1, keepdims=True)
     cn[cn == 0] = 1.0
