@@ -341,7 +341,9 @@ def q_formats_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = {"properties": {"email": {"format": "email"},
                            "uid": {"format": "uuid"},
                            "dt": {"format": "date"}}}
-    v = CompiledValidator(spec, synth)
+    # format_checker=True opts into assertion, like passing
+    # FormatChecker() to the reference (_keywords.py:223-228)
+    v = CompiledValidator(spec, synth, format_checker=True)
     return (v.violations(synth)
             .groupBy("keyword", "json_path")
             .agg(F.count(F.lit(1)).alias("n")))

@@ -144,6 +144,8 @@ def _find_anchor(doc: Any, name: str) -> Optional[dict]:
 
 
 def _resolve_ref(ctx: CompileContext, ref: str) -> Any:
+    """Legacy root-document-only resolution, used when no Resolver is
+    attached (node, base) — the URI-aware path is `_resolve2`."""
     root = ctx.root_schema if ctx.root_schema is not None else {}
     if ref.startswith("#/") or ref in ("#", ""):
         return _json_pointer(root, ref)
@@ -153,20 +155,77 @@ def _resolve_ref(ctx: CompileContext, ref: str) -> Any:
             raise SchemaCompileError(f"anchor {ref!r} not found")
         return target
     raise SchemaCompileError(
-        f"non-local $ref {ref!r} unsupported (compile-time inlining only "
-        f"resolves within the root schema document)")
+        f"non-local $ref {ref!r} unresolvable without a schema registry "
+        f"(pass a Resolver / pre-register the document)")
 
 
-def c_ref(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
-    """`$ref` (_keywords.py:274-275 + validators.py:459-483): compile-time
-    inlining of the referent; recursion bounded by max_ref_depth."""
-    if ctx.ref_depth >= ctx.max_ref_depth:
-        ctx.warn(f"$ref {value!r} exceeded max depth "
-                 f"{ctx.max_ref_depth}; treated as pass")
-        return None
-    referent = _resolve_ref(ctx, value)
+def _resolve2(ctx: CompileContext, ref: str) -> tuple[Any, str]:
+    """(referent, resource base URI) via the URI resolver when present
+    (compiler/resolver.py — the referencing-registry analogue of
+    validators.py:1070-1095), else the legacy root-document path."""
+    if ctx.resolver is not None:
+        return ctx.resolver.resolve(ref, ctx.base_uri)
+    return _resolve_ref(ctx, ref), ctx.base_uri
+
+
+def _resolve_for_tracking(ctx: CompileContext, schema: dict,
+                          kw: str) -> Any:
+    """Resolve `schema[kw]` for evaluated-key/-item tracking, honoring
+    the dynamic scope for $dynamicRef/$recursiveRef (the tracking
+    walks sibling schemas whose refs must resolve exactly as the
+    compiler would).  Raises SchemaCompileError when unresolvable."""
+    ref = schema[kw]
+    if ctx.resolver is None:
+        return _resolve_ref(ctx, ref)
+    base = ctx.resolver.base_of(schema, ctx.base_uri)
+    node, rbase = ctx.resolver.resolve(ref, base)
+    if kw == "$dynamicRef":
+        frag = ref.split("#", 1)[1] if "#" in ref else ""
+        if frag and not frag.startswith("/") \
+                and ctx.resolver.is_dynamic_anchor(rbase, frag):
+            hit = ctx.resolver.dynamic_resolve(
+                frag, ctx.dynamic_scope + (rbase,))
+            if hit is not None:
+                node, _ = hit
+    elif kw == "$recursiveRef" and rbase in ctx.resolver.recursive:
+        hit = ctx.resolver.recursive_resolve(ctx.dynamic_scope + (rbase,))
+        if hit is not None:
+            node, _ = hit
+    return node
+
+
+def _compile_referent(ctx: CompileContext, referent: Any, rbase: str,
+                      ref: str) -> Optional[Node]:
+    """Shared tail of $ref/$dynamicRef/$recursiveRef: loop detection,
+    resource-scope bookkeeping, then compile-time inlining."""
+    key = (id(referent), ctx.json_path)
+    if ctx.statically_absent:
+        # the bound instance is statically absent: every value check is
+        # vacuous, so cutting recursion as a pass is *correct*, not a
+        # soundness hole (presence assertions never need the recursion)
+        if len(ctx.ref_stack) > 8 or any(k[0] == id(referent)
+                                         for k in ctx.ref_stack):
+            return None
+    elif key in ctx.ref_stack:
+        raise SchemaCompileError(
+            f"$ref {ref!r} recurses at instance location "
+            f"{ctx.json_path!r} without consuming instance depth — "
+            f"infinite schema recursion")
+    if len(ctx.ref_stack) >= ctx.max_ref_depth:
+        raise SchemaCompileError(
+            f"$ref {ref!r} exceeded max inline depth {ctx.max_ref_depth}")
     child_ctx = ctx.child()
-    child_ctx.ref_depth = ctx.ref_depth + 1
+    child_ctx.ref_stack = ctx.ref_stack | {key}
+    # indexed referents rebase inside compile_subschema (which also
+    # switches the keyword profile when the target resource declares a
+    # different $schema); only unindexed targets (e.g. pointers into
+    # non-schema positions) need the base set here
+    indexed = (ctx.resolver is not None and isinstance(referent, dict)
+               and id(referent) in ctx.resolver.node_base)
+    if not indexed:
+        child_ctx.base_uri = rbase
+        if rbase != ctx.base_uri:
+            child_ctx.dynamic_scope = ctx.dynamic_scope + (rbase,)
     child = compile_subschema(child_ctx, referent)
     # $ref does not prefix the schema path (validators.py:392-393)
     out = Node()
@@ -175,11 +234,43 @@ def c_ref(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
     return out
 
 
+def c_ref(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
+    """`$ref` (_keywords.py:274-275 + validators.py:459-483): compile-time
+    inlining of the referent, resolved against the current resource base
+    URI (including $id-embedded resources and registered remote docs)."""
+    referent, rbase = _resolve2(ctx, value)
+    return _compile_referent(ctx, referent, rbase, value)
+
+
 def c_dynamic_ref(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
-    """`$dynamicRef` (_keywords.py:278-279): with compile-time inlining the
-    dynamic scope is the compilation stack, which for a single root
-    document collapses to anchor lookup in the root."""
-    return c_ref(ctx, value, schema)
+    """`$dynamicRef` (_keywords.py:278-279 + referencing's
+    lookup_recursive_ref): resolve normally first; if the target was
+    created by `$dynamicAnchor`, re-resolve to the *outermost* resource
+    in the dynamic scope defining the same `$dynamicAnchor` (2020-12 core
+    §8.2.3.2).  The dynamic scope is the compile stack of entered
+    resources — fully known at compile time under inlining."""
+    referent, rbase = _resolve2(ctx, value)
+    frag = value.split("#", 1)[1] if "#" in value else ""
+    if (frag and not frag.startswith("/") and ctx.resolver is not None
+            and ctx.resolver.is_dynamic_anchor(rbase, frag)):
+        hit = ctx.resolver.dynamic_resolve(
+            frag, ctx.dynamic_scope + (rbase,))
+        if hit is not None:
+            referent, rbase = hit
+    return _compile_referent(ctx, referent, rbase, value)
+
+
+def c_recursive_ref(ctx: CompileContext, value: Any,
+                    schema: dict) -> Optional[Node]:
+    """`$recursiveRef: "#"` (2019-09, _legacy_keywords.py:233-239): if the
+    current resource root has `$recursiveAnchor: true`, resolve to the
+    outermost dynamic-scope resource that also sets it."""
+    referent, rbase = _resolve2(ctx, value)
+    if ctx.resolver is not None and rbase in ctx.resolver.recursive:
+        hit = ctx.resolver.recursive_resolve(ctx.dynamic_scope + (rbase,))
+        if hit is not None:
+            referent, rbase = hit
+    return _compile_referent(ctx, referent, rbase, value)
 
 
 # ------------------------------------------------------- object applicators
@@ -219,6 +310,7 @@ def c_properties(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node
                     target=F.lit(None), dtype=T.NullType(),
                     path_fragment=name,
                     schema_fragment=f"properties/{name}", row_fields=None)
+                child_ctx.statically_absent = True
                 child = compile_subschema(child_ctx, sub)
                 out.checks.extend(c for c in child.checks
                                   if c.skip_null_guard)
@@ -538,10 +630,10 @@ def _evaluated_prop_cond(ctx: CompileContext, schema: Any,
     if not isinstance(schema, dict) or depth > 12:
         return False
     conds: list[Any] = []
-    for kw in ("$ref", "$dynamicRef"):
+    for kw in ("$ref", "$dynamicRef", "$recursiveRef"):
         if kw in schema and isinstance(schema[kw], str):
             try:
-                resolved = _resolve_ref(ctx, schema[kw])
+                resolved = _resolve_for_tracking(ctx, schema, kw)
             except SchemaCompileError:
                 resolved = None
             conds.append(_evaluated_prop_cond(ctx, resolved, fld, member,
@@ -630,12 +722,51 @@ def c_unevaluated_properties(ctx: CompileContext, value: Any,
             out.checks.extend(n.checks)
         return out
     if ctx.is_map():
-        # fall back to the static key approximation for map payloads
-        known = set(schema.get("properties", {}))
-        patterns = list(schema.get("patternProperties", {}))
+        # fall back to the static key approximation for map payloads:
+        # collect keys/patterns evaluated by *any* sibling applicator,
+        # recursing through composition keywords like the reference's
+        # find_evaluated_property_keys_by_schema (_utils.py:317-406) —
+        # branch outcomes are not consulted, so this over-approximates
+        ctx.warn("unevaluatedProperties over MapType uses the static "
+                 "evaluated-key approximation (branch outcomes ignored)")
+        known, patterns = _static_evaluated_keys(ctx, schema)
         return _extras_keyword(ctx, value, schema, "unevaluatedProperties",
                                known=known, patterns=patterns)
     return None
+
+
+def _static_evaluated_keys(ctx: CompileContext, schema: Any,
+                           depth: int = 0) -> tuple[set[str], list[str]]:
+    """All property names / patterns any sibling applicator could
+    evaluate, recursing through allOf/anyOf/oneOf/if-then-else/
+    dependentSchemas/$ref — the static projection of
+    _utils.py:317-406."""
+    names: set[str] = set()
+    pats: list[str] = []
+    if not isinstance(schema, dict) or depth > 12:
+        return names, pats
+    names |= set(schema.get("properties") or {})
+    pats += list(schema.get("patternProperties") or {})
+    subs: list[Any] = []
+    for kw in ("allOf", "anyOf", "oneOf"):
+        subs.extend(schema.get(kw) or [])
+    for kw in ("if", "then", "else"):
+        if kw in schema:
+            subs.append(schema[kw])
+    ds = schema.get("dependentSchemas")
+    if isinstance(ds, dict):
+        subs.extend(ds.values())
+    for kw in ("$ref", "$dynamicRef", "$recursiveRef"):
+        if isinstance(schema.get(kw), str):
+            try:
+                subs.append(_resolve_for_tracking(ctx, schema, kw))
+            except SchemaCompileError:
+                pass
+    for sub in subs:
+        n, p = _static_evaluated_keys(ctx, sub, depth + 1)
+        names |= n
+        pats += p
+    return names, pats
 
 
 def _evaluated_item_cond(ctx: CompileContext, schema: Any, x: Column,
@@ -656,10 +787,10 @@ def _evaluated_item_cond(ctx: CompileContext, schema: Any, x: Column,
             conds.append(_member_ok(ctx, schema["additionalItems"], x,
                                     ctx.dtype.elementType,
                                     "additionalItems"))
-    for kw in ("$ref", "$dynamicRef"):
+    for kw in ("$ref", "$dynamicRef", "$recursiveRef"):
         if kw in schema and isinstance(schema[kw], str):
             try:
-                resolved = _resolve_ref(ctx, schema[kw])
+                resolved = _resolve_for_tracking(ctx, schema, kw)
             except SchemaCompileError:
                 resolved = None
             conds.append(_evaluated_item_cond(ctx, resolved, x, i,
@@ -737,7 +868,7 @@ def register_all(reg: KeywordRegistry) -> None:
     reg.register("if", c_if)
     reg.register("$ref", c_ref)
     reg.register("$dynamicRef", c_dynamic_ref)
-    reg.register("$recursiveRef", c_dynamic_ref)
+    reg.register("$recursiveRef", c_recursive_ref)
     reg.register("properties", c_properties)
     reg.register("patternProperties", c_pattern_properties)
     reg.register("additionalProperties", c_additional_properties)

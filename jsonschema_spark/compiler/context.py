@@ -53,8 +53,23 @@ class CompileContext:
     #: field binding); False for array elements, where NULL is a present
     #: JSON null instance.
     null_is_absent: bool = True
-    ref_depth: int = 0
-    max_ref_depth: int = 16
+    #: URI-based reference machinery (compiler/resolver.py) — the
+    #: referencing-registry analogue.  base_uri is the current schema
+    #: resource's base; dynamic_scope the resources entered so far
+    #: (outermost first), for $dynamicRef/$recursiveRef.
+    resolver: Optional[Any] = None
+    base_uri: str = ""
+    dynamic_scope: tuple = ()
+    #: (id(referent), json_path) pairs currently on the compile stack —
+    #: revisiting one means the schema recurses without consuming
+    #: instance depth: a genuine infinite loop, raised as a compile error
+    #: (never silently passed).
+    ref_stack: frozenset = frozenset()
+    #: True when the bound target is a statically-absent object member
+    #: (NULL literal): value checks pass vacuously, so $ref recursion in
+    #: this scope is cut off as a pass, not an error.
+    statically_absent: bool = False
+    max_ref_depth: int = 64
     warnings: list[str] = field(default_factory=list)
 
     def child(self, *, target: Optional[Column] = None,

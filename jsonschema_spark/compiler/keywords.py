@@ -341,8 +341,15 @@ def c_pattern(ctx: CompileContext, value, schema) -> Optional[Node]:
 def c_format(ctx: CompileContext, value, schema) -> Optional[Node]:
     """`format` (_keywords.py:223-228 + _format.py:112-143).
 
-    Unknown formats always pass (_format.py:133-134); non-strings pass.
+    Annotation-only by default, exactly like the reference: format is
+    asserted only when a format checker is opted in
+    (_keywords.py:224 ``if format_checker is not None``) — via
+    ``CompiledValidator(..., format_checker=True)`` or a registry with
+    ``assert_formats=True``.  Unknown formats always pass
+    (_format.py:133-134); non-strings pass.
     """
+    if not getattr(ctx.registry, "assert_formats", False):
+        return None
     if _row_scope(ctx) or not ctx.is_string():
         return None
     pred = format_predicate(ctx.target, value)

@@ -237,6 +237,15 @@ def c_dependencies_draft3(ctx: CompileContext, value: Any,
     return c_dependencies(ctx, norm, schema)
 
 
+#: keywords introduced in 2019-09 — unknown (ignored) in drafts ≤7
+#: (reference builds draft classes from explicit subsets,
+#: validators.py:601-761)
+_KW_2019 = ("dependentRequired", "dependentSchemas", "unevaluatedItems",
+            "unevaluatedProperties", "$recursiveRef")
+#: keywords introduced in 2020-12 — unknown in 2019-09 and earlier
+_KW_2020 = ("prefixItems", "$dynamicRef")
+
+
 def draft3_registry() -> KeywordRegistry:
     reg = KeywordRegistry()
     keywords.register_all(reg)
@@ -254,14 +263,18 @@ def draft3_registry() -> KeywordRegistry:
         "maximum": c_maximum_draft4,
         "exclusiveMinimum": _IGNORE,
         "exclusiveMaximum": _IGNORE,
-    })
+    }).without(*_KW_2019, *_KW_2020,
+               "allOf", "anyOf", "oneOf", "not", "if", "const", "contains",
+               "propertyNames", "minProperties", "maxProperties",
+               "multipleOf")
     reg.ref_ignores_siblings = True
     return reg
 
 
 def draft7_registry() -> KeywordRegistry:
-    """Draft 6/7 profile: legacy items/additionalItems/dependencies,
-    $ref ignores siblings, no 2020-12 keywords."""
+    """Draft 7 profile: legacy items/additionalItems/dependencies,
+    $ref ignores siblings, no 2019-09/2020-12 keywords
+    (validators.py:718-761)."""
     reg = KeywordRegistry()
     keywords.register_all(reg)
     applicators.register_all(reg)
@@ -269,30 +282,34 @@ def draft7_registry() -> KeywordRegistry:
         "items": c_items_legacy,
         "additionalItems": c_additional_items,
         "dependencies": c_dependencies,
-    })
+    }).without(*_KW_2019, *_KW_2020)
     reg.ref_ignores_siblings = True
     return reg
 
 
 def draft6_registry() -> KeywordRegistry:
-    return draft7_registry()
+    """Draft 6 = draft 7 minus if/then/else (validators.py:674-716)."""
+    reg = draft7_registry().without("if")
+    reg.ref_ignores_siblings = True
+    return reg
 
 
 def draft2019_registry() -> KeywordRegistry:
     """Draft 2019-09: legacy items/additionalItems (positional form),
-    modern dependent*/$recursiveRef, $ref siblings evaluated
-    (validators.py:763-810)."""
+    modern dependent*/$recursiveRef, $ref siblings evaluated, no
+    2020-12 prefixItems/$dynamicRef (validators.py:763-810)."""
     reg = KeywordRegistry()
     keywords.register_all(reg)
     applicators.register_all(reg)
     return reg.extend({
         "items": c_items_legacy,
         "additionalItems": c_additional_items,
-    })
+    }).without(*_KW_2020)
 
 
 def draft4_registry() -> KeywordRegistry:
-    """Draft 4 profile: boolean exclusive bounds, strict integer type."""
+    """Draft 4 profile: boolean exclusive bounds, strict integer type
+    (validators.py:635-672)."""
     reg = draft7_registry()
     reg = reg.extend({
         "minimum": c_minimum_draft4,
@@ -300,7 +317,7 @@ def draft4_registry() -> KeywordRegistry:
         "exclusiveMinimum": _IGNORE,   # boolean modifier, read by minimum
         "exclusiveMaximum": _IGNORE,
         "type": c_type_draft4,
-    })
+    }).without("const", "contains", "propertyNames", "if")
     reg.ref_ignores_siblings = True
     return reg
 

@@ -28,8 +28,9 @@ CompilerFn = Callable[[CompileContext, Any, dict], Optional[Node]]
 
 #: keywords that are annotations / handled structurally, never compiled
 ANNOTATION_KEYWORDS = frozenset({
-    "$schema", "$id", "$comment", "$defs", "definitions", "$anchor",
-    "$dynamicAnchor", "$vocabulary", "title", "description", "default",
+    "$schema", "$id", "id", "$comment", "$defs", "definitions", "$anchor",
+    "$dynamicAnchor", "$recursiveAnchor", "$vocabulary", "title",
+    "description", "default",
     "examples", "deprecated", "readOnly", "writeOnly",
     "contentMediaType", "contentEncoding", "contentSchema",
     # handled by sibling compilers, not standalone:
@@ -45,6 +46,9 @@ class KeywordRegistry:
 
     #: pre-2019 drafts drop sibling keywords next to $ref
     ref_ignores_siblings: bool = False
+    #: format is annotation-only unless opted in — the reference's
+    #: ``format_checker is not None`` gate (_keywords.py:223-228)
+    assert_formats: bool = False
 
     def __init__(self, compilers: Optional[dict[str, CompilerFn]] = None):
         self._compilers: dict[str, CompilerFn] = dict(compilers or {})
@@ -58,7 +62,20 @@ class KeywordRegistry:
     def extend(self, compilers: dict[str, CompilerFn]) -> "KeywordRegistry":
         merged = dict(self._compilers)
         merged.update(compilers)
-        return KeywordRegistry(merged)
+        out = KeywordRegistry(merged)
+        out.ref_ignores_siblings = self.ref_ignores_siblings
+        out.assert_formats = self.assert_formats
+        return out
+
+    def without(self, *keywords: str) -> "KeywordRegistry":
+        """Copy minus `keywords` — drafts that predate a keyword must
+        *ignore* it (the reference builds each draft class from an
+        explicit keyword subset, validators.py:601-857; anything else is
+        an unknown keyword and validates nothing)."""
+        out = self.extend({})
+        for kw in keywords:
+            out._compilers.pop(kw, None)
+        return out
 
     def keywords(self) -> set[str]:
         return set(self._compilers)
@@ -111,6 +128,28 @@ def compile_subschema(ctx: CompileContext, schema: Any) -> Node:
         raise SchemaCompileError(
             f"schema at {ctx.schema_path or '<root>'} must be a dict or bool, "
             f"got {type(schema).__name__}")
+
+    # $id-embedded resource entry: rebase refs and extend the dynamic
+    # scope (the compile-time image of validators.py:1070-1095's
+    # resolver.in_scope / descend push).
+    if ctx.resolver is not None:
+        nb = ctx.resolver.node_base.get(id(schema))
+        if nb is not None and nb != ctx.base_uri:
+            ctx = ctx.child()
+            ctx.base_uri = nb
+            ctx.dynamic_scope = ctx.dynamic_scope + (nb,)
+            # a referenced resource declaring a different $schema is
+            # processed under that draft's keyword semantics — the
+            # reference gets this from referencing's per-resource
+            # specification (suite optional/cross-draft.json)
+            root = ctx.resolver.documents.get(nb)
+            if isinstance(root, dict):
+                from .legacy import PROFILES, registry_for
+                if root.get("$schema") in PROFILES:
+                    reg2 = registry_for(root) or default_registry()
+                    reg2 = reg2.extend({})
+                    reg2.assert_formats = ctx.registry.assert_formats
+                    ctx.registry = reg2
 
     # pre-2019 drafts ignore $ref siblings (_legacy_keywords.py:9-21,
     # applicable_validators wiring at validators.py:632-760); 2020-12
@@ -166,5 +205,7 @@ def default_registry() -> KeywordRegistry:
         reg = KeywordRegistry()
         keywords.register_all(reg)
         applicators.register_all(reg)
-        _DEFAULT = reg
+        # $recursiveRef is 2019-09 only (validators.py:812-857 has no
+        # entry for it)
+        _DEFAULT = reg.without("$recursiveRef")
     return _DEFAULT

@@ -17,10 +17,17 @@ Documented deltas (skipped with reasons, reported in the result):
   Spark array column — the engine's data model is typed tables;
 - **object members with null values**: tables cannot distinguish
   "present null member" from "absent member" (NULL column == absent),
-  so suite cases relying on that distinction are out of model;
-- **format**: the engine asserts format (validation engines want that);
-  the suite's non-optional format tests assert annotation-only behavior;
-- **remote refs** (http://localhost:1234) — no network at compile time.
+  so suite cases relying on that distinction are out of model.
+
+References resolve through the compile-time registry
+(compiler/resolver.py): the suite's localhost remote fixtures
+(/root/reference/json/remotes) and the official meta-schemas (from the
+public ``jsonschema_specifications`` package — the same documents the
+reference loads through ``referencing``) are pre-registered, mirroring
+the reference's suite setup (tests/_suite.py:169-196).  Format is
+annotation-only in main-suite runs and asserted in ``optional/format``
+runs, exactly like the reference's test wiring
+(tests/test_jsonschema_test_suite.py FormatChecker usage).
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import pathlib
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -38,8 +46,16 @@ from pyspark.sql import types as T
 from .compiler.context import CompileContext
 from .compiler.registry import (SchemaCompileError, compile_subschema,
                                 default_registry)
+from .compiler.resolver import Resolver
 
 SUITE_DIR = "/root/reference/json/tests"
+REMOTES_DIR = "/root/reference/json/remotes"
+#: the suite's magic remote base (tests/_suite.py:29)
+MAGIC_REMOTE_URL = "http://localhost:1234"
+
+
+def _base_draft(draft: str) -> str:
+    return draft.split("/", 1)[0]
 
 
 def _registry_for_draft(draft: str):
@@ -52,29 +68,51 @@ def _registry_for_draft(draft: str):
         "draft4": draft4_registry,
         "draft3": draft3_registry,
         "draft2019-09": draft2019_registry,
-    }.get(draft, default_registry)()
+    }.get(_base_draft(draft), default_registry)()
+
+
+_BASE_RESOLVERS: dict[str, Resolver] = {}
+
+
+def base_resolver(draft: str) -> Resolver:
+    """Pre-indexed resolver with the suite's remote fixtures and the
+    official meta-schemas — built once per draft, forked per case."""
+    draft = _base_draft(draft)
+    if draft in _BASE_RESOLVERS:
+        return _BASE_RESOLVERS[draft]
+    r = Resolver(draft)
+    try:
+        import jsonschema_specifications
+        for uri, res in jsonschema_specifications.REGISTRY.items():
+            r.add_document(uri, res.contents)
+    except ImportError:                         # pragma: no cover
+        pass
+    root = pathlib.Path(REMOTES_DIR)
+    if root.is_dir():
+        for each in sorted(root.rglob("*.json")):
+            doc = json.loads(each.read_text())
+            rel = str(each.relative_to(root)).replace("\\", "/")
+            # mirror remotes_in's draft filtering (_suite.py:169-196)
+            if draft in ("draft3", "draft4") and each.stem == "tree":
+                continue
+            if (isinstance(doc, dict) and "$schema" not in doc
+                    and rel.startswith("draft")
+                    and not rel.startswith(draft)):
+                continue
+            r.add_document(f"{MAGIC_REMOTE_URL}/{rel}", doc)
+    _BASE_RESOLVERS[draft] = r
+    return r
 
 
 #: suite files skipped wholesale, with the documented reason
 FILE_SKIPS = {
-    "format.json": "engine asserts format; suite tests annotation-only",
-    "refRemote.json": "remote HTTP refs unavailable at compile time",
-    "dynamicRef.json": "dynamic-scope anchors beyond compile-time inlining",
-    "recursiveRef.json": "dynamic-scope anchors beyond compile-time "
-                         "inlining ($recursiveAnchor)",
-    "anchor.json": "$anchor URI indexing not implemented (plain $defs refs are)",
-    "defs.json": "meta-schema self-validation case (remote meta-schema)",
-    "infinite-loop-detection.json": "uses $defs/$ref shapes we bound by depth",
-    "vocabulary.json": "custom vocabulary/meta-schema machinery",
-    "content.json": "content* keywords are annotations (accepted, unchecked)",
+    "vocabulary.json": "custom $vocabulary/meta-schema machinery",
     "dependencies-compatibility.json":
         "dependencies is not a 2020-12 core keyword — the reference's "
         "Draft202012Validator ignores it too",
     "ecmascript-regex.json":
         "ECMA-262 regex dialect — the reference skips these "
         "(tests/test_jsonschema_test_suite.py:29-31)",
-    "id.json": "$id-based URI rebasing not implemented",
-    "unknownKeyword.json": "$id-in-unknown-keyword edge cases",
 }
 
 
@@ -176,22 +214,10 @@ class SuiteReport:
         return [r for r in self.results if r.status == "fail"]
 
 
-def _schema_uses_remote_ref(schema: Any) -> bool:
-    if isinstance(schema, dict):
-        for k, v in schema.items():
-            if k in ("$ref", "$dynamicRef") and isinstance(v, str) \
-                    and v.startswith(("http://", "https://")):
-                return True
-            if _schema_uses_remote_ref(v):
-                return True
-    elif isinstance(schema, list):
-        return any(_schema_uses_remote_ref(v) for v in schema)
-    return False
-
-
 def evaluate_case(spark: SparkSession, schema: Any,
                   instances: list[Any],
-                  registry: Any = None) -> list[Optional[bool]]:
+                  registry: Any = None,
+                  resolver: Optional[Resolver] = None) -> list[Optional[bool]]:
     """Engine verdicts for `instances` under `schema`.
 
     Groups instances by identical inferred Spark schema so one compile +
@@ -210,6 +236,8 @@ def evaluate_case(spark: SparkSession, schema: Any,
             buckets[key] = (dtype, [], [])
         buckets[key][1].append(i)
         buckets[key][2].append(inst)
+    case_res = resolver.child() if resolver is not None else Resolver()
+    root_uri = case_res.add_root(schema)
     for dtype, idxs, insts in buckets.values():
         sschema = T.StructType([
             T.StructField("value", dtype, True),
@@ -221,7 +249,9 @@ def evaluate_case(spark: SparkSession, schema: Any,
             registry=registry or default_registry(),
             target=F.col("value"), dtype=dtype,
             root_schema=schema if isinstance(schema, dict) else None,
-            null_is_absent=False)
+            null_is_absent=False,
+            resolver=case_res, base_uri=root_uri,
+            dynamic_scope=(root_uri,))
         node = compile_subschema(ctx, schema)
         ok = F.coalesce(node.ok, F.lit(False))
         got = {r["_i"]: bool(r["ok"])
@@ -231,14 +261,42 @@ def evaluate_case(spark: SparkSession, schema: Any,
     return verdicts
 
 
+def _meta_wants_format_assertion(schema: Any, resolver: Resolver) -> bool:
+    """True when the case's custom meta-schema declares the
+    format-assertion vocabulary (2020-12 core §8.1.2) — those cases
+    expect format asserted regardless of the run's default policy
+    (suite optional/format-assertion.json)."""
+    if not isinstance(schema, dict):
+        return False
+    from urllib.parse import urldefrag
+    meta = resolver.documents.get(urldefrag(schema.get("$schema", ""))[0])
+    if not isinstance(meta, dict):
+        return False
+    voc = meta.get("$vocabulary") or {}
+    return any(u.rstrip("/").endswith("format-assertion") for u in voc)
+
+
 def run_suite(spark: SparkSession, draft: str = "draft2020-12",
               files: Optional[list[str]] = None,
-              include_optional: bool = False) -> SuiteReport:
-    """Run the vendored suite for `draft`; returns per-test results."""
+              include_optional: bool = False,
+              assert_formats: Optional[bool] = None) -> SuiteReport:
+    """Run the vendored suite for `draft`; returns per-test results.
+
+    `assert_formats=None` auto-selects: annotation-only for main-suite
+    runs, assertion for ``optional/format`` runs — the reference's own
+    test wiring (FormatChecker only for the optional format tests)."""
     base = os.path.join(SUITE_DIR, draft)
     names = sorted(files or
                    [f for f in os.listdir(base) if f.endswith(".json")])
     registry = _registry_for_draft(draft)
+    if assert_formats is None:
+        # only the optional/format directory runs with assertion — the
+        # main-suite format.json asserts annotation-only behavior
+        assert_formats = "optional/format" in draft
+    if assert_formats != registry.assert_formats:
+        registry = registry.extend({})
+        registry.assert_formats = assert_formats
+    resolver = base_resolver(draft)
     report = SuiteReport()
     for name in names:
         if name in FILE_SKIPS and files is None:
@@ -256,20 +314,35 @@ def run_suite(spark: SparkSession, draft: str = "draft2020-12",
         for g in groups:
             schema = g["schema"]
             tests = g["tests"]
-            if _schema_uses_remote_ref(schema):
+            if "Unicode property escape" in g["description"]:
+                # the reference skips these too: "requires ECMA-like
+                # regexes" (tests/test_jsonschema_test_suite.py:35-36)
                 for t in tests:
                     report.results.append(CaseResult(
                         name, g["description"], t["description"],
-                        "skip", "remote ref"))
+                        "skip", "ECMA Unicode property escapes "
+                                "(reference skips these too)"))
                 continue
             insts = [t["data"] for t in tests]
+            reg = registry
+            if not reg.assert_formats and _meta_wants_format_assertion(
+                    schema, resolver):
+                reg = registry.extend({})
+                reg.assert_formats = True
             try:
-                verdicts = evaluate_case(spark, schema, insts, registry)
-            except (SchemaCompileError, RecursionError, Exception) as e:
+                verdicts = evaluate_case(spark, schema, insts, reg,
+                                         resolver=resolver)
+            except (SchemaCompileError, RecursionError) as e:
                 for t in tests:
                     report.results.append(CaseResult(
                         name, g["description"], t["description"],
                         "skip", f"compile: {type(e).__name__}: {e}"))
+                continue
+            except Exception as e:  # unexpected: count against pass rate
+                for t in tests:
+                    report.results.append(CaseResult(
+                        name, g["description"], t["description"],
+                        "fail", f"error: {type(e).__name__}: {e}"))
                 continue
             for t, got in zip(tests, verdicts):
                 if got is None:

@@ -136,9 +136,10 @@ _CSS21_COLORS = ("aqua black blue fuchsia gray green lime maroon navy "
 
 
 def _color(c: Column) -> Column:
-    # CSS2.1 names + #hex (webcolors semantics, _format.py:443-453)
-    return c.isin(*_CSS21_COLORS) | c.rlike(r"^#[0-9a-fA-F]{3}$") \
-        | c.rlike(r"^#[0-9a-fA-F]{6}$")
+    # CSS2.1 names + #hex (webcolors semantics, _format.py:443-453);
+    # \A/\z anchors — Java's $ matches before a trailing newline
+    return c.isin(*_CSS21_COLORS) | c.rlike(r"\A#[0-9a-fA-F]{3}\z") \
+        | c.rlike(r"\A#[0-9a-fA-F]{6}\z")
 
 
 _URI_TEMPLATE = (r"\A([^\x00-\x20\x7f\"'%<>\\^`{|}]|%[0-9A-Fa-f]{2}|"

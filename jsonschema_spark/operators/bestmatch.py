@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,22 +54,47 @@ def error_counts_by_keyword(violations: DataFrame) -> DataFrame:
             .orderBy("keyword", "json_path"))
 
 
+def _jsonpath_to_pointer(c):
+    """Column: engine JSONPath -> RFC 6901 JSON pointer, positional."""
+    import re as _re
+    from pyspark.sql.functions import pandas_udf
+
+    seg = _re.compile(r"\.(\w+)|\[(\d+)\]|\['((?:[^'\\]|\\.)*)'\]")
+
+    def esc(s: str) -> str:
+        return s.replace("~", "~0").replace("/", "~1")
+
+    @pandas_udf("string")
+    def conv(s: pd.Series) -> pd.Series:
+        def one(path):
+            if path is None:
+                return None
+            out, pos = [], 1  # skip leading '$'
+            for m in seg.finditer(path, 1):
+                if m.start() != pos:
+                    return path  # not our grammar: pass through verbatim
+                pos = m.end()
+                name = m.group(1) or m.group(2) or m.group(3) or ""
+                out.append("/" + esc(name))
+            return "".join(out)
+        return s.map(one)
+
+    return conv(c)
+
+
 def standard_output(violations: DataFrame) -> DataFrame:
     """The official JSON-Schema "basic" output-format unit shape
     (/root/reference/json/output-tests/draft2020-12/output-schema.json):
     one row per output unit with ``valid``, ``keywordLocation`` (a JSON
     pointer through the schema incl. applicators), ``instanceLocation``,
     and ``error``.  Our schema_path is slash-joined from the root, so the
-    pointer is '/' + schema_path; json_path renders to a pointer by
-    mapping `$`->'' , `.k`->'/k', `[i]`->'/i'."""
+    pointer is '/' + schema_path; json_path renders to a pointer by a
+    positional parse (`$`->'' , `.k`->'/k', `[i]`->'/i', `['odd k']` ->
+    '/odd k') with RFC 6901 `~0`/`~1` escaping — a global dot
+    substitution would corrupt bracket-quoted names containing dots, so
+    this is an Arrow-batched parse (reporting path, violations-sized)."""
     kw_loc = F.concat(F.lit("/"), F.col("schema_path"))
-    inst = F.col("json_path")
-    inst_ptr = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(inst, r"^\$", ""),
-            r"\['([^']*)'\]", "/$1"),
-        r"\[(\d+)\]", "/$1")
-    inst_ptr = F.regexp_replace(inst_ptr, r"\.", "/")
+    inst_ptr = _jsonpath_to_pointer(F.col("json_path"))
     return violations.select(
         F.lit(False).alias("valid"),
         kw_loc.alias("keywordLocation"),

@@ -151,19 +151,41 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
             .filter(F.col("_rn") <= k).drop("_rn"))
 
 
+def _kmeans_spherical(X, n_lists: int, seed: int, iters: int = 10):
+    """Driver-side spherical k-means over an already-bounded,
+    L2-normalized sample (<=max_train rows by construction) — the
+    quantizer fit is small-data work, like building any broadcast dim;
+    no Spark-ML iteration jobs, no full-dataset passes."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(X))
+    C = X[rng.choice(len(X), size=n_lists, replace=False)].copy()
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)
+        for j in range(n_lists):
+            m = X[a == j]
+            if len(m):
+                C[j] = m.mean(axis=0)
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        C = C / cn
+    return C
+
+
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
              n_lists: int = 16, n_probe: int = 2,
-             seed: int = 42, sample_fraction: float = 1.0) -> DataFrame:
+             seed: int = 42, max_train: int = 100_000) -> DataFrame:
     """IVF (inverted-file) ANN top-k: KMeans coarse quantizer -> search
     only the `n_probe` nearest cells per query vector.
 
-    Scale shape: centroids are tiny and broadcast; each vector is
-    assigned to one cell (narrow pass); the candidate join is
+    Scale shape: the quantizer trains on a **bounded** sample
+    (`max_train` vectors regardless of input size — at 10^12 rows the
+    fit cost is constant), centroids are tiny and broadcast; one shared
+    pandas-UDF assignment computes each vector's `n_probe` nearest
+    cells (index cell = first element); the candidate join is
     cell-local, so work scales with n/n_lists * n_probe per query
     instead of n.  Exact cosine rerank inside probed cells."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     keyed = df.select(F.col(id_col).alias("_id"),
                       F.col(vec_col).cast("array<double>").alias("_v"))
@@ -171,36 +193,43 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
                               F.lit(0.0), lambda a, x: a + x))
     keyed = keyed.select(
         "_id", F.transform("_v", lambda x: x / norm).alias("_v"))
-    train = keyed.select(array_to_vector("_v").alias("features"))
-    if sample_fraction < 1.0:
-        train = train.sample(sample_fraction, seed=seed)
-    km = KMeans(k=n_lists, seed=seed, maxIter=8).fit(train)
-    centers = np.stack([np.asarray(c) for c in km.clusterCenters()])
-    cn = np.linalg.norm(centers, axis=1, keepdims=True)
-    cn[cn == 0] = 1.0
-    bc = df.sparkSession.sparkContext.broadcast(centers / cn)
+    n = keyed.count()
+    if n == 0:
+        return keyed.sparkSession.createDataFrame(
+            [], f"id {df.schema[id_col].dataType.simpleString()}, "
+                f"neighbour_id {df.schema[id_col].dataType.simpleString()},"
+                f" cosine double")
+    frac = min(1.0, 1.25 * max_train / n)
+    sample_df = keyed.select("_v")
+    if frac < 1.0:
+        sample_df = sample_df.sample(frac, seed=seed)
+    X = np.asarray([r["_v"] for r in
+                    sample_df.limit(max_train).collect()], dtype=np.float64)
+    centers = _kmeans_spherical(X, n_lists, seed)
+    bc = df.sparkSession.sparkContext.broadcast(centers)
 
     def assign(probe: int):
-        """cells array for each vector: nearest `probe` centroids
-        (cosine), as a native expression over broadcast literals."""
-        cents = bc.value
-
+        """nearest `probe` cells per vector (cosine order) against the
+        broadcast centroid matrix — one Arrow-batched matmul."""
         @F.pandas_udf("array<int>")
         def _cells(s):
             import numpy as np  # noqa: F811
             import pandas as pd
+            cents = bc.value
             A = np.asarray(list(s), dtype=np.float64)
             sims = A @ cents.T
             order = np.argsort(-sims, axis=1)[:, :probe]
             return pd.Series(list(order.astype("int32")))
         return _cells
 
-    inv = keyed.withColumn("_cell",
-                           F.element_at(assign(1)(F.col("_v")), 1))
-    queries = keyed.withColumn("_cells", assign(n_probe)(F.col("_v"))) \
-                   .select(F.col("_id").alias("id"),
-                           F.col("_v").alias("qv"),
-                           F.explode("_cells").alias("_cell"))
+    # ONE assignment pass feeds both sides: the index takes cell[0],
+    # queries explode all probe cells
+    assigned = keyed.withColumn("_cells", assign(n_probe)(F.col("_v")))
+    inv = assigned.select("_id", "_v",
+                          F.element_at("_cells", 1).alias("_cell"))
+    queries = assigned.select(F.col("_id").alias("id"),
+                              F.col("_v").alias("qv"),
+                              F.explode("_cells").alias("_cell"))
     cand = (queries.join(inv, "_cell")
             .filter(F.col("id") != F.col("_id"))
             .select("id", "qv", F.col("_id").alias("neighbour_id"),

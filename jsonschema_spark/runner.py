@@ -72,6 +72,13 @@ class ValidationRun:
     # ---------------------------------------------------------------- run
     def run(self, df: DataFrame, id_cols: Sequence[str],
             lineage: Optional[dict[str, Any]] = None) -> RunResult:
+        """Single-pass: ONE ``partitionBy("part")`` write of all pending
+        groups (dynamic partition overwrite = idempotent under retry) +
+        ONE aggregate pass deriving rows/invalid/violation counts — no
+        per-group rescan loop, so the job is 2 scans regardless of group
+        count and every group validates in parallel.  Manifest rows are
+        appended *after* the data lands (the commit record); uncommitted
+        groups are re-run and overwritten on resume."""
         run_id = uuid.uuid4().hex[:12]
         validator = CompiledValidator(self.schema, df)
         # filesystem-safe group key: NULL/empty/odd values get sentinels
@@ -81,33 +88,57 @@ class ValidationRun:
                 .when(~raw.rlike("^[A-Za-z0-9_.-]+$"),
                       F.concat(F.lit("__h_"), F.substring(F.md5(raw), 1, 12))) \
                 .otherwise(raw)
-        groups = [r["k"] for r in
-                  df.select(part.alias("k")).distinct().collect()]
+        groups = {r["k"] for r in
+                  df.select(part.alias("k")).distinct().collect()}
         done = self.committed_partitions()
-        completed, skipped = [], []
+        pending = sorted(groups - done)
+        skipped = sorted(groups & done)
+        if not pending:
+            return RunResult(run_id, [], skipped)
         lineage_json = json.dumps(lineage or {}, sort_keys=True)
-        for key in sorted(groups):
-            if key in done:
-                skipped.append(key)
-                continue
-            t0 = time.time()
-            grp = df.filter(part == key)
-            viols = (validator.violations(grp, id_cols)
-                     .withColumn("part", F.lit(key)))
-            # data first (overwrite = idempotent under retry)...
-            (viols.write.mode("overwrite")
-             .parquet(os.path.join(self.violations_path, f"part={key}")))
-            counts = grp.select(
-                F.count(F.lit(1)).alias("rows"),
-                F.sum((~validator.valid_column).cast("long")).alias("bad"),
-            ).collect()[0]
-            n_viol = self.spark.read.parquet(
-                os.path.join(self.violations_path, f"part={key}")).count()
-            # ...then the manifest row commits the group
-            row = [(key, run_id, counts["rows"], counts["bad"] or 0,
-                    n_viol, (counts["bad"] or 0) == 0, t0, time.time(),
-                    lineage_json)]
-            (self.spark.createDataFrame(row, MANIFEST_SCHEMA)
-             .write.mode("append").parquet(self.manifest_path))
-            completed.append(key)
-        return RunResult(run_id, completed, skipped)
+        t0 = time.time()
+        work = df.withColumn("part", part)
+        if skipped:
+            work = work.filter(F.col("part").isin(pending))
+        # scrub half-written uncommitted groups (dynamic overwrite only
+        # replaces partitions that receive rows; a retried group with
+        # zero violations would otherwise keep stale files)
+        for key in pending:
+            self._rm_partition_dir(key)
+        viols = validator.violations(work, list(id_cols) + ["part"])
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (viols.write.mode("overwrite").partitionBy("part")
+             .parquet(self.violations_path))
+        finally:
+            if prev is not None:
+                conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            else:
+                conf.unset("spark.sql.sources.partitionOverwriteMode")
+        # one aggregate pass: per-group rows, invalid rows, violation
+        # rows (map-side partial agg; no join back to the written files)
+        arr = validator._violation_array()
+        stats = (work.select(
+                    "part", validator.valid_column.alias("_v"),
+                    F.size(arr).alias("_nv"))
+                 .groupBy("part")
+                 .agg(F.count(F.lit(1)).alias("rows"),
+                      F.sum((~F.coalesce(F.col("_v"), F.lit(True)))
+                            .cast("long")).alias("bad"),
+                      F.sum("_nv").alias("nviol"))).collect()
+        t1 = time.time()
+        rows = [(r["part"], run_id, r["rows"], r["bad"] or 0,
+                 r["nviol"] or 0, (r["bad"] or 0) == 0, t0, t1,
+                 lineage_json) for r in stats]
+        # ...then the manifest rows commit the groups
+        (self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
+         .write.mode("append").parquet(self.manifest_path))
+        return RunResult(run_id, sorted(r[0] for r in rows), skipped)
+
+    def _rm_partition_dir(self, key: str) -> None:
+        import shutil
+        p = os.path.join(self.violations_path, f"part={key}")
+        if p.startswith(("/", "file:")) or "://" not in p:
+            shutil.rmtree(p.removeprefix("file:"), ignore_errors=True)

@@ -27,8 +27,11 @@ def running_validity_counts(stream_df: DataFrame, schema: Any,
     v = CompiledValidator(schema, stream_df)
     annotated = stream_df.withColumn("_valid", v.valid_column) \
                          .select(*key_cols, "_valid")
-    n_keys = len(key_cols)
-    out_schema = (", ".join(f"{k} string" for k in key_cols)
+    # key columns keep their real stream types (a bigint key hardcoded
+    # as string would corrupt the Arrow conversion)
+    key_types = {f.name: f.dataType.simpleString()
+                 for f in stream_df.schema.fields}
+    out_schema = (", ".join(f"`{k}` {key_types[k]}" for k in key_cols)
                   + ", rows long, invalid_rows long, invalid_rate double")
 
     def update(key, pdfs: Iterable[pd.DataFrame],

@@ -34,7 +34,16 @@ class CompiledValidator:
     """A constraint spec compiled against one DataFrame schema."""
 
     def __init__(self, schema: Any, df: DataFrame,
-                 registry: Optional[KeywordRegistry] = None):
+                 registry: Optional[KeywordRegistry] = None,
+                 schema_store: Optional[dict] = None,
+                 format_checker: bool = False):
+        """`schema_store` pre-registers external documents by URI — the
+        analogue of passing a populated ``referencing.Registry`` to the
+        reference's validator (validators.py:1070-1095).
+        `format_checker=True` opts into format assertion, mirroring
+        ``Draft202012Validator(schema, format_checker=...)``
+        (_keywords.py:223-228); the default is annotation-only like the
+        reference."""
         check_schema(schema)
         self.schema = schema
         if registry is None:
@@ -43,10 +52,20 @@ class CompiledValidator:
             from .compiler.legacy import registry_for
             registry = registry_for(schema)
         self.registry = registry or default_registry()
+        if format_checker and not self.registry.assert_formats:
+            self.registry = self.registry.extend({})
+            self.registry.assert_formats = True
+        from .compiler.resolver import Resolver
+        resolver = Resolver()
+        for uri, doc in (schema_store or {}).items():
+            resolver.add_document(uri, doc)
+        root_uri = resolver.add_root(schema)
         ctx = CompileContext(
             registry=self.registry, target=None, dtype=None,
             root_schema=schema if isinstance(schema, dict) else None,
-            row_fields=list(df.schema.fields))
+            row_fields=list(df.schema.fields),
+            resolver=resolver, base_uri=root_uri,
+            dynamic_scope=(root_uri,))
         node = compile_subschema(ctx, schema)
         self.checks: list[Check] = node.checks
         self._extra_ok = node._extra_ok
@@ -133,12 +152,18 @@ class CompiledValidator:
 
 def validate(df: DataFrame, schema: Any,
              id_cols: Sequence[str] = (),
-             registry: Optional[KeywordRegistry] = None) -> DataFrame:
+             registry: Optional[KeywordRegistry] = None,
+             format_checker: bool = False) -> DataFrame:
     """Convenience: violations DataFrame for `df` under `schema`."""
-    return CompiledValidator(schema, df, registry).violations(df, id_cols)
+    return CompiledValidator(
+        schema, df, registry,
+        format_checker=format_checker).violations(df, id_cols)
 
 
 def is_valid(df: DataFrame, schema: Any,
-             registry: Optional[KeywordRegistry] = None) -> DataFrame:
+             registry: Optional[KeywordRegistry] = None,
+             format_checker: bool = False) -> DataFrame:
     """df + boolean `valid` column."""
-    return CompiledValidator(schema, df, registry).with_valid(df)
+    return CompiledValidator(
+        schema, df, registry,
+        format_checker=format_checker).with_valid(df)

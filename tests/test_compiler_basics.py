@@ -11,9 +11,9 @@ from pyspark.sql import functions as F
 from jsonschema_spark import CompiledValidator, SchemaCompileError, check_schema
 
 
-def _valid_flags(spark, ddl, rows, schema):
+def _valid_flags(spark, ddl, rows, schema, **kw):
     df = spark.createDataFrame(rows, ddl)
-    v = CompiledValidator(schema, df)
+    v = CompiledValidator(schema, df, **kw)
     return [r["valid"] for r in
             v.with_valid(df).orderBy("_i").select("valid").collect()]
 
@@ -179,13 +179,17 @@ def test_unknown_keyword_warns(spark):
 
 def test_format_keywords(spark):
     ddl = "_i int, s string"
+    fc = {"format_checker": True}
     schema = {"properties": {"s": {"format": "ipv4"}}}
     rows = [(0, "1.2.3.4"), (1, "256.1.1.1"), (2, "01.1.1.1"), (3, "x")]
-    assert _valid_flags(spark, ddl, rows, schema) == [
+    assert _valid_flags(spark, ddl, rows, schema, **fc) == [
         True, False, False, False]
+    # annotation-only by default, like the reference without a
+    # FormatChecker (_keywords.py:223-228)
+    assert _valid_flags(spark, ddl, rows, schema) == [True] * 4
     schema = {"properties": {"s": {"format": "uuid"}}}
     rows = [(0, "12345678-1234-5678-1234-567812345678"), (1, "not-a-uuid")]
-    assert _valid_flags(spark, ddl, rows, schema) == [True, False]
+    assert _valid_flags(spark, ddl, rows, schema, **fc) == [True, False]
     # unknown format always passes (_format.py:133-134)
     schema = {"properties": {"s": {"format": "no-such-format"}}}
-    assert _valid_flags(spark, ddl, rows, schema) == [True, True]
+    assert _valid_flags(spark, ddl, rows, schema, **fc) == [True, True]
