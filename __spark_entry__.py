@@ -231,10 +231,42 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (rows-only: blocked join)."""
+    """Exact word-3-gram Jaccard near-dup pairs — full DuckDB oracle
+    (the posting-list join is exact when no gram df exceeds the skew
+    guard; the testdata's max gram df is single-digit)."""
     from jsonschema_spark.operators.dedup import ngram_jaccard_pairs
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.6)
+    p = ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.6)
+    return p.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidates re-scored with EXACT char-5-shingle
+    Jaccard (candidates only — the scale-safe verify shape).  Equality
+    with the oracle's all-pairs brute force certifies candidate recall
+    AND post-verify precision."""
+    from jsonschema_spark.operators.dedup import (minhash_candidates,
+                                                  verify_pairs_exact_jaccard)
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_candidates(d, "doc_id", "text", num_hashes=64,
+                              bands=16, min_jaccard=0.5)
+    v = verify_pairs_exact_jaccard(cand, d, "doc_id", "text", k=5,
+                                   min_jaccard=0.5)
+    return v.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding (16 bands of 4 bits: pigeonhole guarantees any
+    pair within hamming 15 shares a band) re-scored with exact
+    Jaccard — same oracle contract as minhash_vs_exact."""
+    from jsonschema_spark.operators.dedup import (simhash_duplicates,
+                                                  verify_pairs_exact_jaccard)
+    d = _t(spark, sf_dir, "documents")
+    cand = simhash_duplicates(d, "doc_id", "text", max_hamming=12,
+                              band_bits=4)
+    v = verify_pairs_exact_jaccard(cand, d, "doc_id", "text", k=5,
+                                   min_jaccard=0.5)
+    return v.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 COMPOSED_ORDERS_SPEC = {
@@ -380,6 +412,31 @@ def q_embeddings_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, "vec_id", "embedding", k=3, n_lists=16, n_probe=3)
 
 
+def q_embeddings_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@3 against the exact brute-force top-3: the
+    oracle-checkable contract is (k, n_queries, recall_ok) with
+    recall_ok = recall >= 0.9 — the driver's hash compare fails if the
+    ANN path degrades below the bar."""
+    from jsonschema_spark.operators.similarity import (brute_force_topk,
+                                                       ivf_topk)
+    e = _t(spark, sf_dir, "embeddings")
+    # the testdata embeddings are UNclustered (pairwise cosine ~0), the
+    # worst case for IVF: hitting recall 0.9 needs 12/16 cells probed.
+    # On real clustered embeddings the same contract holds at far lower
+    # n_probe — the query pins the *contract*, not the tuning.
+    truth = brute_force_topk(e, "vec_id", "embedding", k=3) \
+        .select("id", "neighbour_id")
+    ann = ivf_topk(e, "vec_id", "embedding", k=3, n_lists=16, n_probe=12) \
+        .select("id", "neighbour_id")
+    n_truth = truth.count()
+    n_hit = truth.join(ann, ["id", "neighbour_id"], "left_semi").count()
+    n_queries = truth.select("id").distinct().count()
+    recall_ok = n_truth > 0 and (n_hit / n_truth) >= 0.9
+    return spark.createDataFrame(
+        [(3, n_queries, bool(recall_ok))],
+        "k int, n_queries bigint, recall_ok boolean")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function sessionization: 30-minute-gap sessions/user."""
     from pyspark.sql import Window
@@ -467,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_max_cosine": q_embeddings_max_cosine,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "minhash_vs_exact": q_minhash_vs_exact,
+        "simhash_vs_exact": q_simhash_vs_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "images_validation": q_images_validation,
         "composition_orders": q_composition_orders,
@@ -480,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_draft4": q_violations_draft4,
         "standard_output": q_standard_output,
         "embeddings_ann_ivf": q_embeddings_ann_ivf,
+        "embeddings_ann_recall": q_embeddings_ann_recall,
     }
 
 
@@ -867,7 +927,63 @@ def oracle_sql() -> dict[str, str]:
               AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
             HAVING count(*) > 0
         """,
-        # minhash_pairs / simhash_pairs / ngram_jaccard_pairs /
-        # images_validation: non-SQL-expressible (LSH banding, synthetic
-        # generation) -> rows-only driver check.
+        # char-5-shingle exact Jaccard ground truth (brute force is fine
+        # in the oracle at sf0.01; the Spark side verifies candidates
+        # only) — certifies minhash/simhash candidate recall + precision
+        "minhash_vs_exact": _SHINGLE_JACCARD_ORACLE,
+        "simhash_vs_exact": _SHINGLE_JACCARD_ORACLE,
+        "ngram_jaccard_pairs": """
+            WITH w AS (SELECT doc_id,
+                              regexp_split_to_array(trim(text), '\\s+') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(ws[i:i+2], ' ') AS gram
+                  FROM (SELECT doc_id, ws,
+                               unnest(generate_series(
+                                   1, greatest(len(ws)-2, 1))) AS i
+                        FROM w)),
+            sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*) AS i
+                      FROM g a JOIN g b
+                        ON a.gram = b.gram AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+        """,
+        "embeddings_ann_recall": """
+            SELECT CAST(3 AS INTEGER) AS k,
+                   (SELECT count(DISTINCT vec_id) FROM embeddings
+                    WHERE embedding IS NOT NULL) AS n_queries,
+                   TRUE AS recall_ok
+        """,
+        # minhash_pairs / simhash_pairs / images_validation /
+        # embeddings_ann_ivf: non-SQL-expressible (LSH banding, KMeans
+        # cells, synthetic generation) -> rows-only driver check.
     }
+
+
+#: all true near-dup pairs by exact character-5-shingle Jaccard >= 0.5
+_SHINGLE_JACCARD_ORACLE = """
+    WITH pos AS (
+      SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(
+                       1, greatest(length(text) - 4, 1))) AS i
+            FROM documents WHERE text IS NOT NULL)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM pos GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM pos a JOIN pos b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+"""

@@ -46,29 +46,51 @@ def c_all_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
         child = compile_subschema(ctx.child(schema_fragment=f"allOf/{i}"), sub)
         out.checks.extend(child.checks)
         out._extra_ok.extend(child._extra_ok)
+        out.context.extend(child.context)
     return out
 
 
+def _with_context(ctx: CompileContext, node: Node, keyword: str,
+                  children: list[Node], composite_ok: Column) -> Node:
+    """Attach each child branch's checks as *context* of the composite
+    error (ValidationError.context, exceptions.py:120-131): they fire
+    only when the composite fails, never affect validity, and carry the
+    composite's schema_path for best_match descent."""
+    parent_sp = node.checks[0].schema_path
+    for child in children:
+        for chk in child.checks + child.context:
+            chk.pred = composite_ok | chk.pred
+            chk.context_of = chk.context_of or parent_sp
+            node.context.append(chk)
+    return node
+
+
 def c_any_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
-    """`anyOf` (_keywords.py:337-348): one aggregated error on failure."""
-    oks = [compile_subschema(ctx.child(schema_fragment=f"anyOf/{i}"), sub).ok
-           for i, sub in enumerate(value)]
+    """`anyOf` (_keywords.py:337-348): one aggregated error on failure;
+    branch errors attach as context."""
+    children = [compile_subschema(ctx.child(schema_fragment=f"anyOf/{i}"),
+                                  sub) for i, sub in enumerate(value)]
+    oks = [c.ok for c in children]
     pred = oks[0]
     for o in oks[1:]:
         pred = pred | o
-    return make_check(ctx, "anyOf", pred,
+    node = make_check(ctx, "anyOf", pred,
                       F.format_string("%s is not valid under any of the "
                                       "given schemas", stringify(ctx)))
+    return _with_context(ctx, node, "anyOf", children, pred)
 
 
 def c_one_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
-    """`oneOf` (_keywords.py:351-373): exactly-one-match."""
-    oks = [compile_subschema(ctx.child(schema_fragment=f"oneOf/{i}"), sub).ok
-           for i, sub in enumerate(value)]
+    """`oneOf` (_keywords.py:351-373): exactly-one-match; branch errors
+    attach as context."""
+    children = [compile_subschema(ctx.child(schema_fragment=f"oneOf/{i}"),
+                                  sub) for i, sub in enumerate(value)]
+    oks = [c.ok for c in children]
     n = sum((o.cast("int") for o in oks), F.lit(0))
-    return make_check(ctx, "oneOf", n == 1,
+    node = make_check(ctx, "oneOf", n == 1,
                       F.format_string("%s is not valid under exactly one of "
                                       "the given schemas", stringify(ctx)))
+    return _with_context(ctx, node, "oneOf", children, n == 1)
 
 
 def c_not(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
@@ -92,6 +114,9 @@ def c_if(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
         for chk in child.checks:
             chk.pred = (~if_ok) | chk.pred
             out.checks.append(chk)
+        for chk in child.context:
+            chk.pred = (~if_ok) | chk.pred
+            out.context.append(chk)
         out._extra_ok.extend((~if_ok) | p for p in child._extra_ok)
     if "else" in schema:
         child = compile_subschema(ctx.child(schema_fragment="else"),
@@ -99,6 +124,9 @@ def c_if(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
         for chk in child.checks:
             chk.pred = if_ok | chk.pred
             out.checks.append(chk)
+        for chk in child.context:
+            chk.pred = if_ok | chk.pred
+            out.context.append(chk)
         out._extra_ok.extend(if_ok | p for p in child._extra_ok)
     return out
 
@@ -231,6 +259,7 @@ def _compile_referent(ctx: CompileContext, referent: Any, rbase: str,
     out = Node()
     out.checks.extend(child.checks)
     out._extra_ok.extend(child._extra_ok)
+    out.context.extend(child.context)
     return out
 
 
@@ -319,6 +348,7 @@ def c_properties(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node
             child = compile_subschema(child_ctx, sub)
             out.checks.extend(child.checks)
             out._extra_ok.extend(child._extra_ok)
+            out.context.extend(child.context)
         return out
     if ctx.is_map():
         vtype = ctx.dtype.valueType
@@ -494,6 +524,9 @@ def c_dependent_schemas(ctx: CompileContext, value: Any,
         for chk in child.checks:
             chk.pred = (~present) | chk.pred
             out.checks.append(chk)
+        for chk in child.context:
+            chk.pred = (~present) | chk.pred
+            out.context.append(chk)
         out._extra_ok.extend((~present) | p for p in child._extra_ok)
     return out
 

@@ -38,6 +38,10 @@ class Check:
     #: presence assertions (draft3 `required: true` inside a property
     #: subschema) must NOT be vacuously satisfied by a NULL binding
     skip_null_guard: bool = False
+    #: schema_path of the anyOf/oneOf composite this check is *context*
+    #: of (ValidationError.context, exceptions.py:120-131): context
+    #: checks never affect validity, they exist for best_match descent
+    context_of: Optional[str] = None
 
 
 @dataclass
@@ -49,6 +53,9 @@ class Node:
     #: validity but are not reported as individual checks (used by
     #: applicators that fold children into one reported error).
     _extra_ok: list[Column] = field(default_factory=list)
+    #: context checks (see Check.context_of) — propagated up but never
+    #: part of .ok
+    context: list[Check] = field(default_factory=list)
 
     @property
     def ok(self) -> Column:

@@ -174,6 +174,10 @@ def compile_subschema(ctx: CompileContext, schema: Any) -> Node:
             if not chk.skip_null_guard:
                 chk.pred = guard(ctx, chk.pred)
             out.checks.append(chk)
+        for chk in node.context:
+            if not chk.skip_null_guard:
+                chk.pred = guard(ctx, chk.pred)
+            out.context.append(chk)
         out._extra_ok.extend(guard(ctx, p) for p in node._extra_ok)
     return out
 

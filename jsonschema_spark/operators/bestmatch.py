@@ -38,6 +38,64 @@ def best_match(violations: DataFrame,
             .drop("_rank"))
 
 
+def best_match_deep(violations_ctx: DataFrame, id_cols: Sequence[str],
+                    max_depth: int = 4) -> DataFrame:
+    """`best_match` WITH context descent (exceptions.py:440-490): pick
+    the most relevant top-level error; while it is an anyOf/oneOf
+    composite, descend into its *context* rows (branch errors, from
+    :meth:`CompiledValidator.violations_with_context`) choosing the
+    deepest — i.e. most specific — branch error, exactly the reference's
+    ``min`` by relevance; stop when the two most relevant context errors
+    tie (heapq.nsmallest(2) equality rule).
+
+    Relevance mirrors by_relevance (exceptions.py:415-425): instance
+    depth dominates, then weak-keyword demotion; json_path/keyword break
+    ties deterministically (the reference's path ordering on siblings).
+    `max_depth` bounds the descent (= max anyOf/oneOf nesting)."""
+    depth = F.size(F.split(F.col("json_path"), r"\.|\[")) - 1
+    weak = F.col("keyword").isin(*WEAK_MATCHES).cast("int")
+    vv = (violations_ctx.withColumn("_depth", depth)
+          .withColumn("_weak", weak))
+    payload = ["keyword", "json_path", "schema_path", "message",
+               "failing_value"]
+    top = vv.filter(F.col("context_of").isNull())
+    w = Window.partitionBy(*[F.col(c) for c in id_cols]).orderBy(
+        F.col("_depth").asc(), F.col("_weak").asc(),
+        F.col("json_path").asc(), F.col("keyword").asc())
+    best = (top.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*id_cols, *payload))
+    ctx_cols = payload + ["context_of", "_depth", "_weak"]
+    ctx_r = vv.filter(F.col("context_of").isNotNull()).select(
+        *id_cols, *[F.col(c).alias("c_" + c) for c in ctx_cols])
+    for _ in range(max_depth):
+        j = (best.join(ctx_r, list(id_cols), "left")
+             .withColumn("_cand",
+                         F.coalesce(F.col("c_context_of")
+                                    == F.col("schema_path"), F.lit(False))
+                         & F.col("keyword").isin(*WEAK_MATCHES)))
+        key = F.struct(F.col("c__depth"), F.col("c_json_path"),
+                       F.col("c__weak"))
+        w2 = Window.partitionBy(*[F.col(c) for c in id_cols]).orderBy(
+            F.col("_cand").desc(),
+            F.col("c__depth").desc_nulls_last(),
+            F.col("c_json_path").asc_nulls_last(),
+            F.col("c__weak").desc_nulls_last(),
+            F.col("c_keyword").asc_nulls_last())
+        j = (j.withColumn("_rn", F.row_number().over(w2))
+             .withColumn("_next_key", F.lead(key).over(w2))
+             .withColumn("_next_cand", F.lead(F.col("_cand")).over(w2)))
+        first = j.filter(F.col("_rn") == 1)
+        tie = (F.coalesce(F.col("_next_cand"), F.lit(False))
+               & (key == F.col("_next_key")))
+        promote = F.col("_cand") & ~tie
+        best = first.select(
+            *id_cols,
+            *[F.when(promote, F.col("c_" + c)).otherwise(F.col(c))
+              .alias(c) for c in payload])
+    return best
+
+
 def error_tree(violations: DataFrame) -> DataFrame:
     """`ErrorTree` as a groupBy: per instance path, total errors and the
     set of failed keywords with counts."""

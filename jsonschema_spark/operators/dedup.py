@@ -273,23 +273,18 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
 
 # ------------------------------------------------------ ngram jaccard -----
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, min_jaccard: float = 0.6,
-                        max_bucket: int = 200) -> DataFrame:
-    """Word-n-gram Jaccard via a counting posting-list join: document
-    gram *arrays are never shuffled* — the intersection size is
-    ``count(shared grams)`` from the inverted-index self-join and the
-    union is ``|A| + |B| - inter`` from pre-aggregated set sizes.
+def _jaccard_pairs_from_grams(grams: DataFrame, min_jaccard: float,
+                              max_bucket: int) -> DataFrame:
+    """Shared posting-list core: (_id, _grams array) -> exact Jaccard
+    pairs.  Document gram *arrays are never shuffled* — the intersection
+    size is ``count(shared grams)`` from the inverted-index self-join and
+    the union is ``|A| + |B| - inter`` from pre-aggregated set sizes.
 
     Exact whenever no shared gram's document frequency exceeds
     `max_bucket`; grams above it (stop-grams) are dropped from pairing —
     the classic posting-list skew guard (a df-D gram alone generates
     D^2/2 join rows, which is what kills this join at 100 TB).  A df=1
-    gram can never be shared, so the lower bound loses nothing.
-    """
-    grams = (ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
-             .select(F.col(id_col).alias("_id"),
-                     word_ngrams(F.col(text_col), n).alias("_grams")))
+    gram can never be shared, so the lower bound loses nothing."""
     sized = grams.select("_id", F.size("_grams").alias("_n"))
     posting = grams.select("_id", F.explode("_grams").alias("_g"))
     shared = (posting.groupBy("_g")
@@ -306,6 +301,57 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     nb = sized.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
     jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
     return (inter.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= min_jaccard))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, min_jaccard: float = 0.6,
+                        max_bucket: int = 200) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs (see _jaccard_pairs_from_grams
+    for the posting-list shape)."""
+    grams = (ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+             .select(F.col(id_col).alias("_id"),
+                     word_ngrams(F.col(text_col), n).alias("_grams")))
+    return _jaccard_pairs_from_grams(grams, min_jaccard, max_bucket)
+
+
+def shingle_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                          k: int = 5, min_jaccard: float = 0.5,
+                          max_bucket: int = 500) -> DataFrame:
+    """Exact character-k-shingle Jaccard pairs — the ground truth the
+    MinHash estimator approximates (same shingle space as
+    minhash_signatures_df)."""
+    grams = (ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+             .select(F.col(id_col).alias("_id"),
+                     shingles(F.col(text_col), k).alias("_grams")))
+    return _jaccard_pairs_from_grams(grams, min_jaccard, max_bucket)
+
+
+def verify_pairs_exact_jaccard(pairs: DataFrame, df: DataFrame,
+                               id_col: str, text_col: str,
+                               k: int = 5,
+                               min_jaccard: float = 0.5) -> DataFrame:
+    """Re-score candidate pairs with their EXACT character-k-shingle
+    Jaccard and keep those >= `min_jaccard`.
+
+    This is the scale-safe verification shape: the exact set math runs
+    only on candidate pairs (LSH output, tiny), never all-pairs — gram
+    arrays are shuffled for candidate documents only.  Output
+    (id_a, id_b, jaccard) is directly comparable to a brute-force
+    ground-truth oracle; equality certifies BOTH the candidate recall
+    (nothing true missed) and the estimator's precision after rerank."""
+    docs = df.select(F.col(id_col).alias("_id"),
+                     shingles(F.col(text_col), k).alias("_grams"))
+    ga = docs.select(F.col("_id").alias("id_a"),
+                     F.col("_grams").alias("_ga"))
+    gb = docs.select(F.col("_id").alias("id_b"),
+                     F.col("_grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size(F.array_union("_ga", "_gb"))
+    jac = inter / union
+    return (pairs.select("id_a", "id_b")
+            .join(ga, "id_a").join(gb, "id_b")
             .select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= min_jaccard))
 

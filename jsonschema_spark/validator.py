@@ -68,6 +68,10 @@ class CompiledValidator:
             dynamic_scope=(root_uri,))
         node = compile_subschema(ctx, schema)
         self.checks: list[Check] = node.checks
+        #: anyOf/oneOf branch errors (ValidationError.context analogue,
+        #: exceptions.py:120-131) — excluded from validity and from the
+        #: default violations output, consumed by best_match descent
+        self.context_checks: list[Check] = node.context
         self._extra_ok = node._extra_ok
         self.warnings: list[str] = list(ctx.warnings)
 
@@ -123,6 +127,43 @@ class CompiledValidator:
             F.col("_v.message").alias("message"),
             F.col("_v.failing_value").alias("failing_value"),
         )
+
+    def violations_with_context(self, df: DataFrame,
+                                id_cols: Sequence[str] = ()) -> DataFrame:
+        """Like :meth:`violations` plus anyOf/oneOf *context* rows
+        (branch errors that explain why a composite failed —
+        ``ValidationError.context``, exceptions.py:120-131), each
+        carrying ``context_of`` = the composite's schema_path (NULL for
+        top-level errors).  Context rows fire only when their composite
+        fails; they feed :func:`operators.bestmatch.best_match_deep`."""
+        structs = [
+            F.when(~F.coalesce(c.pred, F.lit(True)), F.struct(
+                F.lit(c.keyword).alias("keyword"),
+                F.lit(c.json_path).alias("json_path"),
+                F.lit(c.schema_path).alias("schema_path"),
+                c.message.cast("string").alias("message"),
+                c.failing_value.cast("string").alias("failing_value"),
+                F.lit(c.context_of).cast("string").alias("context_of"),
+            ))
+            for c in self.checks + self.context_checks
+        ]
+        ddl = ("array<struct<keyword:string,json_path:string,"
+               "schema_path:string,message:string,failing_value:string,"
+               "context_of:string>>")
+        arr = (F.filter(F.array(*structs), lambda x: x.isNotNull())
+               if structs else F.array().cast(ddl))
+        keep = [F.col(c) for c in id_cols]
+        exploded = (df
+                    .select(*keep, arr.alias("_violations"))
+                    .filter(F.size("_violations") > 0)
+                    .select(*keep, F.explode("_violations").alias("_v")))
+        return exploded.select(
+            *keep, F.col("_v.keyword").alias("keyword"),
+            F.col("_v.json_path").alias("json_path"),
+            F.col("_v.schema_path").alias("schema_path"),
+            F.col("_v.message").alias("message"),
+            F.col("_v.failing_value").alias("failing_value"),
+            F.col("_v.context_of").alias("context_of"))
 
     # ------------------------------------------------------------- manifest
     def manifest(self, df: DataFrame,

@@ -71,3 +71,48 @@ def test_planted_violation_rates(spark, frames):
     invalid = sum(0 if r["valid"] else 1 for r in engine.values())
     # planted row-level rates sum to ~2.2%; allow slack for overlap
     assert 0.01 < invalid / N < 0.05
+
+
+def test_best_match_context_descent_matches_reference(spark):
+    """best_match_deep reproduces the reference's context descent
+    (exceptions.py:440-490) on a nested anyOf/oneOf spec: the chosen
+    (keyword, json_path) per row equals jsonschema's best_match."""
+    from jsonschema.exceptions import best_match as ref_best_match
+    from jsonschema_spark.operators.bestmatch import best_match_deep
+
+    schema = {
+        "anyOf": [
+            {"properties": {"a": {"minimum": 10}},
+             "required": ["a"]},
+            {"properties": {"b": {"type": "string", "minLength": 5}},
+             "required": ["b"]},
+            {"anyOf": [
+                {"properties": {"c": {"maximum": 0}}, "required": ["c"]},
+            ]},
+        ],
+    }
+    rows = [
+        (0, 3, "xy", 5),       # fails every branch at depth 1
+        (1, None, "x", 5),     # b too short, a absent, c too big
+        (2, 3, None, None),    # only a present, too small
+        (3, None, None, 7),    # only c present, too big
+    ]
+    df = spark.createDataFrame(rows, "_row int, a int, b string, c int")
+    v = CompiledValidator(schema, df)
+    got = {r["_row"]: (r["keyword"], r["json_path"])
+           for r in best_match_deep(
+               v.violations_with_context(df, ["_row"]), ["_row"]).collect()}
+
+    ref = jsonschema.Draft202012Validator(schema)
+    for _row, a, b, c in rows:
+        inst = {k: val for k, val in
+                zip(["a", "b", "c"], [a, b, c]) if val is not None}
+        err = ref_best_match(ref.iter_errors(inst))
+        if err is None:
+            assert _row not in got
+            continue
+        path = "$" + "".join(
+            f"[{p}]" if isinstance(p, int) else f".{p}"
+            for p in err.absolute_path)
+        assert got[_row] == (err.validator, path), (
+            _row, got[_row], (err.validator, path))
