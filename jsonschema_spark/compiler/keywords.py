@@ -39,9 +39,14 @@ def _type_pred_for(ctx: CompileContext, t: str) -> Optional[Column]:
     Returns ``None`` for a statically-guaranteed match (no runtime check
     needed), or a Column, or ``F.lit(False)`` for a static mismatch.
     bool-is-not-int per _types.py:34-38; draft6+ integer-valued floats per
-    _types.py:195-201.
+    _types.py:195-201.  Registry-level redefinitions
+    (``KeywordRegistry.redefine_type``, the TypeChecker.redefine
+    analogue, _types.py:122-154) take precedence.
     """
     c = ctx.target
+    override = getattr(ctx.registry, "type_predicates", {}).get(t)
+    if override is not None:
+        return override(ctx)
     if t == "any":
         return None
     if t == "null":
@@ -70,7 +75,8 @@ def _type_pred_for(ctx: CompileContext, t: str) -> Optional[Column]:
 def c_type(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
     """`type` (_keywords.py:282-287)."""
     types = value if isinstance(value, list) else [value]
-    bad = [t for t in types if t not in _JSON_TYPES]
+    known = _JSON_TYPES | set(getattr(ctx.registry, "type_predicates", {}))
+    bad = [t for t in types if t not in known]
     if bad:
         raise SchemaCompileError(f"invalid type value(s) {bad}")
     if _row_scope(ctx):

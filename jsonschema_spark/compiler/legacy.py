@@ -153,8 +153,13 @@ _IGNORE = lambda ctx, value, schema: None  # noqa: E731
 def _type_or_schema_pred(ctx: CompileContext, t: Any):
     """draft3 type union member: a type name or a whole schema
     (_legacy_keywords.py:195-217).  Returns (pred_or_None, static_bool)."""
+    from pyspark.sql import functions as _F
     from .keywords import _type_pred_for
     if isinstance(t, str):
+        # draft3, like draft4, has the strict integer rule: an
+        # integer-valued float is NOT an integer (_types.py:182-193)
+        if t == "integer" and not ctx.is_integral() and ctx.is_numeric():
+            return _F.lit(False)
         return _type_pred_for(ctx, t)
     node = compile_subschema(ctx.child(schema_fragment="type"), t)
     cols = [c.pred for c in node.checks] + list(node._extra_ok)
@@ -271,10 +276,39 @@ def draft3_registry() -> KeywordRegistry:
     return reg
 
 
+def c_content_encoding_draft7(ctx: CompileContext, value: Any,
+                              schema: dict) -> Optional[Node]:
+    """draft7 `contentEncoding` asserted (the one draft where content
+    keywords validate; 2019+ made them pure annotations).  The reference
+    doesn't implement them at all — this is a superset."""
+    if ctx.target is None or not ctx.is_string() or value != "base64":
+        return None
+    pred = F.try_to_binary(ctx.target, F.lit("base64")).isNotNull()
+    return make_check(ctx, "contentEncoding", pred,
+                      F.format_string("%s is not valid base64",
+                                      stringify(ctx)))
+
+
+def c_content_media_type_draft7(ctx: CompileContext, value: Any,
+                                schema: dict) -> Optional[Node]:
+    """draft7 `contentMediaType` asserted (application/json only; other
+    media types pass like unknown formats)."""
+    if ctx.target is None or not ctx.is_string() \
+            or value != "application/json":
+        return None
+    target = ctx.target
+    if schema.get("contentEncoding") == "base64":
+        target = F.try_to_binary(ctx.target, F.lit("base64")).cast("string")
+    pred = F.try_parse_json(target).isNotNull()
+    return make_check(ctx, "contentMediaType", pred,
+                      F.format_string("%s is not valid application/json",
+                                      stringify(ctx)))
+
+
 def draft7_registry() -> KeywordRegistry:
     """Draft 7 profile: legacy items/additionalItems/dependencies,
-    $ref ignores siblings, no 2019-09/2020-12 keywords
-    (validators.py:718-761)."""
+    asserted content keywords, $ref ignores siblings, no
+    2019-09/2020-12 keywords (validators.py:718-761)."""
     reg = KeywordRegistry()
     keywords.register_all(reg)
     applicators.register_all(reg)
@@ -282,14 +316,18 @@ def draft7_registry() -> KeywordRegistry:
         "items": c_items_legacy,
         "additionalItems": c_additional_items,
         "dependencies": c_dependencies,
+        "contentEncoding": c_content_encoding_draft7,
+        "contentMediaType": c_content_media_type_draft7,
     }).without(*_KW_2019, *_KW_2020)
     reg.ref_ignores_siblings = True
     return reg
 
 
 def draft6_registry() -> KeywordRegistry:
-    """Draft 6 = draft 7 minus if/then/else (validators.py:674-716)."""
-    reg = draft7_registry().without("if")
+    """Draft 6 = draft 7 minus if/then/else and the content keywords
+    (both arrived in draft 7; validators.py:674-716)."""
+    reg = draft7_registry().without("if", "contentEncoding",
+                                    "contentMediaType")
     reg.ref_ignores_siblings = True
     return reg
 
@@ -317,7 +355,8 @@ def draft4_registry() -> KeywordRegistry:
         "exclusiveMinimum": _IGNORE,   # boolean modifier, read by minimum
         "exclusiveMaximum": _IGNORE,
         "type": c_type_draft4,
-    }).without("const", "contains", "propertyNames", "if")
+    }).without("const", "contains", "propertyNames", "if",
+               "contentEncoding", "contentMediaType")
     reg.ref_ignores_siblings = True
     return reg
 

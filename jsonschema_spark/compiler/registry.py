@@ -52,6 +52,9 @@ class KeywordRegistry:
 
     def __init__(self, compilers: Optional[dict[str, CompilerFn]] = None):
         self._compilers: dict[str, CompilerFn] = dict(compilers or {})
+        #: custom `type` predicates: name -> fn(ctx) -> Column|None
+        #: (None = statically satisfied) — see redefine_type
+        self.type_predicates: dict[str, Any] = {}
 
     def register(self, keyword: str, fn: CompilerFn) -> None:
         self._compilers[keyword] = fn
@@ -65,6 +68,17 @@ class KeywordRegistry:
         out = KeywordRegistry(merged)
         out.ref_ignores_siblings = self.ref_ignores_siblings
         out.assert_formats = self.assert_formats
+        out.type_predicates = dict(self.type_predicates)
+        return out
+
+    def redefine_type(self, name: str, fn: Any) -> "KeywordRegistry":
+        """TypeChecker.redefine analogue (_types.py:122-154): returns a
+        copy where JSON type `name` compiles via `fn(ctx) -> Column |
+        None` (None = statically satisfied for the bound Spark type).
+        Redefining a built-in name overrides it; new names extend the
+        vocabulary accepted by `type`."""
+        out = self.extend({})
+        out.type_predicates[name] = fn
         return out
 
     def without(self, *keywords: str) -> "KeywordRegistry":
@@ -159,10 +173,10 @@ def compile_subschema(ctx: CompileContext, schema: Any) -> Node:
         schema = {"$ref": schema["$ref"]}
     out = Node()
     for keyword, value in schema.items():
-        if keyword in ANNOTATION_KEYWORDS:
-            continue
         fn = ctx.registry.get(keyword)
         if fn is None:
+            if keyword in ANNOTATION_KEYWORDS:
+                continue
             # unknown keywords are ignored by the reference (filtered at
             # precompile, validators.py:293-297); we warn once.
             ctx.warn(f"unknown keyword {keyword!r} ignored")

@@ -261,6 +261,43 @@ def evaluate_case(spark: SparkSession, schema: Any,
     return verdicts
 
 
+def _reference_parity_skip(file: str, case_desc: str) -> Optional[str]:
+    """Case groups the reference's own CI skips
+    (tests/test_jsonschema_test_suite.py:29-210) — skipped here with the
+    same rationale rather than counted as failures."""
+    if "Unicode property escape" in case_desc:
+        return ("ECMA Unicode property escapes "
+                "(reference skips these too, :35-36)")
+    if file == "hostname.json" and "A-label (punycode)" in case_desc:
+        return ("full punycode/IDNA hostname validation "
+                "(reference skips these too, hostname_validation)")
+    return None
+
+
+#: the reference's idn_hostname_validation skip list, verbatim
+#: (tests/test_jsonschema_test_suite.py)
+_IDN_HOSTNAME_REF_SKIPS = frozenset({
+    "trailing dot",
+    "trailing ideographic full stop",
+    "trailing fullwidth full stop",
+    "trailing halfwidth ideographic full stop",
+    "Bidi domain name with a digit-first label is invalid",
+    "non-canonical Punycode that does not re-encode to itself is invalid",
+})
+
+
+def _reference_parity_skip_test(file: str, test_desc: str) -> Optional[str]:
+    """Individual tests the reference's CI skips (leap_second /
+    idn_hostname_validation at tests/test_jsonschema_test_suite.py)."""
+    if file in ("time.json", "date-time.json") and "leap second" in test_desc:
+        return "leap seconds (reference skips these too, leap_second)"
+    if file == "idn-hostname.json" \
+            and test_desc in _IDN_HOSTNAME_REF_SKIPS:
+        return ("IDNA canonicalization/Bidi/separator edge cases "
+                "(reference skips these too, idn_hostname_validation)")
+    return None
+
+
 def _meta_wants_format_assertion(schema: Any, resolver: Resolver) -> bool:
     """True when the case's custom meta-schema declares the
     format-assertion vocabulary (2020-12 core §8.1.2) — those cases
@@ -314,14 +351,12 @@ def run_suite(spark: SparkSession, draft: str = "draft2020-12",
         for g in groups:
             schema = g["schema"]
             tests = g["tests"]
-            if "Unicode property escape" in g["description"]:
-                # the reference skips these too: "requires ECMA-like
-                # regexes" (tests/test_jsonschema_test_suite.py:35-36)
+            skip_reason = _reference_parity_skip(name, g["description"])
+            if skip_reason:
                 for t in tests:
                     report.results.append(CaseResult(
                         name, g["description"], t["description"],
-                        "skip", "ECMA Unicode property escapes "
-                                "(reference skips these too)"))
+                        "skip", skip_reason))
                 continue
             insts = [t["data"] for t in tests]
             reg = registry
@@ -345,7 +380,12 @@ def run_suite(spark: SparkSession, draft: str = "draft2020-12",
                         "fail", f"error: {type(e).__name__}: {e}"))
                 continue
             for t, got in zip(tests, verdicts):
-                if got is None:
+                tskip = _reference_parity_skip_test(name, t["description"])
+                if tskip:
+                    report.results.append(CaseResult(
+                        name, g["description"], t["description"],
+                        "skip", tskip))
+                elif got is None:
                     report.results.append(CaseResult(
                         name, g["description"], t["description"],
                         "skip", "unrepresentable instance"))

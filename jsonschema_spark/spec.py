@@ -33,8 +33,12 @@ def _is_number(v: Any) -> bool:
     return isinstance(v, (int, float)) and not isinstance(v, bool)
 
 
-def check_schema(schema: Any, path: str = "#") -> None:
-    """Raise :class:`SchemaCompileError` if the spec is malformed."""
+def check_schema(schema: Any, path: str = "#",
+                 extra_types: frozenset = frozenset()) -> None:
+    """Raise :class:`SchemaCompileError` if the spec is malformed.
+    `extra_types` admits registry-redefined type names
+    (KeywordRegistry.redefine_type, the TypeChecker.redefine
+    analogue)."""
     if isinstance(schema, bool):
         return
     if not isinstance(schema, dict):
@@ -49,8 +53,9 @@ def check_schema(schema: Any, path: str = "#") -> None:
         vals = v if isinstance(v, list) else [v]
         for t in vals:
             if isinstance(t, dict):          # draft3: type may be a schema
-                check_schema(t, f"{path}/type")
-            elif not (isinstance(t, str) and t in _TYPES):
+                check_schema(t, f"{path}/type", extra_types)
+            elif not (isinstance(t, str) and (t in _TYPES
+                                              or t in extra_types)):
                 raise bad("type", f"invalid type value {v!r}")
     if "enum" in schema:
         if not isinstance(schema["enum"], list) or not schema["enum"]:
@@ -110,25 +115,25 @@ def check_schema(schema: Any, path: str = "#") -> None:
                     raise bad("dependencies",
                               f"{name!r}: array form must hold strings")
             else:
-                check_schema(dep, f"{path}/dependencies/{name}")
+                check_schema(dep, f"{path}/dependencies/{name}", extra_types)
     for kw in _SCHEMA_KW:
         if kw in schema:
             v = schema[kw]
             if kw == "items" and isinstance(v, list):
                 # draft4-2019 positional form (_legacy_keywords.py:92-103)
                 for i, sub in enumerate(v):
-                    check_schema(sub, f"{path}/items/{i}")
+                    check_schema(sub, f"{path}/items/{i}", extra_types)
                 continue
-            check_schema(v, f"{path}/{kw}")
+            check_schema(v, f"{path}/{kw}", extra_types)
     if "additionalItems" in schema:
-        check_schema(schema["additionalItems"], f"{path}/additionalItems")
+        check_schema(schema["additionalItems"], f"{path}/additionalItems", extra_types)
     for kw in _SCHEMA_LIST_KW:
         if kw in schema:
             v = schema[kw]
             if not isinstance(v, list) or (kw != "prefixItems" and not v):
                 raise bad(kw, "must be a non-empty array of schemas")
             for i, sub in enumerate(v):
-                check_schema(sub, f"{path}/{kw}/{i}")
+                check_schema(sub, f"{path}/{kw}/{i}", extra_types)
     for kw in _SCHEMA_MAP_KW:
         if kw in schema:
             v = schema[kw]
@@ -140,4 +145,4 @@ def check_schema(schema: Any, path: str = "#") -> None:
                         re.compile(name)
                     except re.error as e:
                         raise bad(kw, f"invalid regex key {name!r}: {e}")
-                check_schema(sub, f"{path}/{kw}/{name}")
+                check_schema(sub, f"{path}/{kw}/{name}", extra_types)

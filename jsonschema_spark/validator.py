@@ -44,7 +44,8 @@ class CompiledValidator:
         ``Draft202012Validator(schema, format_checker=...)``
         (_keywords.py:223-228); the default is annotation-only like the
         reference."""
-        check_schema(schema)
+        extra = frozenset(getattr(registry, "type_predicates", ()) or ())
+        check_schema(schema, extra_types=extra)
         self.schema = schema
         if registry is None:
             # validator_for: $schema picks the draft profile

@@ -193,3 +193,31 @@ def test_format_keywords(spark):
     # unknown format always passes (_format.py:133-134)
     schema = {"properties": {"s": {"format": "no-such-format"}}}
     assert _valid_flags(spark, ddl, rows, schema, **fc) == [True, True]
+
+
+def test_redefine_type(spark):
+    """TypeChecker.redefine analogue (_types.py:122-154): a registry
+    copy with a custom/overridden type predicate."""
+    from pyspark.sql import functions as F
+    from jsonschema_spark.compiler.registry import default_registry
+
+    # new type name: "even_int"
+    reg = default_registry().redefine_type(
+        "even_int", lambda ctx: (ctx.target % 2 == 0)
+        if ctx.is_integral() else F.lit(False))
+    ddl = "_i int, x int"
+    rows = [(0, 2), (1, 3), (2, None)]
+    schema = {"properties": {"x": {"type": "even_int"}}}
+    assert _valid_flags(spark, ddl, rows, schema, registry=reg) == [
+        True, False, True]
+    # overriding a built-in: "string" now also requires non-empty
+    reg2 = default_registry().redefine_type(
+        "string", lambda ctx: (F.length(ctx.target) > 0)
+        if ctx.is_string() else F.lit(False))
+    ddl = "_i int, s string"
+    rows = [(0, "a"), (1, "")]
+    schema = {"properties": {"s": {"type": "string"}}}
+    assert _valid_flags(spark, ddl, rows, schema, registry=reg2) == [
+        True, False]
+    # the default registry is untouched
+    assert _valid_flags(spark, ddl, rows, schema) == [True, True]
