@@ -335,13 +335,16 @@ def draft6_registry() -> KeywordRegistry:
 def draft2019_registry() -> KeywordRegistry:
     """Draft 2019-09: legacy items/additionalItems (positional form),
     modern dependent*/$recursiveRef, $ref siblings evaluated, no
-    2020-12 prefixItems/$dynamicRef (validators.py:763-810)."""
+    2020-12 prefixItems/$dynamicRef (validators.py:763-810).
+    `dependencies` kept as the optional compatibility keyword (suite
+    optional/dependencies-compatibility.json)."""
     reg = KeywordRegistry()
     keywords.register_all(reg)
     applicators.register_all(reg)
     return reg.extend({
         "items": c_items_legacy,
         "additionalItems": c_additional_items,
+        "dependencies": c_dependencies,
     }).without(*_KW_2020)
 
 

@@ -224,6 +224,11 @@ def default_registry() -> KeywordRegistry:
         keywords.register_all(reg)
         applicators.register_all(reg)
         # $recursiveRef is 2019-09 only (validators.py:812-857 has no
-        # entry for it)
+        # entry for it); `dependencies` is supported as the optional
+        # compatibility keyword (suite
+        # optional/dependencies-compatibility.json — a superset of the
+        # reference, which ignores it)
+        from .legacy import c_dependencies
+        reg.register("dependencies", c_dependencies)
         _DEFAULT = reg.without("$recursiveRef")
     return _DEFAULT

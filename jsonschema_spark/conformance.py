@@ -107,9 +107,6 @@ def base_resolver(draft: str) -> Resolver:
 #: suite files skipped wholesale, with the documented reason
 FILE_SKIPS = {
     "vocabulary.json": "custom $vocabulary/meta-schema machinery",
-    "dependencies-compatibility.json":
-        "dependencies is not a 2020-12 core keyword — the reference's "
-        "Draft202012Validator ignores it too",
     "ecmascript-regex.json":
         "ECMA-262 regex dialect — the reference skips these "
         "(tests/test_jsonschema_test_suite.py:29-31)",

@@ -122,3 +122,41 @@ def test_runner_resume(spark, tmp_path):
     # violations written under part= dirs and readable as one table
     viol = spark.read.parquet(str(tmp_path / "out" / "violations"))
     assert viol.count() > 0
+
+
+def test_runner_single_pass_many_groups(spark, tmp_path):
+    """The single-pass rewrite: >=8 partition groups complete in ONE
+    partitionBy write + ONE aggregate pass (no per-group rescan loop);
+    partial resume re-runs only uncommitted groups and the manifest
+    stays per-partition."""
+    from pyspark.sql import functions as F
+    from jsonschema_spark.runner import ValidationRun
+
+    df = (spark.range(4000)
+          .select(F.col("id").alias("rid"),
+                  (F.col("id") % 10).cast("string").alias("grp"),
+                  (F.col("id") % 7).alias("x")))
+    schema = {"properties": {"x": {"maximum": 5}}}
+    out = str(tmp_path / "out8")
+    run = ValidationRun(spark, out, schema, "grp")
+    before = spark.sparkContext.statusTracker()
+    r1 = run.run(df, ["rid"])
+    assert len(r1.completed) == 10 and r1.skipped == []
+    m = {r["partition_key"]: r for r in run.manifest().collect()}
+    assert len(m) == 10
+    assert sum(r["rows"] for r in m.values()) == 4000
+    # x in {6} fails per group of 10: ids with id%7==6 -> 4000/7 ~ 571
+    assert sum(r["invalid_rows"] for r in m.values()) == \
+        df.filter("x > 5").count()
+    # simulate a half-committed run: drop 3 manifest groups' rows by
+    # rewriting the manifest without them, then resume
+    keep = run.manifest().filter(~F.col("partition_key").isin("1", "2", "3"))
+    keep.write.mode("overwrite").parquet(str(tmp_path / "m2"))
+    spark.read.parquet(str(tmp_path / "m2")).write.mode("overwrite") \
+        .parquet(run.manifest_path)
+    r2 = run.run(df, ["rid"])
+    assert sorted(r2.completed) == ["1", "2", "3"]
+    assert len(r2.skipped) == 7
+    # violations dir readable as one table, partitioned by part
+    viol = spark.read.parquet(out + "/violations")
+    assert viol.filter(F.col("part").isin("1", "2", "3")).count() > 0
