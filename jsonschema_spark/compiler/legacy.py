@@ -251,6 +251,20 @@ _KW_2019 = ("dependentRequired", "dependentSchemas", "unevaluatedItems",
 _KW_2020 = ("prefixItems", "$dynamicRef")
 
 
+def c_format_draft3(ctx: CompileContext, value: Any,
+                    schema: dict) -> Optional[Node]:
+    """draft3 `time` is a bare HH:MM:SS wall-clock (no RFC 3339 offset
+    — reference _format.py is_draft3_time via strptime %H:%M:%S)."""
+    if value == "time" and ctx.target is not None and ctx.is_string() \
+            and getattr(ctx.registry, "assert_formats", False):
+        pred = ctx.target.rlike(
+            r"\A([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)\z")
+        return make_check(ctx, "format", pred,
+                          F.format_string("%s is not a time",
+                                          stringify(ctx)))
+    return keywords.c_format(ctx, value, schema)
+
+
 def draft3_registry() -> KeywordRegistry:
     reg = KeywordRegistry()
     keywords.register_all(reg)
@@ -268,6 +282,7 @@ def draft3_registry() -> KeywordRegistry:
         "maximum": c_maximum_draft4,
         "exclusiveMinimum": _IGNORE,
         "exclusiveMaximum": _IGNORE,
+        "format": c_format_draft3,
     }).without(*_KW_2019, *_KW_2020,
                "allOf", "anyOf", "oneOf", "not", "if", "const", "contains",
                "propertyNames", "minProperties", "maxProperties",
