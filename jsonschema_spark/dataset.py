@@ -95,3 +95,70 @@ def validate_dataset(df: DataFrame, schema: dict,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def full_check_counts(df: DataFrame, schema: dict,
+                      unique_keys: Sequence[str] = (),
+                      referential: Optional[Sequence[tuple]] = None,
+                      ) -> dict:
+    """Scan-fused dataset check: validation counts, per-key duplicate
+    groups, and referential orphan counts in **one keyed pass per unique
+    key** (plus zero extra passes for validation/referential).
+
+    The insight: a uniqueness check already pays one groupBy(key) pass
+    over every row, and that pass can CARRY the per-row work — the
+    is_valid predicate sum and the broadcast-dim membership test ride
+    along as aggregate expressions, so "validate + unique(image_id) +
+    unique(phash) + referential" costs 2 scans/shuffles instead of 4
+    jobs.  Referential dims are collected driver-side (they are
+    broadcast-sized by contract) and compiled into codegen'd `isin`
+    membership sets — no join node at all.
+
+    `referential` is a sequence of (fk_col, dim_df, dim_key).
+    Returns {"rows", "invalid_rows", "dup_groups": {key: n},
+    "orphans": {fk_col: n}}.
+    """
+    from .validator import CompiledValidator
+
+    v = CompiledValidator({k: s for k, s in schema.items()
+                           if k != "x-spark"}, df)
+    valid = F.coalesce(v.valid_column, F.lit(True))
+    extra_aggs = [F.count(F.lit(1)).alias("_c"),
+                  F.sum((~valid).cast("long")).alias("_bad")]
+    orphan_cols: dict[str, str] = {}
+    for i, (fk, dim_df, dim_key) in enumerate(referential or ()):
+        keys = [r[0] for r in dim_df.select(dim_key).distinct().collect()]
+        miss = F.col(fk).isNotNull() & ~F.col(fk).isin(keys)
+        extra_aggs.append(F.sum(miss.cast("long")).alias(f"_orph{i}"))
+        orphan_cols[fk] = f"_orph{i}"
+
+    out: dict = {"dup_groups": {}, "orphans": {}}
+    keys = list(unique_keys) or ["__nogroup__"]
+    first = True
+    for key in keys:
+        if key == "__nogroup__":
+            row = df.agg(*extra_aggs).collect()[0]
+            out["rows"] = row["_c"]
+            out["invalid_rows"] = row["_bad"]
+            for fk, c in orphan_cols.items():
+                out["orphans"][fk] = row[c]
+            break
+        if first:
+            g = df.groupBy(key).agg(*extra_aggs)
+            agg = g.agg(
+                F.sum("_c").alias("rows"),
+                F.sum("_bad").alias("bad"),
+                F.sum((F.col("_c") > 1).cast("long")).alias("dups"),
+                *[F.sum(c).alias(c) for c in orphan_cols.values()],
+            ).collect()[0]
+            out["rows"] = agg["rows"]
+            out["invalid_rows"] = agg["bad"] or 0
+            out["dup_groups"][key] = agg["dups"] or 0
+            for fk, c in orphan_cols.items():
+                out["orphans"][fk] = agg[c] or 0
+            first = False
+        else:
+            n = (df.groupBy(key).agg(F.count(F.lit(1)).alias("_c"))
+                 .filter(F.col("_c") > 1).count())
+            out["dup_groups"][key] = n
+    return out

@@ -53,25 +53,31 @@ def duplicate_keys(df: DataFrame, keys: Sequence[str],
         return (partial.groupBy(*kcols)
                 .agg(F.sum("_c").alias("dup_count"))
                 .filter(F.col("dup_count") > 1))
-    if strategy == "plain":
-        return (df.groupBy(*kcols)
-                .agg(F.count(F.lit(1)).alias("dup_count"))
-                .filter(F.col("dup_count") > 1))
-    # default: hash-prefilter + exact verify.  A uniqueness check on a
-    # mostly-unique key defeats map-side combine (every group has one
-    # member), so the naive groupBy shuffles every full-width key.  Phase
-    # 1 shuffles only xxhash64(key) (8 bytes/row); phase 2 re-counts the
-    # exact keys among candidate-hash rows only (a broadcast semi-join —
-    # empty when the data is clean), so hash collisions can never yield
-    # false duplicates.  At 10^12 rows this cuts shuffle bytes ~5x and
-    # makes the clean-data path near-shuffle-free after the hash agg.
-    h = F.xxhash64(*kcols)
-    cand = (df.select(h.alias("_h"))
-            .groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
-            .filter(F.col("_c") > 1))
-    hits = (df.select(*kcols, h.alias("_h"))
-            .join(F.broadcast(cand.select("_h")), "_h"))
-    return (hits.groupBy(*kcols)
+    if strategy == "hash_prefilter":
+        # two-phase for WIDE keys over stored tables: phase 1 shuffles
+        # only xxhash64(key) (8 bytes/row) and collects the candidate
+        # duplicate hashes (tiny); clean data -> done after one narrow
+        # pass.  Phase 2 re-counts exact keys behind a codegen'd
+        # hash-membership filter, so collisions can never yield false
+        # duplicates.  Opt-in: on narrow keys or compute-generated
+        # inputs the second scan costs more than the narrower shuffle
+        # saves (measured), so the single-pass groupBy stays default.
+        h = F.xxhash64(*kcols)
+        cand_rows = (df.select(h.alias("_h"))
+                     .groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+                     .filter(F.col("_c") > 1)
+                     .select("_h").limit(100_001).collect())
+        if not cand_rows:
+            return df.sparkSession.createDataFrame(
+                [], df.select(*kcols).schema.add("dup_count", "long"))
+        if len(cand_rows) <= 100_000:
+            hashes = [r["_h"] for r in cand_rows]
+            return (df.filter(h.isin(hashes))
+                    .groupBy(*kcols)
+                    .agg(F.count(F.lit(1)).alias("dup_count"))
+                    .filter(F.col("dup_count") > 1))
+        # massive duplication: the prefilter buys nothing; fall through
+    return (df.groupBy(*kcols)
             .agg(F.count(F.lit(1)).alias("dup_count"))
             .filter(F.col("dup_count") > 1))
 
