@@ -379,6 +379,48 @@ def draft4_registry() -> KeywordRegistry:
     return reg
 
 
+#: 2020-12 vocabulary URI suffix -> the keywords it contributes
+#: (core §8.1; core itself cannot be disabled)
+_VOCABULARIES = {
+    "/vocab/validation": (
+        "type", "enum", "const", "multipleOf", "maximum",
+        "exclusiveMaximum", "minimum", "exclusiveMinimum", "maxLength",
+        "minLength", "pattern", "maxItems", "minItems", "uniqueItems",
+        "maxContains", "minContains", "maxProperties", "minProperties",
+        "required", "dependentRequired"),
+    "/vocab/applicator": (
+        "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+        "dependentSchemas", "prefixItems", "items", "contains",
+        "properties", "patternProperties", "additionalProperties",
+        "propertyNames"),
+    "/vocab/unevaluated": ("unevaluatedItems", "unevaluatedProperties"),
+}
+
+
+def apply_vocabulary(registry: KeywordRegistry, schema: Any,
+                     resolver: Any) -> KeywordRegistry:
+    """Vocabulary-aware profile (2020-12 core §8.1): when the schema's
+    `$schema` resolves to a registered meta-schema declaring
+    `$vocabulary`, keywords of absent vocabularies are dropped (they
+    become unknown, hence ignored); unrecognized optional vocabularies
+    are themselves ignored.  format-assertion is handled separately
+    (the assert_formats flag)."""
+    if not isinstance(schema, dict) or resolver is None:
+        return registry
+    from urllib.parse import urldefrag
+    meta = resolver.documents.get(urldefrag(schema.get("$schema", ""))[0])
+    if not isinstance(meta, dict):
+        return registry
+    voc = meta.get("$vocabulary")
+    if not isinstance(voc, dict):
+        return registry
+    declared = {u.rstrip("/") for u in voc}
+    for suffix, kws in _VOCABULARIES.items():
+        if not any(u.endswith(suffix) for u in declared):
+            registry = registry.without(*kws)
+    return registry
+
+
 #: $schema URI -> registry factory — the engine's validator_for
 #: (validators.py:1335-1410)
 PROFILES = {

@@ -106,7 +106,6 @@ def base_resolver(draft: str) -> Resolver:
 
 #: suite files skipped wholesale, with the documented reason
 FILE_SKIPS = {
-    "vocabulary.json": "custom $vocabulary/meta-schema machinery",
     "ecmascript-regex.json":
         "ECMA-262 regex dialect — the reference skips these "
         "(tests/test_jsonschema_test_suite.py:29-31)",
@@ -361,6 +360,8 @@ def run_suite(spark: SparkSession, draft: str = "draft2020-12",
                     schema, resolver):
                 reg = registry.extend({})
                 reg.assert_formats = True
+            from .compiler.legacy import apply_vocabulary
+            reg = apply_vocabulary(reg, schema, resolver)
             try:
                 verdicts = evaluate_case(spark, schema, insts, reg,
                                          resolver=resolver)

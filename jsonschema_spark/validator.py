@@ -61,6 +61,12 @@ class CompiledValidator:
         for uri, doc in (schema_store or {}).items():
             resolver.add_document(uri, doc)
         root_uri = resolver.add_root(schema)
+        if schema_store:
+            # a registered custom meta-schema's $vocabulary trims the
+            # active keyword set (2020-12 core §8.1)
+            from .compiler.legacy import apply_vocabulary
+            self.registry = apply_vocabulary(self.registry, schema,
+                                             resolver)
         ctx = CompileContext(
             registry=self.registry, target=None, dtype=None,
             root_schema=schema if isinstance(schema, dict) else None,
