@@ -434,13 +434,16 @@ def q_embeddings_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = brute_force_topk(e, "vec_id", "embedding", k=3) \
         .select("id", "neighbour_id")
     ann = ivf_topk(e, "vec_id", "embedding", k=3, n_lists=16, n_probe=12) \
-        .select("id", "neighbour_id")
-    n_truth = truth.count()
-    n_hit = truth.join(ann, ["id", "neighbour_id"], "left_semi").count()
-    n_queries = truth.select("id").distinct().count()
-    recall_ok = n_truth > 0 and (n_hit / n_truth) >= 0.9
+        .select("id", "neighbour_id").withColumn("_hit", F.lit(1))
+    # ONE action: truth and ann pipelines each execute once
+    row = (truth.join(ann, ["id", "neighbour_id"], "left")
+           .agg(F.count(F.lit(1)).alias("n_truth"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+                F.countDistinct("id").alias("n_queries"))).collect()[0]
+    recall_ok = (row["n_truth"] or 0) > 0 and \
+        (row["n_hit"] / row["n_truth"]) >= 0.9
     return spark.createDataFrame(
-        [(3, n_queries, bool(recall_ok))],
+        [(3, row["n_queries"], bool(recall_ok))],
         "k int, n_queries bigint, recall_ok boolean")
 
 
