@@ -87,6 +87,27 @@ def schemas(draw):
         ]
     if draw(st.booleans()):
         out["not"] = {"required": [draw(st.sampled_from(sorted(COLUMNS)))]}
+    if draw(st.booleans()):
+        # route property subschemas through the reference machinery:
+        # JSON-pointer $refs, plain-name $anchors, and $id-embedded
+        # resources — the resolver paths (compiler/resolver.py) must
+        # agree with the reference's referencing-backed resolution
+        defs = {}
+        for i, (col, sub) in enumerate(sorted(props.items())):
+            mode = draw(st.sampled_from(
+                ["inline", "pointer", "anchor", "resource"]))
+            if mode == "pointer":
+                defs[f"d{i}"] = sub
+                props[col] = {"$ref": f"#/$defs/d{i}"}
+            elif mode == "anchor":
+                defs[f"d{i}"] = dict(sub, **{"$anchor": f"anch{i}"})
+                props[col] = {"$ref": f"#anch{i}"}
+            elif mode == "resource":
+                defs[f"d{i}"] = dict(
+                    sub, **{"$id": f"https://fuzz.example/r{i}"})
+                props[col] = {"$ref": f"https://fuzz.example/r{i}"}
+        if defs:
+            out["$defs"] = defs
     return out
 
 
