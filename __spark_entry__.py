@@ -509,6 +509,22 @@ def q_images_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("keyword"))
 
 
+def q_images_bmp_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec pixel invariant (rows-only: synthesized payloads):
+    actual Windows-BMP files decoded with the built-in numpy codec,
+    PSNR measured against the per-id reference pixels; planted
+    truncation and pixel corruption must be flagged."""
+    from jsonschema_spark.operators.multimodal import psnr_check_real
+    from jsonschema_spark.sources.images import bmp_images_df
+    img = bmp_images_df(spark, 2_000)
+    v = psnr_check_real(img)
+    return (v.groupBy("keyword")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("failing_value").cast("double") > 0)
+                       .cast("long")).alias("n_decoded_low_psnr"))
+            .orderBy("keyword"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: lineitem validation ->
     violation counts by keyword."""
@@ -538,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_vs_exact": q_simhash_vs_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "images_validation": q_images_validation,
+        "images_bmp_validation": q_images_bmp_validation,
         "composition_orders": q_composition_orders,
         "array_keywords_lineitem": q_array_keywords_lineitem,
         "quantiles_orders": q_quantiles_orders,

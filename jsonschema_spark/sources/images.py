@@ -163,3 +163,50 @@ IMAGES_SCHEMA = {
         ],
     },
 }
+
+
+def bmp_images_df(spark: SparkSession, n_rows: int = 2_000,
+                  partitions: int = 8, size: int = 16) -> DataFrame:
+    """Images with REAL decodable payloads: each row carries an actual
+    Windows-BMP file (24-bit, numpy-encoded — see
+    operators/multimodal.encode_bmp) of the row's deterministic
+    reference pixels, with violations planted at known rates:
+
+    - id % 251 == 0: payload truncated mid-body (decode fails)
+    - id % 157 == 0: one pixel row corrupted (decodes, PSNR collapses)
+
+    Everything else decodes bit-exact against ``expected_pixels`` ->
+    PSNR 99 (capped inf).  Generation runs in mapInPandas so the
+    encoder vectorizes per Arrow batch and scales with partitions."""
+    import pandas as pd
+
+    from ..operators.multimodal import encode_bmp, expected_pixels
+
+    base = spark.range(n_rows).repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "caption": [], "phash": []}
+            for i in pdf["id"]:
+                i = int(i)
+                image_id = f"bmp_{i:012x}"
+                px = expected_pixels(image_id, size, size)
+                if i % 157 == 0 and i % 251 != 0:
+                    px = px.copy()
+                    px[size // 2, :, :] = 255 - px[size // 2, :, :]
+                blob = encode_bmp(px)
+                if i % 251 == 0:
+                    blob = blob[:54 + len(blob) // 3]
+                out["image_id"].append(image_id)
+                out["bytes"].append(blob)
+                out["w"].append(size)
+                out["h"].append(size)
+                out["fmt"].append("bmp")
+                out["caption"].append(f"real bmp {i}")
+                out["phash"].append(i * 2654435761 % (1 << 62))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, "
+                    "fmt string, caption string, phash long")

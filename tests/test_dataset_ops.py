@@ -160,3 +160,30 @@ def test_runner_single_pass_many_groups(spark, tmp_path):
     # violations dir readable as one table, partitioned by part
     viol = spark.read.parquet(out + "/violations")
     assert viol.filter(F.col("part").isin("1", "2", "3")).count() > 0
+
+
+def test_real_bmp_codec_pipeline(spark):
+    """The REAL codec tier: numpy BMP round-trip, Arrow-batched decode,
+    and the decoded-pixel PSNR invariant flagging planted truncation
+    (decode fails) and pixel corruption (PSNR collapse)."""
+    import numpy as np
+    from jsonschema_spark.operators.multimodal import (
+        decode_bmp, decode_images_real, encode_bmp, expected_pixels,
+        psnr_check_real)
+    from jsonschema_spark.sources.images import bmp_images_df
+
+    px = expected_pixels("roundtrip", 13, 7)  # non-multiple-of-4 row pad
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+    img = bmp_images_df(spark, 1000)
+    d = decode_images_real(img).cache()
+    n_trunc = sum(1 for i in range(1000) if i % 251 == 0)
+    n_corrupt = sum(1 for i in range(1000)
+                    if i % 157 == 0 and i % 251 != 0)
+    assert d.filter("NOT header_ok").count() == n_trunc
+    assert d.filter("header_ok AND psnr >= 40").count() == \
+        1000 - n_trunc - n_corrupt
+    viols = psnr_check_real(img)
+    assert viols.count() == n_trunc + n_corrupt
+    assert set(viols.select("keyword").distinct().toPandas()["keyword"]) \
+        == {"pixelInvariant"}
