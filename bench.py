@@ -34,6 +34,8 @@ def main() -> None:
     from jsonschema_spark.session import get_spark
     import __spark_entry__ as entrymod
 
+    # heap sized for 32 concurrent aggregation tasks (8g GC-thrashes)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     # JVM + codegen warm-up so the first measured query isn't paying it
