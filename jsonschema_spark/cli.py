@@ -47,6 +47,14 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
     p.add_argument("--format", choices=("plain", "json"), default="plain",
                    help="print format for sampled violations")
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--format-checker", action="store_true",
+                   help="assert `format` keywords (like passing "
+                        "FormatChecker to the reference; default is "
+                        "annotation-only, matching the reference CLI)")
+    p.add_argument("--schema-store", default=None,
+                   help="JSON file mapping URIs to schema documents, "
+                        "pre-registered for $ref resolution (the "
+                        "referencing-Registry analogue)")
     return p.parse_args(list(argv))
 
 
@@ -63,7 +71,14 @@ def run(args: argparse.Namespace, spark=None) -> int:
     try:
         from .sources.io import read_table
         df = read_table(spark, args.table, args.input_format)
-        v = CompiledValidator(spec, df)  # raises SchemaCompileError early
+        store = None
+        if getattr(args, "schema_store", None):
+            with open(args.schema_store) as fh:
+                store = json.load(fh)
+        v = CompiledValidator(
+            spec, df, schema_store=store,
+            format_checker=getattr(args, "format_checker", False),
+        )  # raises SchemaCompileError early
         for w in v.warnings:
             print(f"warning: {w}", file=sys.stderr)
         id_cols = [c for c in args.id_cols.split(",") if c]

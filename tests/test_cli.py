@@ -35,3 +35,29 @@ def test_cli_all_valid_exits_zero(spark, tmp_path):
     spec = _spec_file(tmp_path, {"required": ["o_orderkey"]})
     args = parse_args([spec, "/root/testdata/sf0.001/orders.parquet"])
     assert run(args, spark=spark) == 0
+
+
+def test_cli_format_checker_and_schema_store(spark, tmp_path):
+    """--format-checker opts into format assertion; --schema-store
+    pre-registers external documents for $ref."""
+    import json as _json
+    from jsonschema_spark.cli import parse_args, run
+
+    df = spark.createDataFrame(
+        [(1, "a@b.com"), (2, "not-an-email")], "i bigint, email string")
+    table = str(tmp_path / "t.parquet")
+    df.write.parquet(table)
+    store = {"https://example.com/email.json":
+             {"properties": {"email": {"format": "email"}}}}
+    spec = {"$ref": "https://example.com/email.json"}
+    spec_p = str(tmp_path / "spec.json")
+    store_p = str(tmp_path / "store.json")
+    with open(spec_p, "w") as fh:
+        _json.dump(spec, fh)
+    with open(store_p, "w") as fh:
+        _json.dump(store, fh)
+    base = [spec_p, table, "--id-cols", "i", "--schema-store", store_p]
+    # annotation-only default: everything passes
+    assert run(parse_args(base), spark=spark) == 0
+    # asserted: the bad email fails
+    assert run(parse_args(base + ["--format-checker"]), spark=spark) == 1
