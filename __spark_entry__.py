@@ -509,6 +509,42 @@ def q_images_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("keyword"))
 
 
+def q_dynamic_ref_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$dynamicRef dynamic-scope resolution over a struct column: the
+    base resource's `$dynamicRef: "#limit"` bookends to an empty
+    anchor, but the OUTER (derived) resource redefines `$dynamicAnchor:
+    "limit"` with real bounds — so the strict constraints apply to the
+    struct only via correct dynamic-scope search (a plain-$ref reading
+    would validate nothing, which the oracle counts would expose)."""
+    from jsonschema_spark import CompiledValidator
+    o = _t(spark, sf_dir, "orders")
+    df = o.select("o_orderkey",
+                  F.struct(F.col("o_totalprice"),
+                           F.col("o_orderpriority")).alias("detail"))
+    spec = {
+        "$id": "https://example.com/derived",
+        "$ref": "https://example.com/base",
+        "$defs": {
+            "strict": {
+                "$dynamicAnchor": "limit",
+                "properties": {
+                    "o_totalprice": {"maximum": 250000},
+                    "o_orderpriority": {"pattern": "^[1-4]-"},
+                },
+            },
+            "base": {
+                "$id": "https://example.com/base",
+                "properties": {"detail": {"$dynamicRef": "#limit"}},
+                "$defs": {"default": {"$dynamicAnchor": "limit"}},
+            },
+        },
+    }
+    v = CompiledValidator(spec, df)
+    return (v.violations(df, ["o_orderkey"])
+            .groupBy("keyword", "json_path")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def q_images_bmp_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec pixel invariant (rows-only: synthesized payloads):
     actual Windows-BMP files decoded with the built-in numpy codec,
@@ -555,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "images_validation": q_images_validation,
         "images_bmp_validation": q_images_bmp_validation,
+        "dynamic_ref_orders": q_dynamic_ref_orders,
         "composition_orders": q_composition_orders,
         "array_keywords_lineitem": q_array_keywords_lineitem,
         "quantiles_orders": q_quantiles_orders,
@@ -983,6 +1020,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+        """,
+        "dynamic_ref_orders": """
+            SELECT 'maximum' AS keyword,
+                   '$.detail.o_totalprice' AS json_path, count(*) AS n
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice <= 250000)
+            HAVING count(*) > 0
+            UNION ALL
+            SELECT 'pattern', '$.detail.o_orderpriority', count(*)
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-4]-')
+            HAVING count(*) > 0
         """,
         "embeddings_ann_recall": """
             SELECT CAST(3 AS INTEGER) AS k,
