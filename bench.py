@@ -22,6 +22,14 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
 IMAGES_ROWS = int(os.environ.get("BENCH_IMAGES_ROWS", 8_000_000))
+#: interleaved measurement rounds per query (noise defense — BENCH_r02
+#: carried four 5-9x swings that a single fixed-order run could not
+#: distinguish from noisy neighbors / GC debris; per-query MIN over
+#: interleaved rounds is robust to transient interference)
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", 2))
+#: a query whose two round times disagree by more than this ratio gets
+#: an extra tie-break round before we report its min
+SPREAD_RERUN_RATIO = 1.3
 
 
 def _force(df) -> int:
@@ -42,11 +50,28 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     queries = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name in sorted(queries):
+
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         _force(queries[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        dt = time.perf_counter() - t0
+        # one query's cached intermediates (e.g. simhash signature
+        # cache) must not pressure the next query's measurement
+        spark.catalog.clearCache()
+        return dt
+
+    samples: dict[str, list[float]] = {n: [] for n in queries}
+    for _ in range(max(1, ROUNDS)):
+        for name in sorted(queries):
+            samples[name].append(run_once(name))
+    # tie-break round for unstable queries only
+    for name in sorted(queries):
+        s = samples[name]
+        if len(s) > 1 and max(s) / max(min(s), 1e-9) > SPREAD_RERUN_RATIO:
+            s.append(run_once(name))
+
+    timings = {n: round(min(s), 3) for n, s in samples.items()}
+    spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
 
     # north-star throughput: row-level validation of the synthetic
     # image+caption table READ FROM PARQUET (the stored-table scan the
@@ -63,9 +88,12 @@ def main() -> None:
     img = spark.read.parquet(img_path)
     spec = {k: v for k, v in IMAGES_SCHEMA.items() if k != "x-spark"}
     v = CompiledValidator(spec, img)
-    t0 = time.perf_counter()
-    ok, bad = v.counts(img)
-    dt = time.perf_counter() - t0
+    dt = None
+    for _ in range(2):          # best-of-2, same noise defense
+        t0 = time.perf_counter()
+        ok, bad = v.counts(img)
+        d = time.perf_counter() - t0
+        dt = d if dt is None else min(dt, d)
     rows_per_sec = IMAGES_ROWS / dt
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -75,6 +103,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_spread_sec": spread,
+        "rounds": ROUNDS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "validation_throughput_rows_per_sec": round(rows_per_sec),
         "validation_rows": IMAGES_ROWS,

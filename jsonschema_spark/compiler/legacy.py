@@ -441,3 +441,28 @@ def registry_for(schema: Any) -> Optional[KeywordRegistry]:
         if factory is not None:
             return factory()
     return None
+
+
+#: $schema URI -> Resolver draft string, so URI resolution follows the
+#: schema's own draft (draft<=7 `id`, $ref-ignores-siblings, legacy
+#: `#anchor` identifiers) — mirrors conformance.base_resolver's wiring
+DRAFT_NAMES = {
+    "https://json-schema.org/draft/2020-12/schema": "draft2020-12",
+    "https://json-schema.org/draft/2019-09/schema": "draft2019-09",
+    "http://json-schema.org/draft-07/schema#": "draft7",
+    "http://json-schema.org/draft-06/schema#": "draft6",
+    "http://json-schema.org/draft-04/schema#": "draft4",
+    "http://json-schema.org/draft-03/schema#": "draft3",
+}
+
+
+def draft_of(schema: Any) -> str:
+    """Resolver draft string for a schema's `$schema` (2020-12 default,
+    like validator_for's default_validator — validators.py:1376-1384)."""
+    if isinstance(schema, dict):
+        uri = schema.get("$schema")
+        if isinstance(uri, str):
+            for cand in (uri, uri.rstrip("#"), uri + "#"):
+                if cand in DRAFT_NAMES:
+                    return DRAFT_NAMES[cand]
+    return "draft2020-12"

@@ -56,8 +56,13 @@ class CompiledValidator:
         if format_checker and not self.registry.assert_formats:
             self.registry = self.registry.extend({})
             self.registry.assert_formats = True
+        from .compiler.legacy import draft_of
         from .compiler.resolver import Resolver
-        resolver = Resolver()
+        # URI semantics must follow the schema's draft: a draft4 schema
+        # using the legacy location-independent identifier {"id": "#x"}
+        # resolves through Resolver's draft<=7 rules, not 2020-12
+        # (validator_for -> resolver wiring, validators.py:1335-1410)
+        resolver = Resolver(draft_of(schema))
         for uri, doc in (schema_store or {}).items():
             resolver.add_document(uri, doc)
         root_uri = resolver.add_root(schema)

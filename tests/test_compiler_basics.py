@@ -221,3 +221,28 @@ def test_redefine_type(spark):
         True, False]
     # the default registry is untouched
     assert _valid_flags(spark, ddl, rows, schema) == [True, True]
+
+
+def test_draft4_legacy_anchor_via_public_api(spark):
+    """ADVICE-r2 regression: CompiledValidator must build its Resolver
+    with the schema's OWN draft semantics.  A draft4 schema using the
+    legacy location-independent identifier {"id": "#foo"} resolves via
+    Resolver's draft<=7 `id` rules (referencing's draft<=7 id_of), not
+    2020-12's — previously this raised SchemaCompileError through the
+    public API while passing under conformance's draft-aware wiring."""
+    ddl = "_i int, x int"
+    rows = [(0, 1), (1, 200)]
+    schema = {
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "definitions": {"pos": {"id": "#foo", "maximum": 100}},
+        "properties": {"x": {"$ref": "#foo"}},
+    }
+    assert _valid_flags(spark, ddl, rows, schema) == [True, False]
+    # draft<=7: $ref siblings (including `id`) are ignored
+    schema7 = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "definitions": {"pos": {"minimum": 0}},
+        "properties": {"x": {"$ref": "#/definitions/pos",
+                             "minimum": 1000}},
+    }
+    assert _valid_flags(spark, ddl, rows, schema7) == [True, True]
