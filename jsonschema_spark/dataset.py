@@ -100,6 +100,7 @@ def validate_dataset(df: DataFrame, schema: dict,
 def full_check_counts(df: DataFrame, schema: dict,
                       unique_keys: Sequence[str] = (),
                       referential: Optional[Sequence[tuple]] = None,
+                      isin_max_keys: int = 10_000,
                       ) -> dict:
     """Scan-fused dataset check: validation counts, per-key duplicate
     groups, and referential orphan counts in **one keyed pass per unique
@@ -110,9 +111,12 @@ def full_check_counts(df: DataFrame, schema: dict,
     is_valid predicate sum and the broadcast-dim membership test ride
     along as aggregate expressions, so "validate + unique(image_id) +
     unique(phash) + referential" costs 2 scans/shuffles instead of 4
-    jobs.  Referential dims are collected driver-side (they are
-    broadcast-sized by contract) and compiled into codegen'd `isin`
-    membership sets — no join node at all.
+    jobs.  Small referential dims (<= `isin_max_keys` distinct keys)
+    are collected driver-side and compiled into codegen'd `isin`
+    membership sets — no join node at all; bigger dims become a
+    broadcast-hash-join membership flag riding the SAME fused pass (an
+    unbounded `isin` would blow up the expression tree where a
+    broadcast join would not).
 
     `referential` is a sequence of (fk_col, dim_df, dim_key).
     Returns {"rows", "invalid_rows", "dup_groups": {key: n},
@@ -127,8 +131,19 @@ def full_check_counts(df: DataFrame, schema: dict,
                   F.sum((~valid).cast("long")).alias("_bad")]
     orphan_cols: dict[str, str] = {}
     for i, (fk, dim_df, dim_key) in enumerate(referential or ()):
-        keys = [r[0] for r in dim_df.select(dim_key).distinct().collect()]
-        miss = F.col(fk).isNotNull() & ~F.col(fk).isin(keys)
+        # limit(N+1) probe: one cheap job tells us whether the dim fits
+        # the isin tier without a full count
+        probe = (dim_df.select(dim_key).distinct()
+                 .limit(isin_max_keys + 1).collect())
+        if len(probe) <= isin_max_keys:
+            miss = F.col(fk).isNotNull() & ~F.col(fk).isin(
+                [r[0] for r in probe])
+        else:
+            flag = f"_dimhit{i}"
+            dim = (dim_df.select(F.col(dim_key).alias(fk))
+                   .distinct().withColumn(flag, F.lit(1)))
+            df = df.join(F.broadcast(dim), fk, "left")
+            miss = F.col(fk).isNotNull() & F.col(flag).isNull()
         extra_aggs.append(F.sum(miss.cast("long")).alias(f"_orph{i}"))
         orphan_cols[fk] = f"_orph{i}"
 

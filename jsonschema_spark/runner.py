@@ -138,7 +138,25 @@ class ValidationRun:
         return RunResult(run_id, sorted(r[0] for r in rows), skipped)
 
     def _rm_partition_dir(self, key: str) -> None:
-        import shutil
-        p = os.path.join(self.violations_path, f"part={key}")
-        if p.startswith(("/", "file:")) or "://" not in p:
-            shutil.rmtree(p.removeprefix("file:"), ignore_errors=True)
+        """Scrub a half-written partition dir before re-running its
+        group.  Goes through the Hadoop FileSystem API so the delete
+        works on ANY scheme the write path uses (file:, hdfs:, s3a:,
+        ...) — a local-only ``shutil`` scrub would silently no-op on an
+        object store, letting a retried zero-violation group resurrect
+        its stale files (dynamic partition overwrite only replaces
+        partitions that receive rows)."""
+        p = self.violations_path.rstrip("/") + f"/part={key}"
+        jvm = self.spark._jvm
+        try:
+            hpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = hpath.getFileSystem(
+                self.spark._jsc.hadoopConfiguration())
+            if fs.exists(hpath):
+                fs.delete(hpath, True)
+        except Exception:
+            # unreachable scheme/permission problems must not kill the
+            # run: worst case the stale files survive exactly as before
+            import shutil
+            if "://" not in p or p.startswith("file:"):
+                shutil.rmtree(p.removeprefix("file:"),
+                              ignore_errors=True)

@@ -187,3 +187,64 @@ def test_real_bmp_codec_pipeline(spark):
     assert viols.count() == n_trunc + n_corrupt
     assert set(viols.select("keyword").distinct().toPandas()["keyword"]) \
         == {"pixelInvariant"}
+
+
+def test_full_check_counts_dim_size_guard(spark):
+    """VERDICT-r2 #7: above `isin_max_keys` distinct dim keys the fused
+    referential membership switches from a driver-side codegen'd isin
+    set to a broadcast-hash-join flag column (an unbounded isin would
+    blow up the expression tree).  Both paths must agree."""
+    from jsonschema_spark.dataset import full_check_counts
+
+    df = (spark.range(5000)
+          .select(F.col("id").alias("rid"),
+                  (F.col("id") % 2500).alias("fk"),
+                  (F.col("id") % 7).alias("x")))
+    # dim covers fk values 0..1999 -> rows with fk >= 2000 are orphans
+    dim = spark.range(2000).select(F.col("id").alias("k"))
+    schema = {"properties": {"x": {"maximum": 5}}}
+    expected_orph = df.filter("fk >= 2000").count()
+    expected_bad = df.filter("x > 5").count()
+    # force the join path (threshold below the dim's 2000 keys)...
+    joined = full_check_counts(df, schema, unique_keys=["rid"],
+                               referential=[("fk", dim, "k")],
+                               isin_max_keys=100)
+    # ...and the isin path (threshold above)
+    isin = full_check_counts(df, schema, unique_keys=["rid"],
+                             referential=[("fk", dim, "k")],
+                             isin_max_keys=1_000_000)
+    for out in (joined, isin):
+        assert out["rows"] == 5000
+        assert out["invalid_rows"] == expected_bad
+        assert out["orphans"]["fk"] == expected_orph
+        assert out["dup_groups"]["rid"] == 0
+
+
+def test_runner_scrub_hadoop_fs_path(spark, tmp_path):
+    """VERDICT-r2 #5: the stale-partition scrub goes through the Hadoop
+    FileSystem API, so it works on any scheme — exercised here through
+    an explicit `file:` URI out_dir.  A stale uncommitted part= dir
+    (whose retry produces zero violations, which dynamic partition
+    overwrite would NOT replace) must be deleted on resume."""
+    from jsonschema_spark.runner import ValidationRun
+
+    df = (spark.range(100)
+          .select(F.col("id").alias("rid"),
+                  (F.col("id") % 2).cast("string").alias("grp"),
+                  (F.col("id") % 7).alias("x")))
+    schema = {"properties": {"x": {"maximum": 100}}}   # zero violations
+    local_out = tmp_path / "out_fs"
+    out = "file://" + str(local_out)
+    # stage a stale half-written partition dir from a dead run
+    stale = local_out / "violations" / "part=0"
+    stale.mkdir(parents=True)
+    (stale / "part-stale.parquet").write_text("debris")
+    run = ValidationRun(spark, out, schema, "grp")
+    r = run.run(df, ["rid"])
+    assert sorted(r.completed) == ["0", "1"]
+    # the scrub removed the stale file even though the group re-ran
+    # with zero violation rows
+    assert not (stale / "part-stale.parquet").exists()
+    m = run.manifest()
+    assert m.agg(F.sum("rows")).first()[0] == 100
+    assert m.agg(F.sum("violation_rows")).first()[0] == 0
