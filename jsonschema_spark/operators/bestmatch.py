@@ -17,21 +17,55 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 WEAK_MATCHES = ("anyOf", "oneOf")  # exceptions.py:24
+#: keywords whose violation rows carry context (branch errors) — what
+#: the descent recurses into; independent of the `weak` ranking set
+COMPOSITE_KEYWORDS = ("anyOf", "oneOf")
 
 
-def best_match(violations: DataFrame,
-               id_cols: Sequence[str]) -> DataFrame:
+def _sortable_path(c):
+    """json_path rendered so STRING order == component-wise path order
+    (the reference compares ``error.path`` deques element-wise, with
+    array indices as ints): zero-pad bracket indices to width 12, so
+    ``[12]`` sorts after ``[2]``.  Pure regexp passes, widest first so a
+    padded index is never re-padded; indices past 12 digits (10^12
+    elements in ONE array) are out of scope."""
+    for w in range(11, 0, -1):
+        c = F.regexp_replace(c, r"\[(\d{%d})\]" % w,
+                             "[" + "0" * (12 - w) + "$1]")
+    return c
+
+
+def _relevance_cols(weak: Sequence[str], strong: Sequence[str]):
+    """The by_relevance key (exceptions.py:396-425) as Columns:
+    ``(-len(path), path, validator not in weak, validator in strong)``.
+    The fifth reference element (``not _matches_type()``) needs the
+    instance's runtime type and is not tracked in violation rows —
+    omitted, with `keyword` as the deterministic final tiebreak."""
+    depth = F.size(F.split(F.col("json_path"), r"\.|\[")) - 1
+    spath = _sortable_path(F.col("json_path"))
+    weak_f = (F.col("keyword").isin(*weak).cast("int") if weak
+              else F.lit(0))
+    strong_f = (F.col("keyword").isin(*strong).cast("int") if strong
+                else F.lit(0))
+    return depth, spath, weak_f, strong_f
+
+
+def best_match(violations: DataFrame, id_cols: Sequence[str],
+               weak: Sequence[str] = WEAK_MATCHES,
+               strong: Sequence[str] = ()) -> DataFrame:
     """One row per instance: its most relevant violation.
 
-    Relevance mirrors by_relevance: strong keywords beat weak ones,
-    then the shallower instance path wins, ties broken deterministically
-    by (json_path, keyword).
-    """
-    depth = F.size(F.split(F.col("json_path"), r"\.|\[")) - 1
-    weak = F.col("keyword").isin(*WEAK_MATCHES).cast("int")
+    Mirrors ``max(errors, key=by_relevance(weak, strong))``
+    (exceptions.py:396-443): shallower instance path wins, then the
+    LATER sibling path (max over the path tuple), then non-weak beats
+    weak, then strong beats non-strong.  `weak`/`strong` parametrize
+    the key exactly like ``by_relevance(weak=..., strong=...)``.
+    Deterministic final tiebreak: keyword asc (the reference falls back
+    to iter_errors order, which has no tabular analogue)."""
+    depth, spath, weak_f, strong_f = _relevance_cols(weak, strong)
     w = (Window.partitionBy(*[F.col(c) for c in id_cols])
-         .orderBy(weak.asc(), depth.asc(),
-                  F.col("json_path").asc(), F.col("keyword").asc()))
+         .orderBy(depth.asc(), spath.desc(), weak_f.asc(),
+                  strong_f.desc(), F.col("keyword").asc()))
     return (violations
             .withColumn("_rank", F.row_number().over(w))
             .filter(F.col("_rank") == 1)
@@ -39,7 +73,9 @@ def best_match(violations: DataFrame,
 
 
 def best_match_deep(violations_ctx: DataFrame, id_cols: Sequence[str],
-                    max_depth: int = 4) -> DataFrame:
+                    max_depth: int = 4,
+                    weak: Sequence[str] = WEAK_MATCHES,
+                    strong: Sequence[str] = ()) -> DataFrame:
     """`best_match` WITH context descent (exceptions.py:440-490): pick
     the most relevant top-level error; while it is an anyOf/oneOf
     composite, descend into its *context* rows (branch errors, from
@@ -48,24 +84,28 @@ def best_match_deep(violations_ctx: DataFrame, id_cols: Sequence[str],
     ``min`` by relevance; stop when the two most relevant context errors
     tie (heapq.nsmallest(2) equality rule).
 
-    Relevance mirrors by_relevance (exceptions.py:415-425): instance
-    depth dominates, then weak-keyword demotion; json_path/keyword break
-    ties deterministically (the reference's path ordering on siblings).
+    Relevance mirrors by_relevance (exceptions.py:415-425) exactly —
+    ``(-len(path), path, not weak, in strong)`` with paths compared
+    component-wise (numeric indices numerically) — and is parametrized
+    by `weak`/`strong` like ``best_match(errors, by_relevance(...))``.
     `max_depth` bounds the descent (= max anyOf/oneOf nesting)."""
-    depth = F.size(F.split(F.col("json_path"), r"\.|\[")) - 1
-    weak = F.col("keyword").isin(*WEAK_MATCHES).cast("int")
+    depth, spath, weak_f, strong_f = _relevance_cols(weak, strong)
     vv = (violations_ctx.withColumn("_depth", depth)
-          .withColumn("_weak", weak))
+          .withColumn("_spath", spath)
+          .withColumn("_weak", weak_f)
+          .withColumn("_strong", strong_f))
     payload = ["keyword", "json_path", "schema_path", "message",
                "failing_value"]
     top = vv.filter(F.col("context_of").isNull())
     w = Window.partitionBy(*[F.col(c) for c in id_cols]).orderBy(
-        F.col("_depth").asc(), F.col("_weak").asc(),
-        F.col("json_path").asc(), F.col("keyword").asc())
+        F.col("_depth").asc(), F.col("_spath").desc(),
+        F.col("_weak").asc(), F.col("_strong").desc(),
+        F.col("keyword").asc())
     best = (top.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(*id_cols, *payload))
-    ctx_cols = payload + ["context_of", "_depth", "_weak"]
+    ctx_cols = payload + ["context_of", "_depth", "_spath", "_weak",
+                          "_strong"]
     ctx_r = vv.filter(F.col("context_of").isNotNull()).select(
         *id_cols, *[F.col(c).alias("c_" + c) for c in ctx_cols])
     for _ in range(max_depth):
@@ -73,14 +113,16 @@ def best_match_deep(violations_ctx: DataFrame, id_cols: Sequence[str],
              .withColumn("_cand",
                          F.coalesce(F.col("c_context_of")
                                     == F.col("schema_path"), F.lit(False))
-                         & F.col("keyword").isin(*WEAK_MATCHES)))
-        key = F.struct(F.col("c__depth"), F.col("c_json_path"),
-                       F.col("c__weak"))
+                         & F.col("keyword").isin(*COMPOSITE_KEYWORDS)))
+        # the nsmallest(2) tie key = the full by_relevance tuple
+        key = F.struct(F.col("c__depth"), F.col("c__spath"),
+                       F.col("c__weak"), F.col("c__strong"))
         w2 = Window.partitionBy(*[F.col(c) for c in id_cols]).orderBy(
             F.col("_cand").desc(),
             F.col("c__depth").desc_nulls_last(),
-            F.col("c_json_path").asc_nulls_last(),
+            F.col("c__spath").asc_nulls_last(),
             F.col("c__weak").desc_nulls_last(),
+            F.col("c__strong").asc_nulls_last(),
             F.col("c_keyword").asc_nulls_last())
         j = (j.withColumn("_rn", F.row_number().over(w2))
              .withColumn("_next_key", F.lead(key).over(w2))

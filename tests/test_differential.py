@@ -116,3 +116,48 @@ def test_best_match_context_descent_matches_reference(spark):
             for p in err.absolute_path)
         assert got[_row] == (err.validator, path), (
             _row, got[_row], (err.validator, path))
+
+
+def test_best_match_by_relevance_parametrized(spark):
+    """`weak`/`strong` parametrize the ranking exactly like the
+    reference's ``by_relevance(weak=..., strong=...)``
+    (exceptions.py:396-438): with minimum demoted to weak, the
+    multipleOf error at the same path wins instead."""
+    from jsonschema.exceptions import best_match as ref_best_match
+    from jsonschema.exceptions import by_relevance
+    from jsonschema_spark.operators.bestmatch import best_match
+
+    schema = {"properties": {"a": {"minimum": 10, "multipleOf": 7}}}
+    df = spark.createDataFrame([(0, 1)], "_row int, a int")
+    v = CompiledValidator(schema, df)
+    viols = v.violations(df, ["_row"])
+
+    ref = jsonschema.Draft202012Validator(schema)
+    errs = list(ref.iter_errors({"a": 1}))
+    for weak in ((), ("minimum",), ("multipleOf",)):
+        got = best_match(viols, ["_row"], weak=weak).collect()[0]["keyword"]
+        want = ref_best_match(errs, key=by_relevance(weak=set(weak)))
+        assert got == want.validator, (weak, got, want.validator)
+
+
+def test_best_match_numeric_index_path_order(spark):
+    """Reference paths compare component-wise with ints as ints
+    (max over ``error.path``): among sibling errors at [2], [11], [12]
+    the LAST index wins — a plain string compare would pick [2].  The
+    engine's zero-padded sortable path must reproduce the numeric
+    order (verified against the reference on an items/minimum array)."""
+    from jsonschema.exceptions import best_match as ref_best_match
+    from jsonschema_spark.operators.bestmatch import best_match
+
+    ref = jsonschema.Draft202012Validator({"items": {"minimum": 10}})
+    inst = [10] * 2 + [1] + [10] * 8 + [1, 1]     # fails at 2, 11, 12
+    want = ref_best_match(ref.iter_errors(inst))
+    assert list(want.path) == [12]
+
+    rows = [(0, "minimum", f"$.arr[{i}]", f"properties/arr/items/minimum",
+             "too small", "1") for i in (2, 11, 12)]
+    viols = spark.createDataFrame(
+        rows, "_row int, keyword string, json_path string, "
+              "schema_path string, message string, failing_value string")
+    got = best_match(viols, ["_row"]).collect()[0]["json_path"]
+    assert got == "$.arr[12]", got
