@@ -173,8 +173,9 @@ def _kmeans_spherical(X, n_lists: int, seed: int, iters: int = 10):
 
 
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
-             n_lists: int = 16, n_probe: int = 2,
-             seed: int = 42, max_train: int = 100_000) -> DataFrame:
+             n_lists: Optional[int] = 16, n_probe: int = 2,
+             seed: int = 42, max_train: int = 100_000,
+             chunk_size: int = 8192) -> DataFrame:
     """IVF (inverted-file) ANN top-k: KMeans coarse quantizer -> search
     only the `n_probe` nearest cells per query vector.
 
@@ -184,7 +185,23 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
     pandas-UDF assignment computes each vector's `n_probe` nearest
     cells (index cell = first element); the candidate join is
     cell-local, so work scales with n/n_lists * n_probe per query
-    instead of n.  Exact cosine rerank inside probed cells."""
+    instead of n.  Exact cosine rerank inside probed cells.
+
+    Memory bound (VERDICT-r2 #2): a raw cell is n/n_lists rows — one
+    unbounded pandas cogroup at scale, and a skewed quantizer cell is
+    unbounded even with tuned n_lists.  So cell members are salted into
+    fixed-size chunks of <= `chunk_size` rows (`hash(_id) % n_chunks`,
+    n_chunks from a per-cell count that is itself a tiny n_lists-row
+    aggregate), queries fan out to every chunk of each probed cell,
+    per-chunk top-k is taken in the cogroup, and the existing global
+    window merges chunk results — top-k is associative, so the answer
+    is unchanged while no cogroup's member side exceeds `chunk_size`.
+    The query side of a group is additionally processed in fixed-size
+    blocks inside the kernel so matmul intermediates stay bounded.
+
+    `n_lists=None` auto-sizes the quantizer to ~sqrt(n) (capped by
+    `max_train`), the standard IVF balance between cell count and cell
+    size."""
     import numpy as np
 
     keyed = df.select(F.col(id_col).alias("_id"),
@@ -199,6 +216,8 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
             [], f"id {df.schema[id_col].dataType.simpleString()}, "
                 f"neighbour_id {df.schema[id_col].dataType.simpleString()},"
                 f" cosine double")
+    if n_lists is None:
+        n_lists = max(16, min(int(math.isqrt(n)), max_train // 4))
     frac = min(1.0, 1.25 * max_train / n)
     sample_df = keyed.select("_v")
     if frac < 1.0:
@@ -231,6 +250,23 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
                               F.col("_v").alias("qv"),
                               F.explode("_cells").alias("_cell"))
 
+    # fixed-size member chunks: per-cell counts are an n_lists-row
+    # aggregate (broadcast), each member lands in exactly one
+    # (_cell, _chunk), each query probes every chunk of its cells
+    cells = (inv.groupBy("_cell")
+             .agg(F.ceil(F.count(F.lit(1)) / chunk_size)
+                  .cast("int").alias("_nchunks")))
+    inv = (inv.join(F.broadcast(cells), "_cell")
+           .withColumn("_chunk",
+                       F.pmod(F.xxhash64("_id"), F.col("_nchunks"))
+                       .cast("int"))
+           .drop("_nchunks"))
+    queries = (queries.join(F.broadcast(cells), "_cell")
+               .withColumn("_chunk",
+                           F.explode(F.sequence(
+                               F.lit(0), F.col("_nchunks") - 1)))
+               .drop("_nchunks"))
+
     # cell-local scoring: cogroup (queries probing a cell) x (members
     # indexed in it) and run ONE BLAS matmul per cell, emitting each
     # query's per-cell top-k.  No pair rows ever materialize in the
@@ -248,31 +284,45 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame({"id": [], "neighbour_id": [],
                                  "cosine": []})
-        Q = np.asarray(list(left["qv"]))
+        # self-checking memory contract: the member side of a cogroup
+        # can only exceed the salted chunk bound if the chunk hash is
+        # pathologically skewed (Chernoff-improbable for chunk_size >=
+        # a few hundred) — fail loudly instead of OOMing an executor
+        if len(right) > 2 * chunk_size:
+            raise RuntimeError(
+                f"IVF chunk invariant violated: {len(right)} member "
+                f"rows in one cogroup (bound {chunk_size}, tolerance "
+                f"2x) — chunk salt skew")
         M = np.asarray(list(right["_v"]))
-        S = Q @ M.T
-        ids_q = left["id"].to_numpy()
         ids_m = right["_id"].to_numpy()
         out_id, out_nb, out_cos = [], [], []
-        for r in range(S.shape[0]):
-            s = np.where(ids_m == ids_q[r], -np.inf, S[r])
-            if len(s) > kk:
-                idx = np.argpartition(-s, kk - 1)[:kk]
-            else:
-                idx = np.arange(len(s))
-            keep = idx[np.isfinite(s[idx])]
-            out_id.extend([ids_q[r]] * len(keep))
-            out_nb.extend(ids_m[keep])
-            out_cos.extend(s[keep])
+        # query-side blocks bound the S matrix at QBLOCK x chunk_size
+        QBLOCK = 1024
+        for b0 in range(0, len(left), QBLOCK):
+            blk = left.iloc[b0:b0 + QBLOCK]
+            Q = np.asarray(list(blk["qv"]))
+            S = Q @ M.T
+            ids_q = blk["id"].to_numpy()
+            for r in range(S.shape[0]):
+                s = np.where(ids_m == ids_q[r], -np.inf, S[r])
+                if len(s) > kk:
+                    idx = np.argpartition(-s, kk - 1)[:kk]
+                else:
+                    idx = np.arange(len(s))
+                keep = idx[np.isfinite(s[idx])]
+                out_id.extend([ids_q[r]] * len(keep))
+                out_nb.extend(ids_m[keep])
+                out_cos.extend(s[keep])
         return pd.DataFrame({"id": out_id, "neighbour_id": out_nb,
                              "cosine": out_cos})
 
-    scored = (queries.groupBy("_cell")
-              .cogroup(inv.groupBy("_cell"))
+    scored = (queries.groupBy("_cell", "_chunk")
+              .cogroup(inv.groupBy("_cell", "_chunk"))
               .applyInPandas(score, f"id {id_dt}, neighbour_id {id_dt}, "
                                     f"cosine double"))
-    # each member lives in exactly one cell, so (id, neighbour_id)
-    # appears at most once — no dedup needed before the global top-k
+    # each member lives in exactly one (cell, chunk), so
+    # (id, neighbour_id) appears at most once — per-chunk top-k merges
+    # to the exact global top-k in one window (top-k is associative)
     w = (Window.partitionBy("id")
          .orderBy(F.col("cosine").desc(), F.col("neighbour_id").asc()))
     return (scored.withColumn("_rn", F.row_number().over(w))

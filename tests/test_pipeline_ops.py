@@ -166,3 +166,47 @@ def test_ivf_topk_recall(spark):
     hits = sum(1 for i, nb in truth.items() if approx.get(i) == nb)
     recall = hits / len(truth)
     assert recall >= 0.6, f"IVF top-1 recall {recall:.2f} too low"
+
+
+def test_ivf_skewed_cell_chunk_bound(spark):
+    """VERDICT-r2 #2: a skewed quantizer cell (here ~all vectors in ONE
+    cell) must not land in a single unbounded pandas cogroup.  Members
+    are salted into <= chunk_size chunks; the kernel itself raises if a
+    cogroup's member side exceeds 2x the bound, so simply completing
+    this query certifies the invariant.  Probing every cell makes the
+    search exhaustive, so results must equal brute force exactly."""
+    import numpy as np
+    import pandas as pd
+    from jsonschema_spark.operators.similarity import (brute_force_topk,
+                                                       ivf_topk)
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=32)
+    rows = []
+    for i in range(1500):
+        # one dominant direction + tiny jitter -> one hot cell
+        v = base + rng.normal(scale=0.01, size=32)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(1500, 1550):
+        rows.append((i, [float(x) for x in rng.normal(size=32)]))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]}))
+    ann = ivf_topk(df, "vec_id", "embedding", k=1, n_lists=8,
+                   n_probe=8, chunk_size=100)
+    got = {r["id"]: r["cosine"] for r in ann.collect()}
+    want = {r["id"]: r["cosine"] for r in
+            brute_force_topk(df, "vec_id", "embedding", k=1).collect()}
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+
+
+def test_ivf_auto_n_lists(spark):
+    """n_lists=None auto-sizes the quantizer to ~sqrt(n)."""
+    from jsonschema_spark.operators.similarity import ivf_topk
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ivf_topk(e, "vec_id", "embedding", k=1, n_lists=None,
+                   n_probe=6)
+    n = e.count()
+    assert out.count() == n       # every vector gets a neighbour
