@@ -491,14 +491,26 @@ def q_standard_output(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+#: queries persist their deterministic synthetic input here so the
+#: DuckDB oracle reads the SAME rows the engine validated
+IMAGES_ORACLE_PATH = "/tmp/spark_graft_images_oracle"
+BMP_ORACLE_PATH = "/tmp/spark_graft_bmp_oracle"
+
+
 def q_images_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star flagship (rows-only): the x-spark extension block
-    executed end-to-end — row keywords + uniqueness + referential +
-    pixel-invariant, one unified violations summary."""
+    """North-star flagship: the x-spark extension block executed
+    end-to-end — row keywords + uniqueness + referential +
+    pixel-invariant, one unified violations summary.  The synthetic
+    table is persisted to parquet first, so a DuckDB oracle recomputes
+    every keyword count (including the stub-decode invariant, whose
+    header is ASCII-parseable in SQL) over the identical rows."""
     from jsonschema_spark import validate_dataset
     from jsonschema_spark.sources.images import (IMAGES_SCHEMA, images_df,
                                                  licenses_df)
-    img = images_df(spark, 20_000, with_license=True).cache()
+    if not os.path.exists(os.path.join(IMAGES_ORACLE_PATH, "_SUCCESS")):
+        (images_df(spark, 20_000, with_license=True)
+         .write.mode("overwrite").parquet(IMAGES_ORACLE_PATH))
+    img = spark.read.parquet(IMAGES_ORACLE_PATH)
     spec = dict(IMAGES_SCHEMA)
     spec["x-spark"] = dict(spec["x-spark"])
     spec["x-spark"]["pixel_invariant"] = {"min_psnr": 40.0}
@@ -546,19 +558,49 @@ def q_dynamic_ref_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_images_bmp_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL-codec pixel invariant (rows-only: synthesized payloads):
-    actual Windows-BMP files decoded with the built-in numpy codec,
-    PSNR measured against the per-id reference pixels; planted
-    truncation and pixel corruption must be flagged."""
-    from jsonschema_spark.operators.multimodal import psnr_check_real
+    """REAL-codec pixel invariant, oracle-checked: actual Windows-BMP
+    files decoded with the built-in numpy codec, PSNR measured against
+    the per-id reference pixels.  Output is one row of decode
+    bookkeeping aggregates over the persisted table:
+
+    - n_rows / sig_ok / truncated / hdr_dims_ok come from NATIVE byte
+      math over the BMP header (signature, little-endian declared file
+      size vs actual length, header dims vs table w/h) — DuckDB
+      recomputes the same header fields from the same bytes;
+    - decode_fail / low_psnr come from the REAL decode + PSNR pass —
+      DuckDB derives the expected counts from the planted corruption
+      rules (id % 251 truncation, id % 157 pixel flip), certifying
+      that decoding finds exactly the planted damage."""
+    from jsonschema_spark.operators.multimodal import decode_images_real
     from jsonschema_spark.sources.images import bmp_images_df
-    img = bmp_images_df(spark, 2_000)
-    v = psnr_check_real(img)
-    return (v.groupBy("keyword")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum((F.col("failing_value").cast("double") > 0)
-                       .cast("long")).alias("n_decoded_low_psnr"))
-            .orderBy("keyword"))
+    if not os.path.exists(os.path.join(BMP_ORACLE_PATH, "_SUCCESS")):
+        (bmp_images_df(spark, 2_000)
+         .write.mode("overwrite").parquet(BMP_ORACLE_PATH))
+    img = spark.read.parquet(BMP_ORACLE_PATH)
+
+    b = F.col("bytes")
+
+    def byte(i: int):           # 1-based byte -> long (native)
+        return F.conv(F.hex(F.substring(b, i, 1)), 16, 10).cast("long")
+
+    def le32(pos: int):
+        return (byte(pos) + byte(pos + 1) * 256
+                + byte(pos + 2) * 65536 + byte(pos + 3) * 16777216)
+
+    declared, hdr_w, hdr_h = le32(3), le32(19), le32(23)
+    hdr_agg = img.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.hex(F.substring(b, 1, 2)) == "424D").cast("long"))
+        .alias("sig_ok"),
+        F.sum((F.length(b) < declared).cast("long")).alias("truncated"),
+        F.sum(((hdr_w == F.col("w")) & (hdr_h == F.col("h")))
+              .cast("long")).alias("hdr_dims_ok"))
+    dec = decode_images_real(img, carry=("w", "h"))
+    dec_agg = dec.agg(
+        F.sum((~F.col("header_ok")).cast("long")).alias("decode_fail"),
+        F.sum((F.col("header_ok") & (F.col("psnr") < 40.0))
+              .cast("long")).alias("low_psnr"))
+    return hdr_agg.crossJoin(dec_agg)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1045,9 +1087,125 @@ def oracle_sql() -> dict[str, str]:
                     WHERE embedding IS NOT NULL) AS n_queries,
                    TRUE AS recall_ok
         """,
-        # minhash_pairs / simhash_pairs / images_validation /
-        # embeddings_ann_ivf: non-SQL-expressible (LSH banding, KMeans
-        # cells, synthetic generation) -> rows-only driver check.
+        # minhash_pairs / simhash_pairs / embeddings_ann_ivf:
+        # non-SQL-expressible (LSH banding, KMeans cells) -> rows-only
+        # driver check; each is certified by an oracle-green
+        # *_vs_exact / ann_recall companion query.
+        "images_validation": f"""
+            WITH t AS (SELECT * FROM
+                       read_parquet('{IMAGES_ORACLE_PATH}/*.parquet')),
+            -- stub decode in SQL: the synthetic payload header is
+            -- ASCII 'IMG0' + 4 hex w + 4 hex h + checksum, body md5
+            -- text; PSNR < 40 iff the body is shorter than the
+            -- expected min(240, w*h//65536 + 16) samples
+            dec AS (
+              SELECT *,
+                octet_length(bytes) AS olen,
+                (octet_length(bytes) >= 16
+                 AND substr(bytes::VARCHAR, 1, 4) = 'IMG0') AS header_ok,
+                TRY_CAST(('0x' || substr(bytes::VARCHAR, 5, 4)) AS BIGINT)
+                  AS dw,
+                TRY_CAST(('0x' || substr(bytes::VARCHAR, 9, 4)) AS BIGINT)
+                  AS dh
+              FROM t),
+            px AS (
+              SELECT *,
+                (NOT header_ok)
+                OR ((olen - 16) <
+                    LEAST(240, (dw * dh) // 65536 + 16))
+                OR (dw != w) OR (dh != h) AS pixel_bad
+              FROM dec),
+            counts(keyword, n) AS (
+              SELECT 'enum', count(*) FROM t
+                WHERE fmt IS NOT NULL
+                  AND fmt NOT IN ('jpeg', 'png', 'webp')
+              UNION ALL
+              SELECT 'pattern', count(*) FROM t
+                WHERE image_id IS NOT NULL
+                  AND NOT regexp_matches(image_id,
+                                         '^img_[0-9a-f]{{12}}$')
+              UNION ALL
+              SELECT 'minimum',
+                (SELECT count(*) FROM t WHERE w < 1)
+                + (SELECT count(*) FROM t WHERE h < 1)
+                + (SELECT count(*) FROM t WHERE phash < 0)
+              UNION ALL
+              SELECT 'maximum',
+                (SELECT count(*) FROM t WHERE w > 16384)
+                + (SELECT count(*) FROM t WHERE h > 16384)
+              UNION ALL
+              SELECT 'minLength', count(*) FROM t
+                WHERE caption IS NOT NULL AND length(caption) < 1
+              UNION ALL
+              SELECT 'maxLength', count(*) FROM t
+                WHERE caption IS NOT NULL AND length(caption) > 2048
+              UNION ALL
+              SELECT 'required', count(*) FROM t WHERE caption IS NULL
+              UNION ALL
+              SELECT 'uniqueItems:image_id', count(*) FROM t
+                WHERE image_id IN (SELECT image_id FROM t
+                                   GROUP BY image_id HAVING count(*) > 1)
+              UNION ALL
+              SELECT 'uniqueItems:phash', count(*) FROM t
+                WHERE phash IN (SELECT phash FROM t
+                                GROUP BY phash HAVING count(*) > 1)
+              UNION ALL
+              SELECT 'referential:license_id', count(*) FROM t
+                WHERE license_id IS NOT NULL
+                  AND license_id NOT IN ('lic_0','lic_1','lic_2','lic_3',
+                                         'lic_4','lic_5','lic_6','lic_7')
+              UNION ALL
+              SELECT 'pixelInvariant', count(*) FROM px WHERE pixel_bad
+            )
+            SELECT keyword, CAST(n AS BIGINT) AS n
+            FROM counts WHERE n > 0 ORDER BY keyword
+        """,
+        "images_bmp_validation": f"""
+            WITH t AS (SELECT * FROM
+                       read_parquet('{BMP_ORACLE_PATH}/*.parquet')),
+            b AS (
+              SELECT id, w, h, octet_length(bytes) AS olen,
+                     hex(bytes) AS hx
+              FROM t),
+            -- BMP header fields re-parsed from raw bytes: signature at
+            -- bytes 1-2, little-endian declared file size at 3-6,
+            -- width int32 at 19-22, height int32 at 23-26
+            hdr AS (
+              SELECT *,
+                substr(hx, 1, 4) = '424D' AS sig,
+                  CAST(('0x' || substr(hx, 5, 2)) AS BIGINT)
+                + CAST(('0x' || substr(hx, 7, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(hx, 9, 2)) AS BIGINT) * 65536
+                + CAST(('0x' || substr(hx, 11, 2)) AS BIGINT) * 16777216
+                  AS declared,
+                  CAST(('0x' || substr(hx, 37, 2)) AS BIGINT)
+                + CAST(('0x' || substr(hx, 39, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(hx, 41, 2)) AS BIGINT) * 65536
+                + CAST(('0x' || substr(hx, 43, 2)) AS BIGINT) * 16777216
+                  AS hw,
+                  CAST(('0x' || substr(hx, 45, 2)) AS BIGINT)
+                + CAST(('0x' || substr(hx, 47, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(hx, 49, 2)) AS BIGINT) * 65536
+                + CAST(('0x' || substr(hx, 51, 2)) AS BIGINT) * 16777216
+                  AS hh
+              FROM b)
+            SELECT
+              count(*) AS n_rows,
+              CAST(sum(CASE WHEN sig THEN 1 ELSE 0 END) AS BIGINT)
+                AS sig_ok,
+              CAST(sum(CASE WHEN olen < declared THEN 1 ELSE 0 END)
+                   AS BIGINT) AS truncated,
+              CAST(sum(CASE WHEN hw = w AND hh = h THEN 1 ELSE 0 END)
+                   AS BIGINT) AS hdr_dims_ok,
+              -- planted rules: id%251 -> truncated payload (decode
+              -- must fail), id%157 (minus overlap) -> one pixel row
+              -- flipped (decodes, PSNR collapses)
+              CAST(sum(CASE WHEN id % 251 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS decode_fail,
+              CAST(sum(CASE WHEN id % 157 = 0 AND id % 251 != 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_psnr
+            FROM hdr
+        """,
     }
 
 

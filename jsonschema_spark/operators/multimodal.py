@@ -87,17 +87,28 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def decode_images(df: DataFrame) -> DataFrame:
+def _carry_schema(df: DataFrame, carry) -> str:
+    return DECODE_SCHEMA + "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in carry)
+
+
+def decode_images(df: DataFrame, carry: tuple = ()) -> DataFrame:
     """Stub decode over Arrow batches (mapInPandas).  Batch sizes are
     bounded by spark.sql.execution.arrow.maxRecordsPerBatch so image
-    payload batches can't blow executor memory."""
+    payload batches can't blow executor memory.  `carry` columns pass
+    through the decode untouched, so per-row invariants need NO join
+    back to the source (image_id is not guaranteed unique — a join on
+    it would both shuffle and cross-match duplicate ids)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _parse_batch(pdf)
+            out = _parse_batch(pdf)
+            for c in carry:
+                out[c] = list(pdf[c])
+            yield out
 
-    return df.select("image_id", "fmt", "bytes").mapInPandas(
-        run, schema=DECODE_SCHEMA)
+    return df.select("image_id", "fmt", "bytes", *carry).mapInPandas(
+        run, schema=_carry_schema(df, carry))
 
 
 # ------------------------------------------------- real BMP codec ---------
@@ -172,12 +183,13 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
         min(99.0, 10 * np.log10(255.0 ** 2 / mse)))
 
 
-def decode_images_real(df: DataFrame) -> DataFrame:
+def decode_images_real(df: DataFrame, carry: tuple = ()) -> DataFrame:
     """Real codec path over Arrow batches: BMP blobs decode with the
     built-in numpy codec; other formats use Pillow when importable and
     are reported as header_ok=False otherwise.  PSNR is measured
     against the deterministic reference image for the id
-    (`expected_pixels`) — a true decoded-pixel comparison."""
+    (`expected_pixels`) — a true decoded-pixel comparison.  `carry`
+    columns pass through (see decode_images)."""
     use_pil = _codec_available()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -216,19 +228,25 @@ def decode_images_real(df: DataFrame) -> DataFrame:
                 out["decoded_h"].append(int(hh))
                 out["psnr"].append(psnr(px, expected_pixels(
                     str(image_id), ww, hh)))
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for c in carry:
+                res[c] = list(pdf[c])
+            yield res
 
-    return df.select("image_id", "fmt", "bytes").mapInPandas(
-        run, schema=DECODE_SCHEMA)
+    return df.select("image_id", "fmt", "bytes", *carry).mapInPandas(
+        run, schema=_carry_schema(df, carry))
 
 
 def psnr_check(df: DataFrame, min_psnr: float = 40.0) -> DataFrame:
     """Decoded-pixel invariant (BASELINE.json input_hint): violation rows
     for payloads whose stub-decoded PSNR falls below `min_psnr` or whose
-    header metadata disagrees with the table's (w, h)."""
-    decoded = decode_images(df)
-    meta = df.select("image_id", "w", "h")
-    joined = decoded.join(meta, "image_id")
+    header metadata disagrees with the table's (w, h).
+
+    (w, h) ride through the decode pass, so this is ONE narrow
+    mapInPandas scan — no shuffle, and no join on image_id (which is
+    not unique: planted duplicate ids would cross-match and double
+    count)."""
+    joined = decode_images(df, carry=("w", "h"))
     bad = joined.filter(
         (~F.col("header_ok"))
         | (F.col("psnr") < min_psnr)
@@ -251,10 +269,9 @@ def psnr_check_real(df: DataFrame, min_psnr: float = 40.0) -> DataFrame:
     """The decoded-pixel invariant over REAL payloads (BMP via the
     built-in numpy codec, others via Pillow when importable): violation
     rows for blobs that fail to decode, decode to the wrong dimensions,
-    or reconstruct below `min_psnr` against the reference pixels."""
-    decoded = decode_images_real(df)
-    meta = df.select("image_id", "w", "h")
-    joined = decoded.join(meta, "image_id")
+    or reconstruct below `min_psnr` against the reference pixels.
+    One narrow joinless scan — see psnr_check."""
+    joined = decode_images_real(df, carry=("w", "h"))
     bad = joined.filter(
         (~F.col("header_ok"))
         | (F.col("psnr") < min_psnr)

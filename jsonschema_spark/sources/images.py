@@ -186,10 +186,11 @@ def bmp_images_df(spark: SparkSession, n_rows: int = 2_000,
 
     def gen(batches):
         for pdf in batches:
-            out = {"image_id": [], "bytes": [], "w": [], "h": [],
-                   "fmt": [], "caption": [], "phash": []}
+            out = {"id": [], "image_id": [], "bytes": [], "w": [],
+                   "h": [], "fmt": [], "caption": [], "phash": []}
             for i in pdf["id"]:
                 i = int(i)
+                out["id"].append(i)
                 image_id = f"bmp_{i:012x}"
                 px = expected_pixels(image_id, size, size)
                 if i % 157 == 0 and i % 251 != 0:
@@ -208,5 +209,5 @@ def bmp_images_df(spark: SparkSession, n_rows: int = 2_000,
             yield pd.DataFrame(out)
 
     return base.mapInPandas(
-        gen, schema="image_id string, bytes binary, w int, h int, "
-                    "fmt string, caption string, phash long")
+        gen, schema="id long, image_id string, bytes binary, w int, "
+                    "h int, fmt string, caption string, phash long")
