@@ -26,13 +26,17 @@ def _sortable_path(c):
     """json_path rendered so STRING order == component-wise path order
     (the reference compares ``error.path`` deques element-wise, with
     array indices as ints): zero-pad bracket indices to width 12, so
-    ``[12]`` sorts after ``[2]``.  Pure regexp passes, widest first so a
-    padded index is never re-padded; indices past 12 digits (10^12
-    elements in ONE array) are out of scope."""
+    ``[12]`` sorts after ``[2]``.  Pure regexp passes, widest first so
+    a padded index is never re-padded; indices past 12 digits (10^12
+    elements in ONE array) are out of scope.  The pass chain is gated
+    behind a cheap contains() so bracket-free paths (the overwhelming
+    majority of tabular violations) never pay the 11 regexps —
+    CASE WHEN short-circuits in codegen."""
+    padded = c
     for w in range(11, 0, -1):
-        c = F.regexp_replace(c, r"\[(\d{%d})\]" % w,
-                             "[" + "0" * (12 - w) + "$1]")
-    return c
+        padded = F.regexp_replace(padded, r"\[(\d{%d})\]" % w,
+                                  "[" + "0" * (12 - w) + "$1]")
+    return F.when(c.contains("["), padded).otherwise(c)
 
 
 def _relevance_cols(weak: Sequence[str], strong: Sequence[str]):

@@ -50,3 +50,45 @@ def validate_json_lines(spark: SparkSession, path: str, spec: dict,
     from ..validator import CompiledValidator
     df = read_table(spark, path, "json", schema=schema)
     return CompiledValidator(spec, df, registry).violations(df, id_cols)
+
+
+def write_bucketed_table(df: DataFrame, name: str, path: str,
+                         bucket_col: str, n_buckets: int = 128,
+                         sort: bool = False) -> None:
+    """Persist `df` as an external parquet table bucketed on
+    `bucket_col` — the storage layout that makes repeated key-local
+    work (uniqueness aggregation, referential joins, resume scans on
+    the same key) ZERO-shuffle: a groupBy/join on the bucket column
+    reads each bucket in place instead of exchanging 100 TB.
+
+    The frame is repartitioned on the bucket column first so each
+    bucket lands in one file; without that, every writer task emits a
+    file per bucket (tasks x buckets tiny files) and scan open()
+    overhead swamps the bucketing win.  `n_buckets` should be sized so
+    a bucket fits one executor's working memory at the target scale
+    (rows/n_buckets) while still exceeding total cores for parallelism.
+    """
+    from pyspark.sql import functions as F
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    writer = (df.repartition(n_buckets, F.col(bucket_col))
+              .write.bucketBy(n_buckets, bucket_col))
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.option("path", path).mode("overwrite").saveAsTable(name)
+
+
+def register_bucketed_table(spark: SparkSession, name: str, path: str,
+                            schema_ddl: str, bucket_col: str,
+                            n_buckets: int = 128) -> DataFrame:
+    """Attach an EXISTING bucketed-table location (written by
+    `write_bucketed_table`, possibly in another session/cluster) to
+    this session's catalog, preserving the bucket metadata that a plain
+    `spark.read.parquet` would lose — the resume path for long-running
+    validation jobs over a shared stored table."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({bucket_col}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'")
+    return spark.table(name)

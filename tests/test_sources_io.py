@@ -57,3 +57,39 @@ def test_read_table_bad_format(spark):
         assert False
     except ValueError as e:
         assert "avro" in str(e)
+
+
+def test_bucketed_table_helpers(spark, tmp_path):
+    """write_bucketed_table + register_bucketed_table: the stored-table
+    layout for zero-shuffle key-local work.  A groupBy on the bucket
+    column must plan with NO Exchange, both in the writing session and
+    after re-registering the existing location (fresh-catalog resume
+    path), and results must match a plain shuffled aggregation."""
+    from pyspark.sql import functions as F
+    from jsonschema_spark.sources.io import (register_bucketed_table,
+                                             write_bucketed_table)
+
+    df = (spark.range(10_000)
+          .select(F.concat(F.lit("k"), (F.col("id") % 997))
+                  .alias("key"), F.col("id").alias("v")))
+    loc = str(tmp_path / "bucketed_tbl")
+    write_bucketed_table(df, "t_bucketed_test", loc, "key", n_buckets=8)
+    t = spark.table("t_bucketed_test")
+    plan = (t.groupBy("key").count()
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    want = {r["key"]: r["count"] for r in
+            df.groupBy("key").count().collect()}
+    got = {r["key"]: r["count"] for r in
+           t.groupBy("key").count().collect()}
+    assert got == want
+    # resume path: drop the catalog entry, re-register the location
+    spark.sql("DROP TABLE t_bucketed_test")
+    t2 = register_bucketed_table(spark, "t_bucketed_test2", loc,
+                                 "key string, v bigint", "key",
+                                 n_buckets=8)
+    plan2 = (t2.groupBy("key").count()
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan2
+    assert t2.count() == 10_000
+    spark.sql("DROP TABLE t_bucketed_test2")
