@@ -130,6 +130,38 @@ def main() -> None:
         "exchange",
         simhash_packed_df(docs, "doc_id", "text")))
 
+    # 9. pixel invariant: joinless decode scan
+    from jsonschema_spark.operators.multimodal import psnr_check
+    cases.append((
+        "pixel_invariant",
+        "decoded-pixel PSNR invariant: (w, h) ride through the decode "
+        "mapInPandas, so the whole check is ONE narrow Python scan — "
+        "zero exchanges (the former image_id join both shuffled and "
+        "cross-matched duplicate ids)",
+        psnr_check(img)))
+
+    # 10. best_match: single window over the violations
+    from jsonschema_spark.operators.bestmatch import best_match
+    cases.append((
+        "best_match",
+        "by_relevance ranking: one window (one exchange on the id "
+        "cols) over violation rows; the sortable-path regex chain is "
+        "gated behind contains('[') so bracket-free paths stay cheap",
+        best_match(v.violations(img, ["image_id"]), ["image_id"])))
+
+    # 11. IVF ANN: bounded cogroup, no pair rows
+    from jsonschema_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cases.append((
+        "ivf_topk",
+        "IVF ANN: centroids broadcast, ONE shared assignment UDF, "
+        "members salted into fixed-size chunks (per-cell counts are a "
+        "broadcast n_lists-row aggregate), cell+chunk-local cogroup "
+        "scoring — no pair rows in the plan, no cogroup above "
+        "chunk_size members",
+        ivf_topk(emb, "vec_id", "embedding", k=3, n_lists=16,
+                 n_probe=4)))
+
     lines = [
         "# PLANS.md — physical-plan audit",
         "",
