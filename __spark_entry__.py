@@ -140,6 +140,33 @@ def q_duplicate_custkeys_sortmerge(spark: SparkSession,
     return duplicate_keys(o, ["o_custkey"], strategy="sort")
 
 
+def q_duplicate_custkeys_bucketed(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Same uniqueness semantics over a BUCKETED stored table
+    (sources.io.write_bucketed_table): the groupBy aggregates on the
+    bucket column, so the plan has ZERO exchanges — the storage-layout
+    lever a 100 TB deployment would pull for repeated key-local checks.
+    Must agree with the plain-shuffle strategies (same oracle)."""
+    from jsonschema_spark.operators.uniqueness import duplicate_keys
+    from jsonschema_spark.sources.io import write_bucketed_table
+    loc = "/tmp/spark_graft_orders_bucketed_" + \
+        sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        write_bucketed_table(_t(spark, sf_dir, "orders"),
+                             "orders_bucketed_q", loc, "o_custkey",
+                             n_buckets=32)
+    else:
+        from jsonschema_spark.sources.io import register_bucketed_table
+        o = _t(spark, sf_dir, "orders")
+        register_bucketed_table(
+            spark, "orders_bucketed_q", loc,
+            ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                      for f in o.schema.fields),
+            "o_custkey", n_buckets=32)
+    return duplicate_keys(spark.table("orders_bucketed_q"),
+                          ["o_custkey"], strategy="groupby")
+
+
 def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential checks ($ref lifted to anti-joins): orphan counts."""
     from jsonschema_spark.operators.referential import orphans
@@ -618,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_tree_lineitem": q_error_tree_lineitem,
         "stats_lineitem": q_stats_lineitem,
         "duplicate_custkeys": q_duplicate_custkeys,
+        "duplicate_custkeys_bucketed": q_duplicate_custkeys_bucketed,
         "duplicate_custkeys_sortmerge": q_duplicate_custkeys_sortmerge,
         "referential_orphans": q_referential_orphans,
         "drift_histogram": q_drift_histogram,
@@ -852,6 +880,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_custkey HAVING count(*) > 1
         """,
         "duplicate_custkeys_sortmerge": """
+            SELECT o_custkey, count(*) AS dup_count
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "duplicate_custkeys_bucketed": """
             SELECT o_custkey, count(*) AS dup_count
             FROM orders GROUP BY o_custkey HAVING count(*) > 1
         """,
