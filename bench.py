@@ -21,7 +21,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
-IMAGES_ROWS = int(os.environ.get("BENCH_IMAGES_ROWS", 8_000_000))
+#: north-star table size: 32M rows (~4GB parquet) — at 8M the ~1.5s of
+#: fixed job overhead dominated the measurement and understated scan
+#: throughput ~3x; 32M amortizes it while still fitting the page cache
+IMAGES_ROWS = int(os.environ.get("BENCH_IMAGES_ROWS", 32_000_000))
 #: interleaved measurement rounds per query (noise defense — BENCH_r02
 #: carried four 5-9x swings that a single fixed-order run could not
 #: distinguish from noisy neighbors / GC debris; per-query MIN over
@@ -44,7 +47,10 @@ def main() -> None:
 
     # heap sized for 32 concurrent aggregation tasks (8g GC-thrashes)
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    # 32MB scan splits: the 4GB north-star table then reads as ~130
+    # tasks (4+ smooth waves on 32 cores) instead of 43 ragged ones
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS,
+                      max_partition_bytes=32 << 20)
     spark.sparkContext.setLogLevel("ERROR")
     # JVM + codegen warm-up so the first measured query isn't paying it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -83,7 +89,7 @@ def main() -> None:
     img_path = os.path.join(tempfile.gettempdir(),
                             f"bench_images_{IMAGES_ROWS}")
     if not os.path.exists(os.path.join(img_path, "_SUCCESS")):
-        (images_df(spark, IMAGES_ROWS, partitions=CPUS * 2)
+        (images_df(spark, IMAGES_ROWS, partitions=CPUS * 8)
          .write.mode("overwrite").parquet(img_path))
     img = spark.read.parquet(img_path)
     spec = {k: v for k, v in IMAGES_SCHEMA.items() if k != "x-spark"}
