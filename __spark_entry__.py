@@ -541,6 +541,11 @@ def q_images_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = dict(IMAGES_SCHEMA)
     spec["x-spark"] = dict(spec["x-spark"])
     spec["x-spark"]["pixel_invariant"] = {"min_psnr": 40.0}
+    # dataset-level stats assertions (north_star: per-partition column
+    # stats): the planted 0.5% caption-null rate and the w=20000 rows
+    # must each trip one aggregate violation
+    spec["x-spark"]["stats"] = {"caption": {"max_null_rate": 0.001},
+                                "w": {"max": 16384}}
     allv = validate_dataset(img, spec, ["image_id"],
                             tables={"licenses": licenses_df(spark)})
     return (allv.groupBy("keyword")
@@ -1188,6 +1193,15 @@ def oracle_sql() -> dict[str, str]:
                                          'lic_4','lic_5','lic_6','lic_7')
               UNION ALL
               SELECT 'pixelInvariant', count(*) FROM px WHERE pixel_bad
+              UNION ALL
+              SELECT 'stats:max_null_rate',
+                CASE WHEN (SELECT count(*) FILTER (caption IS NULL)
+                           * 1.0 / count(*) FROM t) > 0.001
+                     THEN 1 ELSE 0 END
+              UNION ALL
+              SELECT 'stats:max',
+                CASE WHEN (SELECT max(w) FROM t) > 16384
+                     THEN 1 ELSE 0 END
             )
             SELECT keyword, CAST(n AS BIGINT) AS n
             FROM counts WHERE n > 0 ORDER BY keyword
