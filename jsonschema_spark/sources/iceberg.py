@@ -1,0 +1,91 @@
+"""Iceberg table wiring — the north-star storage layer, config-gated.
+
+BASELINE.json's target table is Iceberg; this sandbox ships no
+iceberg-spark runtime jar, so everything here is a thin adapter over the
+PUBLIC Spark<->Iceberg integration surface (catalog config keys, the
+``iceberg`` datasource, time-travel read options, metadata tables) that
+activates when the runtime is on the classpath (`--packages
+org.apache.iceberg:iceberg-spark-runtime-<ver>` or a jar in
+``$SPARK_HOME/jars``) and degrades to a clear error here.  The rest of
+the engine is storage-agnostic: every operator takes a DataFrame, so an
+Iceberg scan slots in wherever a parquet scan does, and
+``ValidationRun``'s manifest-as-commit-record protocol maps 1:1 onto
+validating a pinned snapshot (pass ``read_iceberg(..., snapshot_id=)``
+and record the id in the run's lineage dict).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Class the iceberg-spark runtime must provide.
+_RUNTIME_CLASS = "org.apache.iceberg.spark.SparkCatalog"
+
+
+def iceberg_catalog_conf(name: str, warehouse: str,
+                         catalog_impl: str = "hadoop") -> dict[str, str]:
+    """Spark conf entries registering an Iceberg catalog `name` — pass
+    to ``SparkSession.builder.config(...)`` (or spark-defaults).
+
+    `catalog_impl`: 'hadoop' (warehouse-dir catalog, no metastore
+    service — the simple cluster default), 'hive', or 'rest'."""
+    base = f"spark.sql.catalog.{name}"
+    conf = {base: "org.apache.iceberg.spark.SparkCatalog"}
+    if catalog_impl == "hadoop":
+        conf[f"{base}.type"] = "hadoop"
+        conf[f"{base}.warehouse"] = warehouse
+    elif catalog_impl == "hive":
+        conf[f"{base}.type"] = "hive"
+        conf[f"{base}.uri"] = warehouse
+    elif catalog_impl == "rest":
+        conf[f"{base}.type"] = "rest"
+        conf[f"{base}.uri"] = warehouse
+    else:
+        raise ValueError(f"unknown catalog_impl {catalog_impl!r}")
+    return conf
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the iceberg-spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(_RUNTIME_CLASS)
+        return True
+    except Exception:
+        return False
+
+
+def read_iceberg(spark: SparkSession, table: str,
+                 snapshot_id: Optional[int] = None,
+                 as_of_timestamp_ms: Optional[int] = None) -> DataFrame:
+    """Scan an Iceberg table, optionally pinned to a snapshot.
+
+    Pinning matters for resumable validation: a run that may be retried
+    hours later must validate the SAME snapshot it started on, not
+    whatever commits landed since — resolve the current snapshot once
+    with :func:`current_snapshot_id`, stash it in the run's lineage,
+    and pass it here on every (re)attempt."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "iceberg-spark runtime not on the classpath; submit with "
+            "--packages org.apache.iceberg:iceberg-spark-runtime-3.5 "
+            "(or drop the jar into $SPARK_HOME/jars)")
+    reader = spark.read.format("iceberg")
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    if as_of_timestamp_ms is not None:
+        reader = reader.option("as-of-timestamp", str(as_of_timestamp_ms))
+    return reader.load(table)
+
+
+def current_snapshot_id(spark: SparkSession, table: str) -> Optional[int]:
+    """Latest committed snapshot id via the ``<table>.snapshots``
+    metadata table (None for an empty table)."""
+    if not iceberg_available(spark):
+        raise RuntimeError("iceberg-spark runtime not on the classpath")
+    from pyspark.sql import functions as F
+    row = (spark.read.format("iceberg").load(f"{table}.snapshots")
+           .orderBy(F.col("committed_at").desc()).limit(1)
+           .select("snapshot_id").collect())
+    return row[0]["snapshot_id"] if row else None

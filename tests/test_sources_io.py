@@ -93,3 +93,34 @@ def test_bucketed_table_helpers(spark, tmp_path):
     assert "Exchange" not in plan2
     assert t2.count() == 10_000
     spark.sql("DROP TABLE t_bucketed_test2")
+
+
+def test_iceberg_catalog_conf_pure():
+    """Catalog wiring is pure config (testable without the runtime
+    jar): the three public catalog types produce the documented Spark
+    conf keys."""
+    from jsonschema_spark.sources.iceberg import iceberg_catalog_conf
+
+    h = iceberg_catalog_conf("lake", "s3://bucket/warehouse")
+    assert h["spark.sql.catalog.lake"] == \
+        "org.apache.iceberg.spark.SparkCatalog"
+    assert h["spark.sql.catalog.lake.type"] == "hadoop"
+    assert h["spark.sql.catalog.lake.warehouse"] == "s3://bucket/warehouse"
+    r = iceberg_catalog_conf("lake", "https://cat/", catalog_impl="rest")
+    assert r["spark.sql.catalog.lake.type"] == "rest"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        iceberg_catalog_conf("x", "y", catalog_impl="nope")
+
+
+def test_iceberg_read_gated(spark):
+    """Without the runtime jar the read path must fail with the
+    actionable classpath message (never a raw Py4J error); with it, the
+    same call is the pinned-snapshot scan the runner's lineage uses."""
+    from jsonschema_spark.sources.iceberg import (iceberg_available,
+                                                  read_iceberg)
+    import pytest as _pytest
+    if iceberg_available(spark):      # pragma: no cover (no jar here)
+        _pytest.skip("iceberg runtime present; covered by live clusters")
+    with _pytest.raises(RuntimeError, match="classpath"):
+        read_iceberg(spark, "lake.db.images", snapshot_id=1)
