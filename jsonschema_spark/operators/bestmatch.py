@@ -42,9 +42,15 @@ def _sortable_path(c):
 def _relevance_cols(weak: Sequence[str], strong: Sequence[str]):
     """The by_relevance key (exceptions.py:396-425) as Columns:
     ``(-len(path), path, validator not in weak, validator in strong)``.
-    The fifth reference element (``not _matches_type()``) needs the
-    instance's runtime type and is not tracked in violation rows —
-    omitted, with `keyword` as the deterministic final tiebreak."""
+
+    Note the key DOES include ``error.path`` (exceptions.py:417-418) —
+    verified empirically against the reference: of two sibling errors
+    at equal depth the LATER path wins under ``max`` (deques gained
+    element-wise comparison in Python 3.10), and path outranks the
+    weak-keyword demotion.  The fifth reference element
+    (``not _matches_type()``) needs the instance's runtime type and is
+    not tracked in violation rows — omitted, with `keyword` as the
+    deterministic final tiebreak."""
     depth = F.size(F.split(F.col("json_path"), r"\.|\[")) - 1
     spath = _sortable_path(F.col("json_path"))
     weak_f = (F.col("keyword").isin(*weak).cast("int") if weak
