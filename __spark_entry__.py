@@ -147,10 +147,14 @@ def q_duplicate_custkeys_bucketed(spark: SparkSession,
     bucket column, so the plan has ZERO exchanges — the storage-layout
     lever a 100 TB deployment would pull for repeated key-local checks.
     Must agree with the plain-shuffle strategies (same oracle)."""
+    import hashlib
+
     from jsonschema_spark.operators.uniqueness import duplicate_keys
     from jsonschema_spark.sources.io import write_bucketed_table
+    # cache path keyed by a digest of the input dir (no assumptions
+    # about an 'sf' marker in the path; distinct inputs never collide)
     loc = "/tmp/spark_graft_orders_bucketed_" + \
-        sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+        hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
     if not os.path.exists(os.path.join(loc, "_SUCCESS")):
         write_bucketed_table(_t(spark, sf_dir, "orders"),
                              "orders_bucketed_q", loc, "o_custkey",

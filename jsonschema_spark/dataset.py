@@ -132,8 +132,13 @@ def full_check_counts(df: DataFrame, schema: dict,
     orphan_cols: dict[str, str] = {}
     for i, (fk, dim_df, dim_key) in enumerate(referential or ()):
         # limit(N+1) probe: one cheap job tells us whether the dim fits
-        # the isin tier without a full count
-        probe = (dim_df.select(dim_key).distinct()
+        # the isin tier without a full count.  NULL dim keys are
+        # dropped BEFORE the isin list is built: `x NOT IN (..., NULL)`
+        # is SQL-NULL for every non-member, which would silently zero
+        # the orphan count (the join tier is naturally immune — NULL
+        # never equi-joins)
+        probe = (dim_df.select(dim_key)
+                 .where(F.col(dim_key).isNotNull()).distinct()
                  .limit(isin_max_keys + 1).collect())
         if len(probe) <= isin_max_keys:
             miss = F.col(fk).isNotNull() & ~F.col(fk).isin(

@@ -88,6 +88,12 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _carry_schema(df: DataFrame, carry) -> str:
+    reserved = {f.split()[0] for f in DECODE_SCHEMA.split(", ")} | {"bytes"}
+    clash = [c for c in carry if c in reserved]
+    if clash:
+        raise ValueError(
+            f"carry column(s) {clash} collide with decode input/output "
+            f"names {sorted(reserved)}; rename before decoding")
     return DECODE_SCHEMA + "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in carry)
 

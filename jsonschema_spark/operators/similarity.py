@@ -201,7 +201,12 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
 
     `n_lists=None` auto-sizes the quantizer to ~sqrt(n) (capped by
     `max_train`), the standard IVF balance between cell count and cell
-    size."""
+    size.
+
+    Contract: `id_col` values must be unique — self-match exclusion
+    keys on id equality and the chunk salt hashes the id, so heavy id
+    duplication both corrupts neighbour semantics and defeats the
+    chunk bound (the kernel raises rather than OOM in that case)."""
     import numpy as np
 
     keyed = df.select(F.col(id_col).alias("_id"),
@@ -242,8 +247,13 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
         return _cells
 
     # ONE assignment pass feeds both sides: the index takes cell[0],
-    # queries explode all probe cells
-    assigned = keyed.withColumn("_cells", assign(n_probe)(F.col("_v")))
+    # queries explode all probe cells.  Persisted (spilling to disk)
+    # because THREE subtrees consume it — inv, queries, and the
+    # per-cell count aggregate — and the centroid-matmul UDF is the
+    # dominant CPU cost; one spill-write beats three recomputes
+    from pyspark import StorageLevel
+    assigned = (keyed.withColumn("_cells", assign(n_probe)(F.col("_v")))
+                .persist(StorageLevel.MEMORY_AND_DISK))
     inv = assigned.select("_id", "_v",
                           F.element_at("_cells", 1).alias("_cell"))
     queries = assigned.select(F.col("_id").alias("id"),
@@ -292,7 +302,10 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
             raise RuntimeError(
                 f"IVF chunk invariant violated: {len(right)} member "
                 f"rows in one cogroup (bound {chunk_size}, tolerance "
-                f"2x) — chunk salt skew")
+                f"2x).  The chunk salt hashes the id column, so the "
+                f"usual cause is heavily duplicated ids — ivf_topk "
+                f"requires unique ids (duplicates also break self-"
+                f"match exclusion); otherwise raise chunk_size")
         M = np.asarray(list(right["_v"]))
         ids_m = right["_id"].to_numpy()
         out_id, out_nb, out_cos = [], [], []

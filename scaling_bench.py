@@ -62,25 +62,21 @@ if not os.path.exists(os.path.join(data, "_SUCCESS")):
 # stored table bucketed by image_id: the uniqueness/validation fused
 # pass aggregates ON the bucket column, so the biggest full_check_stored
 # shuffle disappears (bucket-local plan, proven in tests/test_bucketing)
+from jsonschema_spark.sources.io import (register_bucketed_table,
+                                         write_bucketed_table)
 BUCKETS = 128
 bdata = data + "_bucketed"
-spark.sql("DROP TABLE IF EXISTS images_bucketed")
 if not os.path.exists(os.path.join(bdata, "_SUCCESS")):
-    # repartition on the bucket column first: without it every writer
-    # task emits a file per bucket (256 x 128 tiny files) and the scan
-    # drowns in open() overhead; aligned partitioning -> 1 file/bucket
-    images_df(spark, rows, partitions=256, with_license=True) \
-        .repartition(BUCKETS, F.col("image_id")) \
-        .write.bucketBy(BUCKETS, "image_id") \
-        .option("path", bdata).mode("overwrite") \
-        .saveAsTable("images_bucketed")
+    write_bucketed_table(
+        images_df(spark, rows, partitions=256, with_license=True),
+        "images_bucketed", bdata, "image_id", n_buckets=BUCKETS)
+    img_bucketed = spark.table("images_bucketed")
 else:
-    spark.sql(
-        "CREATE TABLE images_bucketed (image_id string, bytes binary, "
-        "w int, h int, fmt string, caption string, phash long, "
-        "license_id string) USING parquet CLUSTERED BY (image_id) "
-        "INTO %%d BUCKETS LOCATION '%%s'" %% (BUCKETS, bdata))
-img_bucketed = spark.table("images_bucketed")
+    img_bucketed = register_bucketed_table(
+        spark, "images_bucketed", bdata,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, license_id string",
+        "image_id", n_buckets=BUCKETS)
 spec = {k: v for k, v in IMAGES_SCHEMA.items() if k != "x-spark"}
 img_gen = images_df(spark, rows, partitions=cores * 8, with_license=True)
 img_disk = spark.read.parquet(data)

@@ -200,8 +200,11 @@ def test_full_check_counts_dim_size_guard(spark):
           .select(F.col("id").alias("rid"),
                   (F.col("id") % 2500).alias("fk"),
                   (F.col("id") % 7).alias("x")))
-    # dim covers fk values 0..1999 -> rows with fk >= 2000 are orphans
-    dim = spark.range(2000).select(F.col("id").alias("k"))
+    # dim covers fk values 0..1999 -> rows with fk >= 2000 are orphans;
+    # a planted NULL dim key must not poison the isin tier (`x NOT IN
+    # (..., NULL)` is SQL-NULL, which would zero the orphan count)
+    dim = (spark.range(2000).select(F.col("id").alias("k"))
+           .unionByName(spark.sql("SELECT CAST(NULL AS BIGINT) AS k")))
     schema = {"properties": {"x": {"maximum": 5}}}
     expected_orph = df.filter("fk >= 2000").count()
     expected_bad = df.filter("x > 5").count()

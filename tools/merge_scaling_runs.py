@@ -32,8 +32,16 @@ def load(path: str) -> dict:
 
 
 def main() -> None:
+    if len(sys.argv) != 3:
+        raise SystemExit("usage: merge_scaling_runs.py run1 run2 "
+                         "(exactly two independent runs)")
     runs = [load(p) for p in sys.argv[1:3]]
-    levels = sorted({int(k) for r in runs for k in r}, key=int)
+    # only levels BOTH runs measured are comparable
+    levels = sorted(set.intersection(*({int(k) for k in r}
+                                       for r in runs)))
+    if len(levels) < 2:
+        raise SystemExit(f"runs share {levels} — need two common "
+                         f"parallelism levels to compute efficiency")
     lines = ["", "## Cross-run best-observed (2 independent harness runs)",
              "",
              "| job | " + " | ".join(
