@@ -139,3 +139,47 @@ def test_stateful_running_counts_match_batch(spark, events_stream,
                  F.sum((~F.col("_v")).cast("long")).alias("invalid"))
             .collect()}
     assert got == want
+
+
+def test_streaming_images_validation_matches_batch(spark, tmp_path):
+    """The north-star payload through Structured Streaming: the SAME
+    compiled Column predicates validate an image+caption stream
+    (binary bytes, planted violations) that validate the batch table —
+    violation multisets must be identical, and streaming uniqueness
+    (dropDuplicates on image_id) must suppress the planted duplicate
+    ids within the stream."""
+    from jsonschema_spark.sources.images import IMAGES_SCHEMA, images_df
+    from jsonschema_spark.streaming.validate import (dedup_stream,
+                                                     validate_stream)
+
+    src = str(tmp_path / "img_src")
+    images_df(spark, 5_000).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    spec = {k: v for k, v in IMAGES_SCHEMA.items() if k != "x-spark"}
+
+    out = str(tmp_path / "viols")
+    q = (validate_stream(stream, spec, ["image_id"])
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    want = CompiledValidator(spec, batch).violations(batch, ["image_id"])
+    assert got.count() == want.count() > 0
+    g = sorted((r["image_id"], r["keyword"]) for r in got.collect())
+    w = sorted((r["image_id"], r["keyword"]) for r in want.collect())
+    assert g == w
+
+    # the images table carries no event time; an ingest timestamp
+    # bounds the dedup state like arrival time would on a real feed
+    from pyspark.sql import functions as F
+    stamped = stream.withColumn("ingest_ts", F.current_timestamp())
+    out2 = str(tmp_path / "dedup")
+    q2 = (dedup_stream(stamped, ["image_id"], "ingest_ts")
+          .writeStream.format("parquet").option("path", out2)
+          .option("checkpointLocation", str(tmp_path / "ckpt2"))
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    deduped = spark.read.parquet(out2)
+    assert deduped.count() == batch.select("image_id").distinct().count()
