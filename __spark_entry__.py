@@ -639,6 +639,32 @@ def q_images_bmp_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_agg.crossJoin(dec_agg)
 
 
+VIDEOS_ORACLE_PATH = "/tmp/spark_graft_videos_oracle"
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (brief §multimodal 'frame-sample'): every
+    4th frame of each VID0 container becomes a row via one mapInPandas
+    pass with lazy per-frame decode.  Output = per-video sampled-frame
+    bookkeeping; the DuckDB oracle recomputes it by parsing the frame
+    count straight out of the container header bytes (uint32 LE at
+    offset 4), certifying the container round-trip AND the sampling
+    arithmetic."""
+    from jsonschema_spark.operators.multimodal import sample_frames
+    from jsonschema_spark.sources.images import videos_df
+    if not os.path.exists(os.path.join(VIDEOS_ORACLE_PATH, "_SUCCESS")):
+        (videos_df(spark, 500)
+         .write.mode("overwrite").parquet(VIDEOS_ORACLE_PATH))
+    vids = spark.read.parquet(VIDEOS_ORACLE_PATH)
+    frames = sample_frames(vids, stride=4)
+    return (frames.groupBy("video_id")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.max("frame_idx").alias("max_idx"),
+                 F.sum((F.col("w") == 8).cast("long"))
+                 .alias("decoded_8px"))
+            .orderBy("video_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: lineitem validation ->
     violation counts by keyword."""
@@ -655,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": q_stats_lineitem,
         "duplicate_custkeys": q_duplicate_custkeys,
         "duplicate_custkeys_bucketed": q_duplicate_custkeys_bucketed,
+        "video_frame_sample": q_video_frame_sample,
         "duplicate_custkeys_sortmerge": q_duplicate_custkeys_sortmerge,
         "referential_orphans": q_referential_orphans,
         "drift_histogram": q_drift_histogram,
@@ -1209,6 +1236,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT keyword, CAST(n AS BIGINT) AS n
             FROM counts WHERE n > 0 ORDER BY keyword
+        """,
+        "video_frame_sample": f"""
+            WITH t AS (SELECT * FROM
+                       read_parquet('{VIDEOS_ORACLE_PATH}/*.parquet')),
+            -- frame count parsed from the VID0 container header:
+            -- uint32 little-endian at bytes 5-8
+            hdr AS (
+              SELECT video_id,
+                  CAST(('0x' || substr(hex(bytes), 9, 2)) AS BIGINT)
+                + CAST(('0x' || substr(hex(bytes), 11, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(hex(bytes), 13, 2)) AS BIGINT) * 65536
+                + CAST(('0x' || substr(hex(bytes), 15, 2)) AS BIGINT)
+                  * 16777216 AS nf
+              FROM t)
+            SELECT video_id,
+                   CAST((nf + 3) // 4 AS BIGINT) AS n_sampled,
+                   CAST(((nf - 1) // 4) * 4 AS INT) AS max_idx,
+                   CAST((nf + 3) // 4 AS BIGINT) AS decoded_8px
+            FROM hdr ORDER BY video_id
         """,
         "images_bmp_validation": f"""
             WITH t AS (SELECT * FROM

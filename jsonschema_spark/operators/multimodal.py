@@ -294,3 +294,144 @@ def psnr_check_real(df: DataFrame, min_psnr: float = 40.0) -> DataFrame:
                  F.lit(")")).alias("message"),
         F.col("psnr").cast("string").alias("failing_value"),
     )
+
+
+# --------------------------------------------- transforms: resize ---------
+
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  id_col: str = "image_id",
+                  bytes_col: str = "bytes") -> DataFrame:
+    """Decode -> nearest-neighbour resize -> re-encode, one Arrow-batched
+    mapInPandas pass (brief: 'resize as Pandas UDFs over mapInPandas').
+    Real math for BMP payloads (the built-in codec); undecodable blobs
+    yield a NULL payload row so planted corruption stays visible
+    downstream instead of killing the job."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": []}
+            for image_id, blob in zip(pdf[id_col], pdf[bytes_col]):
+                out["image_id"].append(image_id)
+                px = decode_bmp(bytes(blob)) if blob is not None else None
+                if px is None:
+                    out["bytes"].append(None)
+                    out["w"].append(0)
+                    out["h"].append(0)
+                    continue
+                h, w = px.shape[:2]
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
+                resized = px[yi][:, xi]
+                out["bytes"].append(encode_bmp(resized))
+                out["w"].append(out_w)
+                out["h"].append(out_h)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("image_id"),
+                     F.col(bytes_col).alias(bytes_col)).mapInPandas(
+        run, schema="image_id string, bytes binary, w int, h int")
+
+
+def image_features(df: DataFrame, id_col: str = "image_id",
+                   bytes_col: str = "bytes",
+                   hist_bins: int = 8) -> DataFrame:
+    """Feature extraction (brief: 'feature-extract'): per-channel means
+    + a luminance histogram from the DECODED pixels, one mapInPandas
+    pass.  The feature vector is embedding-shaped (array<double>), so
+    it feeds the similarity/dedup operators directly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "decoded": [], "mean_rgb": [],
+                   "luma_hist": []}
+            for image_id, blob in zip(pdf[id_col], pdf[bytes_col]):
+                out["image_id"].append(image_id)
+                px = decode_bmp(bytes(blob)) if blob is not None else None
+                if px is None:
+                    out["decoded"].append(False)
+                    out["mean_rgb"].append(None)
+                    out["luma_hist"].append(None)
+                    continue
+                luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                        + 0.114 * px[:, :, 2])
+                hist, _ = np.histogram(luma, bins=hist_bins,
+                                       range=(0.0, 256.0))
+                out["decoded"].append(True)
+                out["mean_rgb"].append(
+                    [float(px[:, :, c].mean()) for c in range(3)])
+                out["luma_hist"].append(
+                    (hist / max(px.shape[0] * px.shape[1], 1)).tolist())
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("image_id"),
+                     F.col(bytes_col).alias(bytes_col)).mapInPandas(
+        run, schema="image_id string, decoded boolean, "
+                    "mean_rgb array<double>, luma_hist array<double>")
+
+
+# ------------------------------------------ video: frame sampling --------
+#
+# Deterministic container: b'VID0' | uint32 n_frames | n x (uint32 len |
+# BMP file bytes).  A real-enough shape for the frame-sample plumbing
+# (schema, partitioning, batch sizes, per-frame decode) while staying
+# dependency-free; a production deployment swaps decode_video for an
+# ffmpeg/pyav-backed iterator with the SAME signature.
+
+def encode_video(frames) -> bytes:
+    parts = [b"VID0", struct.pack("<I", len(frames))]
+    for px in frames:
+        blob = encode_bmp(px)
+        parts.append(struct.pack("<I", len(blob)))
+        parts.append(blob)
+    return b"".join(parts)
+
+
+def iter_video_frames(blob: bytes):
+    """Yield (frame_idx, bmp_bytes) WITHOUT materializing all frames —
+    the per-row memory shape frame sampling needs."""
+    if blob is None or blob[:4] != b"VID0" or len(blob) < 8:
+        return
+    (n,) = struct.unpack_from("<I", blob, 4)
+    off = 8
+    for i in range(n):
+        if off + 4 > len(blob):
+            return
+        (ln,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        if off + ln > len(blob):
+            return
+        yield i, blob[off:off + ln]
+        off += ln
+
+
+def sample_frames(df: DataFrame, stride: int,
+                  id_col: str = "video_id",
+                  bytes_col: str = "bytes") -> DataFrame:
+    """Frame sampling (brief: 'frame-sample'): every `stride`-th frame
+    of each video payload becomes its own row (video_id, frame_idx,
+    frame_bytes, w, h) — one mapInPandas pass, frames decoded lazily
+    so a long video never fully materializes per row."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "frame_bytes": [],
+                   "w": [], "h": []}
+            for video_id, blob in zip(pdf[id_col], pdf[bytes_col]):
+                for i, fb in iter_video_frames(
+                        bytes(blob) if blob is not None else None):
+                    if i % stride:
+                        continue
+                    px = decode_bmp(fb)
+                    out["video_id"].append(video_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(fb)
+                    out["w"].append(0 if px is None else px.shape[1])
+                    out["h"].append(0 if px is None else px.shape[0])
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("video_id"),
+                     F.col(bytes_col).alias(bytes_col)).mapInPandas(
+        run, schema="video_id string, frame_idx int, "
+                    "frame_bytes binary, w int, h int")

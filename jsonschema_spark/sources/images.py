@@ -211,3 +211,41 @@ def bmp_images_df(spark: SparkSession, n_rows: int = 2_000,
     return base.mapInPandas(
         gen, schema="id long, image_id string, bytes binary, w int, "
                     "h int, fmt string, caption string, phash long")
+
+
+def videos_df(spark: SparkSession, n_rows: int = 200,
+              partitions: int = 8, size: int = 8,
+              base_frames: int = 8) -> DataFrame:
+    """Videos with REAL decodable frame payloads: each row carries the
+    deterministic VID0 container (see operators/multimodal.encode_video)
+    holding `base_frames + (id % 5)` BMP frames; frame f of video i
+    reproduces ``expected_pixels(f"{video_id}:{f}")`` — so sampled
+    frames are verifiable pixel-exact, and the frame count is
+    byte-parseable from the container header (oracle-checkable)."""
+    import pandas as pd
+
+    from ..operators.multimodal import encode_video, expected_pixels
+
+    base = spark.range(n_rows).repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"id": [], "video_id": [], "bytes": [],
+                   "n_frames": [], "w": [], "h": []}
+            for i in pdf["id"]:
+                i = int(i)
+                video_id = f"vid_{i:012x}"
+                n = base_frames + (i % 5)
+                frames = [expected_pixels(f"{video_id}:{f}", size, size)
+                          for f in range(n)]
+                out["id"].append(i)
+                out["video_id"].append(video_id)
+                out["bytes"].append(encode_video(frames))
+                out["n_frames"].append(n)
+                out["w"].append(size)
+                out["h"].append(size)
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen, schema="id long, video_id string, bytes binary, "
+                    "n_frames int, w int, h int")

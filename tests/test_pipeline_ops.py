@@ -210,3 +210,65 @@ def test_ivf_auto_n_lists(spark):
                    n_probe=6)
     n = e.count()
     assert out.count() == n       # every vector gets a neighbour
+
+
+def test_resize_and_features(spark):
+    """resize/feature-extract transforms (brief §multimodal): real
+    nearest-neighbour resize over the BMP codec — identity resize is
+    pixel-exact, downsize halves dims; features are deterministic and
+    embedding-shaped."""
+    import numpy as np
+    from jsonschema_spark.operators.multimodal import (decode_bmp,
+                                                       expected_pixels,
+                                                       image_features,
+                                                       resize_images)
+    from jsonschema_spark.sources.images import bmp_images_df
+
+    img = bmp_images_df(spark, 100, size=16).filter("id % 251 != 0")
+    same = {r["image_id"]: r for r in
+            resize_images(img, 16, 16).collect()}
+    down = {r["image_id"]: r for r in resize_images(img, 8, 8).collect()}
+    for iid, r in list(same.items())[:20]:
+        px = decode_bmp(bytes(r["bytes"]))
+        assert px.shape == (16, 16, 3)
+        if not int(iid[4:], 16) % 157 == 0:    # uncorrupted rows
+            assert np.array_equal(px, expected_pixels(iid, 16, 16))
+        d = decode_bmp(bytes(down[iid]["bytes"]))
+        assert d.shape == (8, 8, 3)
+        # nearest-neighbour: every resized pixel exists in the source
+        assert np.array_equal(d, px[::2, ::2])
+
+    feats = {r["image_id"]: r for r in image_features(img).collect()}
+    for iid, r in list(feats.items())[:20]:
+        assert r["decoded"]
+        assert len(r["mean_rgb"]) == 3
+        assert all(0.0 <= m <= 255.0 for m in r["mean_rgb"])
+        assert abs(sum(r["luma_hist"]) - 1.0) < 1e-9
+
+
+def test_video_frame_sampling(spark):
+    """frame-sample (brief §multimodal): every stride-th frame becomes
+    a row; sampled frames decode pixel-exact against the per-frame
+    deterministic reference."""
+    import numpy as np
+    from jsonschema_spark.operators.multimodal import (decode_bmp,
+                                                       expected_pixels)
+    from jsonschema_spark.operators.multimodal import sample_frames
+    from jsonschema_spark.sources.images import videos_df
+
+    vids = videos_df(spark, 60)
+    frames = sample_frames(vids, stride=4).collect()
+    meta = {r["video_id"]: r["n_frames"] for r in
+            vids.select("video_id", "n_frames").collect()}
+    by_vid = {}
+    for r in frames:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    assert set(by_vid) == set(meta)
+    for vid, rows in by_vid.items():
+        idx = sorted(r["frame_idx"] for r in rows)
+        assert idx == list(range(0, meta[vid], 4))
+        for r in rows[:3]:
+            px = decode_bmp(bytes(r["frame_bytes"]))
+            assert r["w"] == r["h"] == 8
+            assert np.array_equal(
+                px, expected_pixels(f"{vid}:{r['frame_idx']}", 8, 8))
