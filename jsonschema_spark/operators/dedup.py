@@ -84,14 +84,18 @@ def minhash_signature(items: Column, num_hashes: int = 64) -> Column:
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """Array of `bands` LSH bucket keys: hash of each signature slice."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            b, F.array_join(
-                F.transform(F.slice(sig, b * rows_per_band + 1,
-                                    rows_per_band),
-                            lambda x: x.cast("string")), ",")))
+    """Array of `bands` LSH bucket keys: hash of each signature slice.
+
+    Band/row counts are Python ints, so the whole array is literal
+    ``xxhash64(band, sig[i], ...)`` expressions — fully codegen'd, no
+    interpreted HOF lambda and no per-row string allocation (hashing the
+    slice elements directly beats building a joined string per band)."""
+    return F.array(*[
+        F.xxhash64(F.lit(b),
+                   *[F.element_at(sig, b * rows_per_band + r + 1)
+                     for r in range(rows_per_band)])
+        for b in range(bands)
+    ])
 
 
 def minhash_signatures_df(df: DataFrame, id_col: str, text_col: str,
@@ -151,6 +155,50 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("est_jaccard") >= min_jaccard)
             .groupBy("id_a", "id_b")
             .agg(F.max("est_jaccard").alias("est_jaccard")))
+
+
+# --------------------------------------------- bounded bucket self-join ---
+
+def chunked_bucket_pairs(keyed: DataFrame, bucket_cols: Sequence[str],
+                         chunk_size: int = 8192,
+                         salt_seed: int = 97):
+    """Bucket-local self-join sides with ONE side salted into ~fixed-size
+    chunks, so no join group ever goes quadratic in the bucket size.
+
+    Band/bucket key spaces are small by construction (a 16-bit band has
+    65,536 buckets; 16 hyperplanes give 65,536 sign patterns), which is
+    exactly why a naive bucket self-join dies at 10^9+ rows: the average
+    bucket holds n/keyspace rows and the bucket-local a x b join
+    materializes its square in ONE task.  The same ceiling makes the
+    per-bucket count table tiny (<= keyspace rows), so it broadcasts.
+
+    Shape (mirrors ``ivf_topk``'s member chunking): per-bucket counts ->
+    ``n_chunks = ceil(count / chunk_size)`` broadcast back; the *b* side
+    lands in exactly one chunk (``xxhash64(_id, salt) % n_chunks`` —
+    expectation-bounded at ~chunk_size, Chernoff-tight for chunk_size >=
+    a few hundred); the *a* side replicates to every chunk.  Each
+    unordered pair ``(u, v), u < v`` meets exactly once — in chunk(v) —
+    so downstream ``a._id < b._id`` joins are exact, while per-task join
+    groups are bounded at ~bucket_size x chunk_size instead of
+    bucket_size^2.  Cost: one extra column-pruned pass for the bucket
+    histogram (map-side combined, tiny shuffle) and a-side replication
+    x(bucket/chunk_size) — signatures only, never documents.
+
+    `keyed` must carry a unique ``_id`` column.  Returns ``(a, b)``
+    aliased frames; join on ``bucket_cols + ["_chunk"]``.
+    """
+    counts = (keyed.groupBy(*bucket_cols)
+              .agg(F.ceil(F.count(F.lit(1)) / chunk_size)
+                   .cast("int").alias("_nc")))
+    withn = keyed.join(F.broadcast(counts), list(bucket_cols))
+    b = withn.withColumn(
+        "_chunk", F.pmod(F.xxhash64("_id", F.lit(salt_seed)),
+                         F.greatest(F.lit(1), F.col("_nc")))
+        .cast("int")).drop("_nc")
+    a = withn.withColumn(
+        "_chunk", F.explode(F.sequence(
+            F.lit(0), F.greatest(F.lit(1), F.col("_nc")) - 1))).drop("_nc")
+    return a.alias("a"), b.alias("b")
 
 
 # ------------------------------------------------------------ simhash -----
@@ -241,12 +289,22 @@ def simhash_packed_df(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
                        bits: int = 64, max_hamming: int = 3,
-                       band_bits: int = 16) -> DataFrame:
+                       band_bits: int = 16,
+                       chunk_size: int = 8192) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, blocked by
     `bits/band_bits` bands so at least one band matches exactly when the
     distance is small (pigeonhole).  Band extraction and hamming are
-    literal shift/mask/bit_count — fully codegen'd."""
-    sigs = simhash_packed_df(df, id_col, text_col, bits).cache()
+    literal shift/mask/bit_count — fully codegen'd.
+
+    The 16-bit band key space caps at 65,536 buckets per band, so at
+    10^9+ rows a raw (band, bucket) self-join goes quadratic inside one
+    task; :func:`chunked_bucket_pairs` salts one join side into
+    ~`chunk_size` chunks so per-task groups stay bounded while every
+    qualifying pair still meets exactly once.  No signature cache: the
+    expensive explode+agg signature pipeline ends in a groupBy("_id")
+    exchange that Spark's ReuseExchange shares across the count / a / b
+    subtrees, so nothing is left persisted after the query completes."""
+    sigs = simhash_packed_df(df, id_col, text_col, bits)
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     bucket_exprs = [
@@ -259,11 +317,10 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
         "_id", "_sh",
         F.explode(F.array(*bucket_exprs)).alias("_bb")
     ).select("_id", "_sh", "_bb._band", "_bb._bucket")
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = chunked_bucket_pairs(banded, ["_band", "_bucket"], chunk_size)
     ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
-    pairs = (a.join(b, (F.col("a._band") == F.col("b._band"))
-                    & (F.col("a._bucket") == F.col("b._bucket"))
-                    & (F.col("a._id") < F.col("b._id")))
+    pairs = (a.join(b, ["_band", "_bucket", "_chunk"])
+             .filter(F.col("a._id") < F.col("b._id"))
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"),
                      ham.alias("hamming")))
@@ -373,18 +430,23 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                               threshold: float = 0.95,
                               n_planes: int = 16,
-                              seed: int = 42) -> DataFrame:
+                              seed: int = 42,
+                              chunk_size: int = 8192) -> DataFrame:
     """Near-dup pairs by cosine >= threshold, blocked by a random-
     hyperplane LSH bucket (deterministic planes) so the self-join is
-    bucket-local instead of a full cross join."""
+    bucket-local instead of a full cross join.
+
+    `n_planes` sign patterns cap the bucket key space at 2^n_planes, so
+    the bucket self-join shares SimHash's quadratic-at-scale ceiling —
+    :func:`chunked_bucket_pairs` bounds it the same way."""
     from .similarity import hyperplane_signature
     keyed = df.select(F.col(id_col).alias("_id"),
                       F.col(vec_col).cast("array<double>").alias("_v"))
     keyed = keyed.withColumn(
         "_bucket", hyperplane_signature(keyed, "_v", n_planes, seed))
-    a, b = keyed.alias("a"), keyed.alias("b")
-    pairs = (a.join(b, (F.col("a._bucket") == F.col("b._bucket"))
-                    & (F.col("a._id") < F.col("b._id")))
+    a, b = chunked_bucket_pairs(keyed, ["_bucket"], chunk_size)
+    pairs = (a.join(b, ["_bucket", "_chunk"])
+             .filter(F.col("a._id") < F.col("b._id"))
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"),
                      cosine_similarity(F.col("a._v"),
