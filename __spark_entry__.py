@@ -23,6 +23,31 @@ if _REPO not in sys.path:
 
 SF0001 = "/root/testdata/sf0.001"
 
+def _fingerprint(path: str) -> str:
+    """Content fingerprint (name+size+mtime of data files) of a file or
+    parquet dir.  /tmp caches derived from a source embed this in their
+    path, so regenerating the source (or editing the synthetic
+    generator) silently invalidates the stale cache instead of reusing
+    it (ADVICE-r3)."""
+    import hashlib
+    h = hashlib.md5(path.encode())
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.startswith(("_", ".")):
+                continue
+            st = os.stat(os.path.join(path, name))
+            h.update(f"{name}:{st.st_size}:{int(st.st_mtime)}".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()[:10]
+
+
+#: synthetic-oracle caches regenerate when the generator module changes
+_GEN_FP = _fingerprint(os.path.join(
+    _REPO, "jsonschema_spark", "sources", "images.py"))
+
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -147,14 +172,12 @@ def q_duplicate_custkeys_bucketed(spark: SparkSession,
     bucket column, so the plan has ZERO exchanges — the storage-layout
     lever a 100 TB deployment would pull for repeated key-local checks.
     Must agree with the plain-shuffle strategies (same oracle)."""
-    import hashlib
-
     from jsonschema_spark.operators.uniqueness import duplicate_keys
     from jsonschema_spark.sources.io import write_bucketed_table
-    # cache path keyed by a digest of the input dir (no assumptions
-    # about an 'sf' marker in the path; distinct inputs never collide)
+    # cache path keyed by a CONTENT fingerprint of the source parquet
+    # (regenerated testdata at the same path -> fresh bucketed copy)
     loc = "/tmp/spark_graft_orders_bucketed_" + \
-        hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+        _fingerprint(os.path.join(sf_dir, "orders.parquet"))
     if not os.path.exists(os.path.join(loc, "_SUCCESS")):
         write_bucketed_table(_t(spark, sf_dir, "orders"),
                              "orders_bucketed_q", loc, "o_custkey",
@@ -524,8 +547,8 @@ def q_standard_output(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: queries persist their deterministic synthetic input here so the
 #: DuckDB oracle reads the SAME rows the engine validated
-IMAGES_ORACLE_PATH = "/tmp/spark_graft_images_oracle"
-BMP_ORACLE_PATH = "/tmp/spark_graft_bmp_oracle"
+IMAGES_ORACLE_PATH = f"/tmp/spark_graft_images_oracle_{_GEN_FP}"
+BMP_ORACLE_PATH = f"/tmp/spark_graft_bmp_oracle_{_GEN_FP}"
 
 
 def q_images_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,7 +662,57 @@ def q_images_bmp_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_agg.crossJoin(dec_agg)
 
 
-VIDEOS_ORACLE_PATH = "/tmp/spark_graft_videos_oracle"
+PNGS_ORACLE_PATH = f"/tmp/spark_graft_pngs_oracle_{_GEN_FP}"
+
+
+def q_images_png_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **compressed**-codec tier: PNG payloads (zlib IDAT, CRCs,
+    scanline filters) decoded by the engine's built-in pure-python
+    codec (operators/multimodal.decode_png — no Pillow).  One row:
+
+    - n_rows / sig_ok / hdr_dims_ok come from native byte math — the
+      big-endian IHDR width/height re-parsed from raw bytes; DuckDB
+      recomputes the same fields from the same persisted bytes;
+    - decode_fail / low_psnr come from the REAL inflate+unfilter+PSNR
+      pass — DuckDB derives the expected counts from the planted
+      corruption rules (id % 251 truncation, id % 311 CRC flip,
+      id % 157 pre-encode pixel damage), certifying that decoding
+      finds exactly the planted damage."""
+    from jsonschema_spark.operators.multimodal import decode_images_real
+    from jsonschema_spark.sources.images import png_images_df
+    if not os.path.exists(os.path.join(PNGS_ORACLE_PATH, "_SUCCESS")):
+        (png_images_df(spark, 2_000)
+         .write.mode("overwrite").parquet(PNGS_ORACLE_PATH))
+    img = spark.read.parquet(PNGS_ORACLE_PATH)
+
+    b = F.col("bytes")
+
+    def byte(i: int):           # 1-based byte -> long (native)
+        return F.conv(F.hex(F.substring(b, i, 1)), 16, 10).cast("long")
+
+    def be32(pos: int):
+        return (byte(pos) * 16777216 + byte(pos + 1) * 65536
+                + byte(pos + 2) * 256 + byte(pos + 3))
+
+    hdr_w, hdr_h = be32(17), be32(21)
+    hdr_agg = img.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.hex(F.substring(b, 1, 8)) == "89504E470D0A1A0A")
+              .cast("long")).alias("sig_ok"),
+        F.sum(((hdr_w == F.col("w")) & (hdr_h == F.col("h")))
+              .cast("long")).alias("hdr_dims_ok"))
+    dec = decode_images_real(img, carry=("w", "h"))
+    dec_agg = dec.agg(
+        F.sum((~F.col("header_ok")).cast("long")).alias("decode_fail"),
+        F.sum((F.col("header_ok") & (F.col("psnr") < 40.0))
+              .cast("long")).alias("low_psnr"),
+        F.sum((F.col("header_ok") & (F.col("decoded_w") == F.col("w"))
+               & (F.col("decoded_h") == F.col("h")))
+              .cast("long")).alias("dims_roundtrip"))
+    return hdr_agg.crossJoin(dec_agg)
+
+
+VIDEOS_ORACLE_PATH = f"/tmp/spark_graft_videos_oracle_{_GEN_FP}"
 
 
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "images_validation": q_images_validation,
         "images_bmp_validation": q_images_bmp_validation,
+        "images_png_validation": q_images_png_validation,
         "dynamic_ref_orders": q_dynamic_ref_orders,
         "composition_orders": q_composition_orders,
         "array_keywords_lineitem": q_array_keywords_lineitem,
@@ -1300,6 +1374,53 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS decode_fail,
               CAST(sum(CASE WHEN id % 157 = 0 AND id % 251 != 0
                             THEN 1 ELSE 0 END) AS BIGINT) AS low_psnr
+            FROM hdr
+        """,
+        "images_png_validation": f"""
+            WITH t AS (SELECT * FROM
+                       read_parquet('{PNGS_ORACLE_PATH}/*.parquet')),
+            b AS (
+              SELECT id, w, h, hex(bytes) AS hx FROM t),
+            -- PNG header fields re-parsed from raw bytes: 8-byte
+            -- signature, then IHDR width/height as BIG-endian uint32
+            -- at bytes 17-20 / 21-24
+            hdr AS (
+              SELECT *,
+                substr(hx, 1, 16) = '89504E470D0A1A0A' AS sig,
+                  CAST(('0x' || substr(hx, 33, 2)) AS BIGINT) * 16777216
+                + CAST(('0x' || substr(hx, 35, 2)) AS BIGINT) * 65536
+                + CAST(('0x' || substr(hx, 37, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(hx, 39, 2)) AS BIGINT)
+                  AS hw,
+                  CAST(('0x' || substr(hx, 41, 2)) AS BIGINT) * 16777216
+                + CAST(('0x' || substr(hx, 43, 2)) AS BIGINT) * 65536
+                + CAST(('0x' || substr(hx, 45, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(hx, 47, 2)) AS BIGINT)
+                  AS hh
+              FROM b)
+            SELECT
+              count(*) AS n_rows,
+              CAST(sum(CASE WHEN sig THEN 1 ELSE 0 END) AS BIGINT)
+                AS sig_ok,
+              CAST(sum(CASE WHEN hw = w AND hh = h THEN 1 ELSE 0 END)
+                   AS BIGINT) AS hdr_dims_ok,
+              -- planted rules: id%251 -> mid-IDAT truncation and
+              -- id%311 -> one IDAT byte flipped (CRC mismatch): both
+              -- decode failures the codec must detect structurally;
+              -- id%157 (minus overlaps) -> pre-encode pixel damage
+              -- (valid PNG, PSNR collapses); everything else must
+              -- round-trip bit-exact with matching dims
+              CAST(sum(CASE WHEN id % 251 = 0
+                              OR (id % 311 = 0 AND id % 251 != 0
+                                  AND id != 0)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS decode_fail,
+              CAST(sum(CASE WHEN id % 157 = 0 AND id % 251 != 0
+                            AND id % 311 != 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_psnr,
+              CAST(sum(CASE WHEN NOT (id % 251 = 0
+                                      OR (id % 311 = 0 AND id != 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS dims_roundtrip
             FROM hdr
         """,
     }

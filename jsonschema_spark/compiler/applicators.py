@@ -16,7 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .context import CompileContext
+from .context import CompileContext, pointer_escape
 from .node import Check, Node
 from .registry import (KeywordRegistry, SchemaCompileError, compile_subschema,
                        make_check, stringify)
@@ -338,13 +338,13 @@ def c_properties(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node
                 child_ctx = ctx.child(
                     target=F.lit(None), dtype=T.NullType(),
                     path_fragment=name,
-                    schema_fragment=f"properties/{name}", row_fields=None)
+                    schema_fragment=f"properties/{pointer_escape(name)}", row_fields=None)
                 child_ctx.statically_absent = True
                 child = compile_subschema(child_ctx, sub)
                 out.checks.extend(c for c in child.checks
                                   if c.skip_null_guard)
                 continue
-            child_ctx = _bind_member(ctx, fld, f"properties/{name}")
+            child_ctx = _bind_member(ctx, fld, f"properties/{pointer_escape(name)}")
             child = compile_subschema(child_ctx, sub)
             out.checks.extend(child.checks)
             out._extra_ok.extend(child._extra_ok)
@@ -356,7 +356,7 @@ def c_properties(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node
             member = F.try_element_at(ctx.target, F.lit(name))
             child_ctx = ctx.child(target=member, dtype=vtype,
                                   path_fragment=name,
-                                  schema_fragment=f"properties/{name}",
+                                  schema_fragment=f"properties/{pointer_escape(name)}",
                                   row_fields=None)
             child = compile_subschema(child_ctx, sub)
             out.checks.extend(child.checks)
@@ -376,7 +376,7 @@ def c_pattern_properties(ctx: CompileContext, value: Any,
             for fld in _struct_members(ctx):
                 if rx.search(fld.name):
                     child_ctx = _bind_member(
-                        ctx, fld, f"patternProperties/{pattern}")
+                        ctx, fld, f"patternProperties/{pointer_escape(pattern)}")
                     child = compile_subschema(child_ctx, sub)
                     out.checks.extend(child.checks)
                     out._extra_ok.extend(child._extra_ok)
@@ -393,12 +393,12 @@ def c_pattern_properties(ctx: CompileContext, value: Any,
             ok = F.forall(F.map_values(matching),
                           lambda v: _element_ok(
                               ctx, sub, v, ctx.dtype.valueType,
-                              f"patternProperties/{pattern}"))
+                              f"patternProperties/{pointer_escape(pattern)}"))
             out._extra_ok.append(ok)
             n = make_check(ctx, "patternProperties", ok,
                            F.lit(f"a value under a key matching {pattern!r} "
                                  f"failed its subschema"),
-                           schema_suffix=f"patternProperties/{pattern}")
+                           schema_suffix=f"patternProperties/{pointer_escape(pattern)}")
             out.checks.extend(n.checks)
             out._extra_ok.pop()
         return out
@@ -520,7 +520,7 @@ def c_dependent_schemas(ctx: CompileContext, value: Any,
             present = (F.col(prop).isNotNull() if _row_scope(ctx)
                        else ctx.target.getField(prop).isNotNull())
         child = compile_subschema(
-            ctx.child(schema_fragment=f"dependentSchemas/{prop}"), sub)
+            ctx.child(schema_fragment=f"dependentSchemas/{pointer_escape(prop)}"), sub)
         for chk in child.checks:
             chk.pred = (~present) | chk.pred
             out.checks.append(chk)

@@ -34,6 +34,18 @@ def json_path_join(base: str, fragment: Any) -> str:
     return f"{base}['{fragment}']"
 
 
+def pointer_escape(name: Any) -> str:
+    """RFC 6901 escaping for ONE pointer segment: ``~`` -> ``~0``,
+    ``/`` -> ``~1``.  Applied wherever a *schema-controlled name*
+    (property name, pattern, dependency key) is embedded in a schema
+    path, so a property called ``~a/b`` renders as ``~0a~1b`` — the
+    official output-tests' keywordLocation expectation
+    (json/output-tests/draft2020-12/content/escape.json).  Keyword
+    fragments themselves (``anyOf``, ``properties``, ...) never contain
+    ``/``/``~`` and are joined verbatim."""
+    return str(name).replace("~", "~0").replace("/", "~1")
+
+
 def schema_path_join(base: str, fragment: Any) -> str:
     return f"{base}/{fragment}" if base else str(fragment)
 
@@ -71,6 +83,10 @@ class CompileContext:
     statically_absent: bool = False
     max_ref_depth: int = 64
     warnings: list[str] = field(default_factory=list)
+    #: AnnotationUnit rows collected during compile (annotation keywords
+    #: like readOnly/title/default with their locations + applicability
+    #: predicates) — shared down the tree like `warnings`.
+    annotations: list = field(default_factory=list)
 
     def child(self, *, target: Optional[Column] = None,
               dtype: Optional[T.DataType] = None,

@@ -42,6 +42,33 @@ class Check:
     #: of (ValidationError.context, exceptions.py:120-131): context
     #: checks never affect validity, they exist for best_match descent
     context_of: Optional[str] = None
+    #: ``error._matches_type()`` (exceptions.py:184-197) as a Column:
+    #: does the *containing* subschema's ``type`` match the instance's
+    #: runtime type?  Statically derivable per check (the bound Spark
+    #: type is known at compile time; only NULL-ness is runtime) —
+    #: annotated by ``compile_subschema``; None = no `type` keyword in
+    #: the error's schema (the reference's KeyError -> False).  The 5th
+    #: by_relevance element (exceptions.py:421).
+    type_match: Optional[Column] = None
+
+
+@dataclass
+class AnnotationUnit:
+    """One annotation keyword bound to one instance location — the
+    compile-time image of a 2020-12 "basic" output-format annotation
+    unit (json/output-tests/*/output-schema.json outputUnit).  `value`
+    is the literal annotation value from the schema; `pred` is True for
+    rows where the owning subschema successfully applies (its own checks
+    pass and the bound instance is present).  Collection is structural:
+    subschemas under ``not`` or an inactive conditional branch are not
+    subtracted (documented limitation; the official output-tests'
+    content suite exercises direct and branch annotations only)."""
+
+    keyword: str
+    json_path: str
+    schema_path: str
+    value: object
+    pred: Column
 
 
 @dataclass

@@ -26,6 +26,13 @@ from .node import Check, Node, static_node
 
 CompilerFn = Callable[[CompileContext, Any, dict], Optional[Node]]
 
+#: annotation keywords whose values surface as output units (2020-12
+#: core §7.7 / output "basic" format annotation units)
+ANNOTATION_VALUE_KEYWORDS = frozenset({
+    "title", "description", "default", "deprecated", "readOnly",
+    "writeOnly", "examples",
+})
+
 #: keywords that are annotations / handled structurally, never compiled
 ANNOTATION_KEYWORDS = frozenset({
     "$schema", "$id", "id", "$comment", "$defs", "definitions", "$anchor",
@@ -118,6 +125,45 @@ def guard(ctx: CompileContext, pred: Column) -> Column:
     return ctx.target.isNull() | pred
 
 
+def type_match_column(ctx: CompileContext, schema: Any) -> Column:
+    """``ValidationError._matches_type()`` (exceptions.py:184-197) as a
+    compile-time Column: True when `schema`'s ``type`` matches the
+    runtime JSON type of the bound instance.  No ``type`` keyword (or a
+    non-string form) folds to False, mirroring the reference's
+    KeyError/TypeError -> False.  NULL targets match only a declared
+    "null" type (array-element scope); absent-property NULLs never
+    surface because their checks are guard-passed."""
+    expected = schema.get("type") if isinstance(schema, dict) else None
+    if not isinstance(expected, (str, list)):
+        return F.lit(False)
+    types = [expected] if isinstance(expected, str) else expected
+    if ctx.target is None:  # row scope: the instance is an object
+        return F.lit(any(t in ("object", "any")
+                         for t in types if isinstance(t, str)))
+    from .keywords import _type_pred_for
+    disj: Optional[Column] = None
+    static = False
+    for t in types:
+        if not isinstance(t, str):  # draft3 type-as-schema entries
+            continue
+        try:
+            p = _type_pred_for(ctx, t)
+        except SchemaCompileError:
+            continue
+        if p is None:
+            static = True  # non-null values of this Spark type match
+        else:
+            disj = p if disj is None else (disj | p)
+    base: Optional[Column] = None
+    if static:
+        base = ctx.target.isNotNull()
+    if disj is not None:
+        base = disj if base is None else (base | disj)
+    if base is None:
+        return F.lit(False)
+    return F.coalesce(base, F.lit(False))
+
+
 def compile_subschema(ctx: CompileContext, schema: Any) -> Node:
     """Compile one (sub)schema against the bound target expression.
 
@@ -172,6 +218,18 @@ def compile_subschema(ctx: CompileContext, schema: Any) -> Node:
                                     False):
         schema = {"$ref": schema["$ref"]}
     out = Node()
+    # _matches_type annotation (exceptions.py:184-197,421): checks
+    # surfacing at THIS level have error.schema == `schema`; descendant
+    # checks were annotated at their own level (type_match already set)
+    tm: Optional[Column] = None
+
+    def annotate(chk: Check) -> None:
+        nonlocal tm
+        if chk.type_match is None:
+            if tm is None:
+                tm = type_match_column(ctx, schema)
+            chk.type_match = tm
+
     for keyword, value in schema.items():
         fn = ctx.registry.get(keyword)
         if fn is None:
@@ -187,12 +245,29 @@ def compile_subschema(ctx: CompileContext, schema: Any) -> Node:
         for chk in node.checks:
             if not chk.skip_null_guard:
                 chk.pred = guard(ctx, chk.pred)
+            annotate(chk)
             out.checks.append(chk)
         for chk in node.context:
             if not chk.skip_null_guard:
                 chk.pred = guard(ctx, chk.pred)
+            annotate(chk)
             out.context.append(chk)
         out._extra_ok.extend(guard(ctx, p) for p in node._extra_ok)
+
+    # annotation keywords produce output units (2020-12 "basic" format)
+    # when the owning subschema successfully applies to a present
+    # instance — collected compile-time into ctx.annotations
+    present = set(schema) & ANNOTATION_VALUE_KEYWORDS
+    if present:
+        from .node import AnnotationUnit
+        applies = guard(ctx, out.ok) if ctx.target is not None else out.ok
+        if ctx.target is not None and getattr(ctx, "null_is_absent", True):
+            applies = ctx.target.isNotNull() & applies
+        for kw in sorted(present):
+            ctx.annotations.append(AnnotationUnit(
+                keyword=kw, json_path=ctx.json_path,
+                schema_path=schema_path_join(ctx.schema_path, kw),
+                value=schema[kw], pred=applies))
     return out
 
 

@@ -83,11 +83,26 @@ class Resolver:
     def add_document(self, uri: str, doc: Any) -> str:
         """Index `doc` under `uri` (its retrieval URI).  Returns the
         document's canonical base URI (its own ``$id`` wins, resolved
-        against the retrieval URI)."""
+        against the retrieval URI).
+
+        A document declaring its own ``$schema`` is indexed under THAT
+        draft's identifier rules (legacy ``id``, ``#anchor``
+        location-independent identifiers, $ref-hides-id), not the root
+        resolver's — the per-resource dialect behavior of the
+        reference's referencing registry (ADVICE-r3).  Documents
+        without ``$schema`` inherit the root draft."""
         self._keepalive.append(doc)
+        doc_draft = self.draft
+        if isinstance(doc, dict) and isinstance(doc.get("$schema"), str):
+            from .legacy import DRAFT_NAMES
+            uri_s = doc["$schema"]
+            for cand in (uri_s, uri_s.rstrip("#"), uri_s + "#"):
+                if cand in DRAFT_NAMES:
+                    doc_draft = DRAFT_NAMES[cand]
+                    break
         base = uri
         if isinstance(doc, dict):
-            ident = self._identifier(doc)
+            ident = self._identifier(doc, doc_draft)
             if ident:
                 new, frag = urldefrag(join_uri(uri, ident))
                 if new:
@@ -95,7 +110,7 @@ class Resolver:
         self.documents[base] = doc
         if uri and uri != base:
             self.documents[uri] = doc
-        self._index(doc, base)
+        self._index(doc, base, doc_draft)
         return base
 
     def add_root(self, schema: Any) -> str:
@@ -103,11 +118,13 @@ class Resolver:
         no ``$id``."""
         return self.add_document("", schema)
 
-    def _identifier(self, node: dict) -> Optional[str]:
+    def _identifier(self, node: dict,
+                    draft: Optional[str] = None) -> Optional[str]:
+        draft = draft or self.draft
         # pre-2019 drafts ignore every $ref sibling *including* the
         # identifier (referencing's draft<=7 id_of returns None when
         # $ref is present; suite "sibling $id" ref.json cases)
-        if self.draft in ("draft3", "draft4", "draft6", "draft7") \
+        if draft in ("draft3", "draft4", "draft6", "draft7") \
                 and "$ref" in node:
             return None
         # draft3/4 spell it `id`; accept both everywhere (remote fixture
@@ -116,15 +133,16 @@ class Resolver:
         if isinstance(v, str):
             return v
         v = node.get("id")
-        if isinstance(v, str) and self.draft in ("draft3", "draft4",
-                                                 "draft6", "draft7"):
+        if isinstance(v, str) and draft in ("draft3", "draft4",
+                                            "draft6", "draft7"):
             return v
         return None
 
-    def _index(self, node: Any, base: str) -> None:
+    def _index(self, node: Any, base: str,
+               draft: Optional[str] = None) -> None:
         if not isinstance(node, dict):
             return
-        ident = self._identifier(node)
+        ident = self._identifier(node, draft)
         if ident:
             uri, frag = urldefrag(join_uri(base, ident))
             if uri and uri != base:
@@ -146,12 +164,12 @@ class Resolver:
         for kw, value in node.items():
             if kw in _MAP and isinstance(value, dict):
                 for sub in value.values():
-                    self._index(sub, base)
+                    self._index(sub, base, draft)
             elif kw in _LIST and isinstance(value, list):
                 for sub in value:
-                    self._index(sub, base)
+                    self._index(sub, base, draft)
             elif kw in _SINGLE and isinstance(value, dict):
-                self._index(value, base)
+                self._index(value, base, draft)
 
     # ---------------------------------------------------------- resolution
 

@@ -395,3 +395,153 @@ def run_suite(spark: SparkSession, draft: str = "draft2020-12",
                         name, g["description"], t["description"], "fail",
                         f"engine={got} expected={t['valid']}"))
     return report
+
+
+# ----------------------------------------------------- output-tests -------
+
+OUTPUT_TESTS_DIR = "/root/reference/json/output-tests"
+
+
+def _basic_output_for_case(spark: SparkSession, schema: Any, instance: Any,
+                           registry: Any, resolver: Optional[Resolver]):
+    """The engine's "basic" output-format object for one (schema,
+    instance) pair — the root output unit plus nested error units (from
+    the compiled checks, RFC 6901 pointers) or annotation units
+    (compile-time ``ctx.annotations``).  This is the object the official
+    output-tests' per-test schemas validate
+    (json/output-tests/README.md: content tests, `basic` format).
+
+    ``absoluteKeywordLocation`` is emitted when the root schema declares
+    an ``$id`` and the location never crosses a $ref/$dynamicRef
+    resource boundary (our schema paths are root-relative, so the plain
+    ``$id#/<path>`` join is exact there and omitted elsewhere — the
+    field is optional in the output schema)."""
+    from .operators.bestmatch import _jsonpath_to_pointer
+
+    dtype = infer_spark_type(instance)
+    sschema = T.StructType([T.StructField("value", dtype, True)])
+    df = spark.createDataFrame([(_to_row_value(instance, dtype),)], sschema)
+    case_res = resolver.child() if resolver is not None else Resolver()
+    root_uri = case_res.add_root(schema)
+    ctx = CompileContext(
+        registry=registry, target=F.col("value"), dtype=dtype,
+        root_schema=schema if isinstance(schema, dict) else None,
+        null_is_absent=False, resolver=case_res, base_uri=root_uri,
+        dynamic_scope=(root_uri,))
+    node = compile_subschema(ctx, schema)
+    base_id = schema.get("$id") if isinstance(schema, dict) else None
+
+    def absolute(kw_loc: str) -> Optional[str]:
+        if base_id and "/$ref/" not in kw_loc + "/" \
+                and "/$dynamicRef/" not in kw_loc + "/":
+            return base_id + "#" + kw_loc
+        return None
+
+    valid = bool(df.select(F.coalesce(node.ok, F.lit(False)).alias("ok"))
+                 .first()["ok"])
+    out: dict = {"valid": valid, "keywordLocation": "",
+                 "instanceLocation": ""}
+    if base_id:
+        out["absoluteKeywordLocation"] = base_id + "#"
+    if not valid:
+        structs = [F.when(~F.coalesce(c.pred, F.lit(True)), F.struct(
+            F.lit(c.schema_path).alias("sp"),
+            F.lit(c.json_path).alias("jp"),
+            c.message.cast("string").alias("msg")))
+            for c in node.checks]
+        units = []
+        if structs:
+            arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+            rows = (df.select(F.explode(arr).alias("_v"))
+                    .select(F.col("_v.sp").alias("sp"),
+                            _jsonpath_to_pointer(F.col("_v.jp"))
+                            .alias("il"),
+                            F.col("_v.msg").alias("msg")).collect())
+            for r in rows:
+                u = {"valid": False,
+                     "keywordLocation": "/" + r["sp"],
+                     "instanceLocation": r["il"] or "",
+                     "error": r["msg"] or ""}
+                a = absolute(u["keywordLocation"])
+                if a:
+                    u["absoluteKeywordLocation"] = a
+                units.append(u)
+        out["errors"] = units or [
+            {"valid": False, "keywordLocation": "",
+             "instanceLocation": "", "error": "instance failed validation"}]
+        return out
+    anns = []
+    for a_unit in ctx.annotations:
+        row = df.select(
+            F.coalesce(a_unit.pred, F.lit(False)).alias("applies"),
+            _jsonpath_to_pointer(F.lit(a_unit.json_path)).alias("il")
+        ).first()
+        if not row["applies"]:
+            continue
+        u = {"valid": True,
+             "keywordLocation": "/" + a_unit.schema_path,
+             "instanceLocation": row["il"] or "",
+             "annotation": a_unit.value}
+        a = absolute(u["keywordLocation"])
+        if a:
+            u["absoluteKeywordLocation"] = a
+        anns.append(u)
+    if anns:
+        out["annotations"] = anns
+    return out
+
+
+def run_output_suite(spark: SparkSession,
+                     draft: str = "draft2020-12") -> SuiteReport:
+    """Run the official output-tests content suite ("basic" format,
+    json/output-tests/<draft>/content/*): for each case the engine's
+    basic-output object must validate against the suite's per-test
+    output schema.  The check uses the installed reference validator
+    with the official output schema registered at its ``$id`` (the
+    suite instructs loading it — README "This schema will need to be
+    loaded as the tests reference it"); the engine is the *subject*,
+    the reference is only the checker."""
+    import jsonschema as ref_js
+    import referencing
+
+    base = os.path.join(OUTPUT_TESTS_DIR, draft)
+    with open(os.path.join(base, "output-schema.json")) as fh:
+        out_schema = json.load(fh)
+    ref_registry = referencing.Registry().with_resource(
+        out_schema["$id"], referencing.Resource.from_contents(out_schema))
+    cls = (ref_js.Draft202012Validator if draft == "draft2020-12"
+           else ref_js.Draft201909Validator)
+    registry = _registry_for_draft(draft)
+    resolver = base_resolver(draft)
+    report = SuiteReport()
+    content = os.path.join(base, "content")
+    for name in sorted(os.listdir(content)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(content, name)) as fh:
+            groups = json.load(fh)
+        for g in groups:
+            for t in g["tests"]:
+                if "basic" not in t["output"]:
+                    report.results.append(CaseResult(
+                        name, g["description"], t["description"], "skip",
+                        "no basic-format expectation"))
+                    continue
+                try:
+                    got = _basic_output_for_case(
+                        spark, g["schema"], t["data"], registry, resolver)
+                except Unrepresentable as e:
+                    report.results.append(CaseResult(
+                        name, g["description"], t["description"], "skip",
+                        f"unrepresentable instance: {e}"))
+                    continue
+                checker = cls(t["output"]["basic"], registry=ref_registry)
+                errs = [e.message for e in checker.iter_errors(got)]
+                if errs:
+                    report.results.append(CaseResult(
+                        name, g["description"], t["description"], "fail",
+                        "; ".join(errs)[:300]))
+                else:
+                    report.results.append(CaseResult(
+                        name, g["description"], t["description"], "pass"))
+    return report

@@ -130,6 +130,7 @@ def full_check_counts(df: DataFrame, schema: dict,
     extra_aggs = [F.count(F.lit(1)).alias("_c"),
                   F.sum((~valid).cast("long")).alias("_bad")]
     orphan_cols: dict[str, str] = {}
+    fused_df = df  # first fused pass only; extra key passes stay on df
     for i, (fk, dim_df, dim_key) in enumerate(referential or ()):
         # limit(N+1) probe: one cheap job tells us whether the dim fits
         # the isin tier without a full count.  NULL dim keys are
@@ -147,7 +148,10 @@ def full_check_counts(df: DataFrame, schema: dict,
             flag = f"_dimhit{i}"
             dim = (dim_df.select(F.col(dim_key).alias(fk))
                    .distinct().withColumn(flag, F.lit(1)))
-            df = df.join(F.broadcast(dim), fk, "left")
+            # join only the frame used by the FIRST fused pass —
+            # later duplicate-count passes need no referential work
+            # and run on the original df (ADVICE-r3)
+            fused_df = fused_df.join(F.broadcast(dim), fk, "left")
             miss = F.col(fk).isNotNull() & F.col(flag).isNull()
         extra_aggs.append(F.sum(miss.cast("long")).alias(f"_orph{i}"))
         orphan_cols[fk] = f"_orph{i}"
@@ -157,14 +161,14 @@ def full_check_counts(df: DataFrame, schema: dict,
     first = True
     for key in keys:
         if key == "__nogroup__":
-            row = df.agg(*extra_aggs).collect()[0]
+            row = fused_df.agg(*extra_aggs).collect()[0]
             out["rows"] = row["_c"]
             out["invalid_rows"] = row["_bad"]
             for fk, c in orphan_cols.items():
                 out["orphans"][fk] = row[c]
             break
         if first:
-            g = df.groupBy(key).agg(*extra_aggs)
+            g = fused_df.groupBy(key).agg(*extra_aggs)
             agg = g.agg(
                 F.sum("_c").alias("rows"),
                 F.sum("_bad").alias("bad"),

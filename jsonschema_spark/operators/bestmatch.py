@@ -28,7 +28,12 @@ def _sortable_path(c):
     array indices as ints): zero-pad bracket indices to width 12, so
     ``[12]`` sorts after ``[2]``.  Pure regexp passes, widest first so
     a padded index is never re-padded; indices past 12 digits (10^12
-    elements in ONE array) are out of scope.  The pass chain is gated
+    elements in ONE array) are out of scope.  Documented edge case: a
+    *property name* literally containing ``[2]`` (rendered as
+    ``['a[2]b']``) is zero-padded as if it were an index and sorts in
+    index order rather than the reference's component-wise string
+    order — acceptable for tabular data, noted per ADVICE-r3.  The
+    pass chain is gated
     behind a cheap contains() so bracket-free paths (the overwhelming
     majority of tabular violations) never pay the 11 regexps —
     CASE WHEN short-circuits in codegen."""
@@ -39,25 +44,30 @@ def _sortable_path(c):
     return F.when(c.contains("["), padded).otherwise(c)
 
 
-def _relevance_cols(weak: Sequence[str], strong: Sequence[str]):
+def _relevance_cols(weak: Sequence[str], strong: Sequence[str],
+                    columns: Sequence[str] = ()):
     """The by_relevance key (exceptions.py:396-425) as Columns:
-    ``(-len(path), path, validator not in weak, validator in strong)``.
+    ``(-len(path), path, validator not in weak, validator in strong,
+    not _matches_type())``.
 
     Note the key DOES include ``error.path`` (exceptions.py:417-418) —
     verified empirically against the reference: of two sibling errors
     at equal depth the LATER path wins under ``max`` (deques gained
     element-wise comparison in Python 3.10), and path outranks the
-    weak-keyword demotion.  The fifth reference element
-    (``not _matches_type()``) needs the instance's runtime type and is
-    not tracked in violation rows — omitted, with `keyword` as the
-    deterministic final tiebreak."""
+    weak-keyword demotion.  The fifth element is carried per violation
+    row as ``type_match`` (compile-time static per check —
+    ``Check.type_match``); a violations frame from an external source
+    without the column degrades to the 4-element key, with `keyword` as
+    the deterministic final tiebreak either way."""
     depth = F.size(F.split(F.col("json_path"), r"\.|\[")) - 1
     spath = _sortable_path(F.col("json_path"))
     weak_f = (F.col("keyword").isin(*weak).cast("int") if weak
               else F.lit(0))
     strong_f = (F.col("keyword").isin(*strong).cast("int") if strong
                 else F.lit(0))
-    return depth, spath, weak_f, strong_f
+    tm_f = (F.coalesce(F.col("type_match").cast("int"), F.lit(0))
+            if "type_match" in columns else F.lit(0))
+    return depth, spath, weak_f, strong_f, tm_f
 
 
 def best_match(violations: DataFrame, id_cols: Sequence[str],
@@ -68,14 +78,18 @@ def best_match(violations: DataFrame, id_cols: Sequence[str],
     Mirrors ``max(errors, key=by_relevance(weak, strong))``
     (exceptions.py:396-443): shallower instance path wins, then the
     LATER sibling path (max over the path tuple), then non-weak beats
-    weak, then strong beats non-strong.  `weak`/`strong` parametrize
-    the key exactly like ``by_relevance(weak=..., strong=...)``.
-    Deterministic final tiebreak: keyword asc (the reference falls back
-    to iter_errors order, which has no tabular analogue)."""
-    depth, spath, weak_f, strong_f = _relevance_cols(weak, strong)
+    weak, then strong beats non-strong, then (the 5th element,
+    exceptions.py:421) an error whose schema ``type`` does NOT match
+    the instance's runtime type — ``max`` over ``not _matches_type()``.
+    `weak`/`strong` parametrize the key exactly like
+    ``by_relevance(weak=..., strong=...)``.  Deterministic final
+    tiebreak: keyword asc (the reference falls back to iter_errors
+    order, which has no tabular analogue)."""
+    depth, spath, weak_f, strong_f, tm_f = _relevance_cols(
+        weak, strong, violations.columns)
     w = (Window.partitionBy(*[F.col(c) for c in id_cols])
          .orderBy(depth.asc(), spath.desc(), weak_f.asc(),
-                  strong_f.desc(), F.col("keyword").asc()))
+                  strong_f.desc(), tm_f.asc(), F.col("keyword").asc()))
     return (violations
             .withColumn("_rank", F.row_number().over(w))
             .filter(F.col("_rank") == 1)
@@ -95,27 +109,34 @@ def best_match_deep(violations_ctx: DataFrame, id_cols: Sequence[str],
     tie (heapq.nsmallest(2) equality rule).
 
     Relevance mirrors by_relevance (exceptions.py:415-425) exactly —
-    ``(-len(path), path, not weak, in strong)`` with paths compared
-    component-wise (numeric indices numerically) — and is parametrized
-    by `weak`/`strong` like ``best_match(errors, by_relevance(...))``.
-    `max_depth` bounds the descent (= max anyOf/oneOf nesting)."""
-    depth, spath, weak_f, strong_f = _relevance_cols(weak, strong)
+    ``(-len(path), path, not weak, in strong, not _matches_type())``
+    with paths compared component-wise (numeric indices numerically) —
+    and is parametrized by `weak`/`strong` like
+    ``best_match(errors, by_relevance(...))``.  The 5th element is what
+    makes the reference descend into mixed-type anyOf branches
+    (test_exceptions.test_it_prioritizes_matching_types): under the
+    descent's ``min``, a branch error whose schema type matches the
+    instance beats a sibling type-mismatch error instead of tying with
+    it.  `max_depth` bounds the descent (= max anyOf/oneOf nesting)."""
+    depth, spath, weak_f, strong_f, tm_f = _relevance_cols(
+        weak, strong, violations_ctx.columns)
     vv = (violations_ctx.withColumn("_depth", depth)
           .withColumn("_spath", spath)
           .withColumn("_weak", weak_f)
-          .withColumn("_strong", strong_f))
+          .withColumn("_strong", strong_f)
+          .withColumn("_tm", tm_f))
     payload = ["keyword", "json_path", "schema_path", "message",
                "failing_value"]
     top = vv.filter(F.col("context_of").isNull())
     w = Window.partitionBy(*[F.col(c) for c in id_cols]).orderBy(
         F.col("_depth").asc(), F.col("_spath").desc(),
         F.col("_weak").asc(), F.col("_strong").desc(),
-        F.col("keyword").asc())
+        F.col("_tm").asc(), F.col("keyword").asc())
     best = (top.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(*id_cols, *payload))
     ctx_cols = payload + ["context_of", "_depth", "_spath", "_weak",
-                          "_strong"]
+                          "_strong", "_tm"]
     ctx_r = vv.filter(F.col("context_of").isNotNull()).select(
         *id_cols, *[F.col(c).alias("c_" + c) for c in ctx_cols])
     for _ in range(max_depth):
@@ -126,13 +147,15 @@ def best_match_deep(violations_ctx: DataFrame, id_cols: Sequence[str],
                          & F.col("keyword").isin(*COMPOSITE_KEYWORDS)))
         # the nsmallest(2) tie key = the full by_relevance tuple
         key = F.struct(F.col("c__depth"), F.col("c__spath"),
-                       F.col("c__weak"), F.col("c__strong"))
+                       F.col("c__weak"), F.col("c__strong"),
+                       F.col("c__tm"))
         w2 = Window.partitionBy(*[F.col(c) for c in id_cols]).orderBy(
             F.col("_cand").desc(),
             F.col("c__depth").desc_nulls_last(),
             F.col("c__spath").asc_nulls_last(),
             F.col("c__weak").desc_nulls_last(),
             F.col("c__strong").asc_nulls_last(),
+            F.col("c__tm").desc_nulls_last(),
             F.col("c_keyword").asc_nulls_last())
         j = (j.withColumn("_rn", F.row_number().over(w2))
              .withColumn("_next_key", F.lead(key).over(w2))

@@ -8,12 +8,15 @@ plumbing (schema, batching, UDF signature):
   written by ``sources.images._payload`` (for the 8M-row benchmark
   table whose payloads are compact placeholders);
 - ``decode_images_real`` — a REAL codec path: Windows BMP decodes with
-  the built-in struct+numpy codec (``encode_bmp``/``decode_bmp`` — a
-  genuine standard format, no library needed), other formats via
-  Pillow when importable.  PSNR is measured against the per-id
-  deterministic reference image, a true decoded-pixel comparison
-  (``sources.images.bmp_images_df`` generates real BMP payloads with
-  planted truncation/corruption).
+  the built-in struct+numpy codec (``encode_bmp``/``decode_bmp``) and
+  PNG with the built-in pure-python codec (``encode_png``/
+  ``decode_png`` — spec-conformant chunks/CRCs/zlib/all five scanline
+  filters; zlib is stdlib, so the COMPRESSED tier needs no
+  third-party library).  jpeg/webp use Pillow when importable.  PSNR
+  is measured against the per-id deterministic reference image, a
+  true decoded-pixel comparison (``sources.images.bmp_images_df`` /
+  ``png_images_df`` generate real payloads with planted
+  truncation/corruption).
 
 The per-row invariant from BASELINE.json input_hint (decoded-pixel
 PSNR >= 40 dB vs the reference decode + caption equality) is
@@ -123,7 +126,136 @@ def decode_images(df: DataFrame, carry: tuple = ()) -> DataFrame:
 # to 4 bytes) is decodable with struct+numpy alone — a REAL standard
 # format, viewable by any image tool, with no library dependency.  This
 # gives the pixel-invariant pipeline one genuinely decoded format;
-# compressed formats (jpeg/png/webp) stay gated on Pillow.
+# jpeg/webp stay gated on Pillow; PNG is fully supported by the
+# built-in pure-python codec below (zlib is stdlib — the compressed
+# tier needs no third-party dependency).
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray, compress_level: int = 6) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG file bytes (8-bit truecolor,
+    non-interlaced, filter type 0 per scanline, zlib-compressed IDAT
+    with correct CRCs).  A real, spec-conformant encoder — any PNG
+    reader decodes it; no Pillow involved."""
+    import zlib
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = pixels.reshape(h, w * 3)          # filter byte 0 + row
+    idat = zlib.compress(raw.tobytes(), compress_level)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters (types 0-4).  Up/None vectorize whole
+    rows; Sub is a per-channel cumulative sum (uint8 wraparound makes
+    cumsum exact); Average/Paeth depend nonlinearly on the left pixel,
+    so they walk pixels within the row with numpy ops per step."""
+    stride = 1 + w * bpp
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].copy()
+        if ftype == 0:
+            pass
+        elif ftype == 1:                       # Sub
+            cur = np.cumsum(cur.reshape(w, bpp), axis=0,
+                            dtype=np.uint32).astype(np.uint8).reshape(-1)
+        elif ftype == 2:                       # Up
+            cur += prev
+        elif ftype == 3:                       # Average
+            cur = cur.reshape(w, bpp)
+            pv = prev.reshape(w, bpp).astype(np.uint16)
+            left = np.zeros(bpp, dtype=np.uint16)
+            for x in range(w):
+                cur[x] = (cur[x] + ((left + pv[x]) >> 1)).astype(np.uint8)
+                left = cur[x].astype(np.uint16)
+            cur = cur.reshape(-1)
+        elif ftype == 4:                       # Paeth
+            cur = cur.reshape(w, bpp)
+            pv = prev.reshape(w, bpp).astype(np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            ul = np.zeros(bpp, dtype=np.int16)
+            for x in range(w):
+                p = left + pv[x] - ul
+                pa, pb, pc = (np.abs(p - left), np.abs(p - pv[x]),
+                              np.abs(p - ul))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, pv[x], ul))
+                cur[x] = (cur[x] + pred).astype(np.uint8)
+                left = cur[x].astype(np.int16)
+                ul = pv[x]
+            cur = cur.reshape(-1)
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def decode_png(blob: bytes):
+    """PNG file bytes -> (h, w, 3) uint8 RGB, or None if malformed.
+
+    Pure-python/numpy: signature + chunk walk with CRC verification,
+    zlib-inflated IDAT, all five scanline filters.  8-bit color types
+    0 (grey, broadcast to RGB), 2 (RGB), and 6 (RGBA, alpha dropped);
+    interlaced and paletted images return None (out of the typed
+    pipeline's data model, documented)."""
+    import zlib
+    try:
+        if blob[:8] != PNG_SIG:
+            return None
+        pos, ihdr, idat = 8, None, []
+        n = len(blob)
+        while pos + 8 <= n:
+            (length,) = struct.unpack_from(">I", blob, pos)
+            tag = blob[pos + 4:pos + 8]
+            data = blob[pos + 8:pos + 8 + length]
+            if len(data) < length:
+                return None                     # truncated chunk
+            (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+            if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                return None                     # corrupt chunk
+            if tag == b"IHDR":
+                ihdr = data
+            elif tag == b"IDAT":
+                idat.append(data)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        else:
+            return None                         # no IEND reached
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", ihdr)
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0 \
+                or ctype not in (0, 2, 6) or w <= 0 or h <= 0:
+            return None
+        bpp = {0: 1, 2: 3, 6: 4}[ctype]
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)),
+                            dtype=np.uint8)
+        if raw.size != h * (1 + w * bpp):
+            return None
+        px = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+        if ctype == 0:
+            return np.repeat(px, 3, axis=2)
+        if ctype == 6:
+            return px[:, :, :3].copy()
+        return px
+    except (struct.error, ValueError, zlib.error):
+        return None
+
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
     """(h, w, 3) uint8 RGB -> BMP file bytes."""
@@ -212,6 +344,8 @@ def decode_images_real(df: DataFrame, carry: tuple = ()) -> DataFrame:
                 px = None
                 if blob is not None and blob[:2] == b"BM":
                     px = decode_bmp(bytes(blob))
+                elif blob is not None and blob[:8] == PNG_SIG:
+                    px = decode_png(bytes(blob))
                 elif blob is not None and use_pil:  # pragma: no cover
                     import io
 

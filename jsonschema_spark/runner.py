@@ -1,8 +1,12 @@
 """Resumable validation runs: per-partition manifest + lineage + metrics.
 
 The reference is stateless per instance; at 10^12-row scale a validation
-job must be interruptible and resumable (north_rule).  Strategy (the
-parquet-dir stand-in for an Iceberg MERGE, SURVEY.md §4.2):
+job must be interruptible and resumable (north_rule).  Two commit-record
+stores share one protocol (SURVEY.md §4.2): a parquet-append stand-in
+(default — works everywhere), and a real Iceberg manifest table written
+via idempotent ``MERGE INTO`` when constructed with ``manifest_table=``
+and the runtime jar is present (``run_iceberg`` additionally pins the
+validated snapshot id into lineage).  Strategy:
 
 - the input is split into **partition groups** by a partition expression
   (e.g. ``fmt``, or a bucketed hash of ``image_id``);
@@ -47,25 +51,42 @@ class ValidationRun:
     """Drives a resumable, partition-grouped validation of one table."""
 
     def __init__(self, spark: SparkSession, out_dir: str,
-                 schema: dict, partition_col: str = "fmt"):
+                 schema: dict, partition_col: str = "fmt",
+                 manifest_table: Optional[str] = None):
+        """`manifest_table` switches the commit-record store from the
+        parquet-append stand-in to a real Iceberg table written via
+        idempotent ``MERGE INTO`` keyed on (partition_key,
+        input_lineage) — requires the iceberg-spark runtime jar
+        (``sources.iceberg.iceberg_available``); raises on commit if
+        named without the runtime (no silent fallback).  With a
+        manifest table, resume is *snapshot-scoped*: only commit
+        records whose ``input_lineage`` matches the current run's
+        lineage mark a group done, so validating a new input snapshot
+        re-runs every group while a retry of the same snapshot skips
+        committed ones."""
         self.spark = spark
         self.out_dir = out_dir
         self.schema = schema
         self.partition_col = partition_col
+        self.manifest_table = manifest_table
         self.manifest_path = os.path.join(out_dir, "manifest")
         self.violations_path = os.path.join(out_dir, "violations")
 
     # ------------------------------------------------------------ manifest
-    def committed_partitions(self) -> set[str]:
+    def committed_partitions(self,
+                             lineage_json: Optional[str] = None) -> set[str]:
         try:
-            rows = (self.spark.read.schema(MANIFEST_SCHEMA)
-                    .parquet(self.manifest_path)
-                    .select("partition_key").distinct().collect())
+            m = self.manifest()
+            if self.manifest_table is not None and lineage_json is not None:
+                m = m.filter(F.col("input_lineage") == lineage_json)
+            rows = m.select("partition_key").distinct().collect()
             return {r["partition_key"] for r in rows}
         except Exception:
             return set()
 
     def manifest(self) -> DataFrame:
+        if self.manifest_table is not None:
+            return self.spark.table(self.manifest_table)
         return self.spark.read.schema(MANIFEST_SCHEMA).parquet(
             self.manifest_path)
 
@@ -80,6 +101,10 @@ class ValidationRun:
         appended *after* the data lands (the commit record); uncommitted
         groups are re-run and overwritten on resume."""
         run_id = uuid.uuid4().hex[:12]
+        lineage_json = json.dumps(lineage or {}, sort_keys=True)
+        if self.manifest_table is not None:
+            from .sources.iceberg import ensure_manifest_table
+            ensure_manifest_table(self.spark, self.manifest_table)
         validator = CompiledValidator(self.schema, df)
         # filesystem-safe group key: NULL/empty/odd values get sentinels
         raw = F.col(self.partition_col).cast("string")
@@ -90,12 +115,11 @@ class ValidationRun:
                 .otherwise(raw)
         groups = {r["k"] for r in
                   df.select(part.alias("k")).distinct().collect()}
-        done = self.committed_partitions()
+        done = self.committed_partitions(lineage_json)
         pending = sorted(groups - done)
         skipped = sorted(groups & done)
         if not pending:
             return RunResult(run_id, [], skipped)
-        lineage_json = json.dumps(lineage or {}, sort_keys=True)
         t0 = time.time()
         work = df.withColumn("part", part)
         if skipped:
@@ -133,9 +157,31 @@ class ValidationRun:
                  r["nviol"] or 0, (r["bad"] or 0) == 0, t0, t1,
                  lineage_json) for r in stats]
         # ...then the manifest rows commit the groups
-        (self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
-         .write.mode("append").parquet(self.manifest_path))
+        mdf = self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
+        if self.manifest_table is not None:
+            from .sources.iceberg import merge_manifest
+            merge_manifest(self.spark, self.manifest_table, mdf)
+        else:
+            mdf.write.mode("append").parquet(self.manifest_path)
         return RunResult(run_id, sorted(r[0] for r in rows), skipped)
+
+    # --------------------------------------------------------- iceberg run
+    def run_iceberg(self, table: str, id_cols: Sequence[str],
+                    snapshot_id: Optional[int] = None,
+                    lineage: Optional[dict[str, Any]] = None) -> RunResult:
+        """Validate an Iceberg `table` pinned to a snapshot, with the
+        validated snapshot id recorded into the run's lineage
+        automatically (north_rule: resumable from an Iceberg snapshot
+        checkpoint).  `snapshot_id=None` resolves the current snapshot
+        once — retries MUST pass the id from the original attempt's
+        lineage so every (re)attempt validates the same data."""
+        from .sources.iceberg import current_snapshot_id, read_iceberg
+        if snapshot_id is None:
+            snapshot_id = current_snapshot_id(self.spark, table)
+        src = read_iceberg(self.spark, table, snapshot_id=snapshot_id)
+        lin = dict(lineage or {})
+        lin.update({"iceberg_table": table, "snapshot_id": snapshot_id})
+        return self.run(src, id_cols, lineage=lin)
 
     def _rm_partition_dir(self, key: str) -> None:
         """Scrub a half-written partition dir before re-running its

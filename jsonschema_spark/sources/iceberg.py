@@ -89,3 +89,51 @@ def current_snapshot_id(spark: SparkSession, table: str) -> Optional[int]:
            .orderBy(F.col("committed_at").desc()).limit(1)
            .select("snapshot_id").collect())
     return row[0]["snapshot_id"] if row else None
+
+
+# ------------------------------------------------- manifest MERGE path ----
+
+#: column list for the ValidationRun manifest table (matches
+#: runner.MANIFEST_SCHEMA)
+_MANIFEST_DDL = ("(partition_key string, run_id string, rows bigint, "
+                 "invalid_rows bigint, violation_rows bigint, "
+                 "passed boolean, started_at double, finished_at double, "
+                 "input_lineage string)")
+
+
+def ensure_manifest_table(spark: SparkSession, table: str) -> None:
+    """``CREATE TABLE IF NOT EXISTS <table> USING iceberg`` with the
+    ValidationRun manifest schema (requires the runtime jar)."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "iceberg-spark runtime not on the classpath; submit with "
+            "--packages org.apache.iceberg:iceberg-spark-runtime-3.5 "
+            "(or drop the jar into $SPARK_HOME/jars)")
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {table} {_MANIFEST_DDL} "
+              f"USING iceberg")
+
+
+def merge_manifest(spark: SparkSession, table: str,
+                   rows_df: DataFrame) -> None:
+    """Idempotent manifest commit: ``MERGE INTO`` keyed on
+    ``(partition_key, input_lineage)`` — a retried group *replaces* its
+    previous commit record for the same input snapshot instead of
+    appending a duplicate, and records for a different snapshot (new
+    lineage) coexist, so resume is snapshot-scoped.  Iceberg serializes
+    the commit optimistically; concurrent retries converge on one row
+    per key (SURVEY.md §2.6 checkpoint row: Iceberg snapshot IDs +
+    idempotent MERGE)."""
+    import uuid as _uuid
+
+    ensure_manifest_table(spark, table)
+    tmp = f"_manifest_updates_{_uuid.uuid4().hex[:8]}"
+    rows_df.createOrReplaceTempView(tmp)
+    try:
+        spark.sql(
+            f"MERGE INTO {table} t USING {tmp} s "
+            f"ON t.partition_key = s.partition_key "
+            f"AND t.input_lineage = s.input_lineage "
+            f"WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *")
+    finally:
+        spark.catalog.dropTempView(tmp)

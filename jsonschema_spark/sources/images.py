@@ -213,6 +213,60 @@ def bmp_images_df(spark: SparkSession, n_rows: int = 2_000,
                     "h int, fmt string, caption string, phash long")
 
 
+def png_images_df(spark: SparkSession, n_rows: int = 2_000,
+                  partitions: int = 8, size: int = 16) -> DataFrame:
+    """Images with REAL **compressed** payloads: each row carries an
+    actual PNG file (8-bit truecolor, zlib IDAT, CRC-correct — see
+    operators/multimodal.encode_png) of the row's deterministic
+    reference pixels, violations planted at known rates:
+
+    - id % 251 == 0: payload truncated mid-IDAT (chunk short ->
+      decode fails — with a compressed body, truncation is detected
+      structurally, not by a length formula)
+    - id % 157 == 0: one pixel row inverted BEFORE encode (valid PNG,
+      PSNR collapses)
+    - id % 311 == 0: one IDAT byte flipped AFTER encode (CRC mismatch
+      -> decode fails)
+
+    Everything else round-trips bit-exact -> PSNR 99."""
+    import pandas as pd
+
+    from ..operators.multimodal import encode_png, expected_pixels
+
+    base = spark.range(n_rows).repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"id": [], "image_id": [], "bytes": [], "w": [],
+                   "h": [], "fmt": [], "caption": [], "phash": []}
+            for i in pdf["id"]:
+                i = int(i)
+                out["id"].append(i)
+                image_id = f"png_{i:012x}"
+                px = expected_pixels(image_id, size, size)
+                if i % 157 == 0 and i % 251 != 0 and i % 311 != 0:
+                    px = px.copy()
+                    px[size // 2, :, :] = 255 - px[size // 2, :, :]
+                blob = encode_png(px)
+                if i % 251 == 0:
+                    blob = blob[:len(blob) // 2]
+                elif i % 311 == 0 and i != 0:
+                    j = 48  # inside the IDAT body
+                    blob = blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
+                out["image_id"].append(image_id)
+                out["bytes"].append(blob)
+                out["w"].append(size)
+                out["h"].append(size)
+                out["fmt"].append("png")
+                out["caption"].append(f"real png {i}")
+                out["phash"].append(i * 2654435761 % (1 << 62))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen, schema="id long, image_id string, bytes binary, w int, "
+                    "h int, fmt string, caption string, phash long")
+
+
 def videos_df(spark: SparkSession, n_rows: int = 200,
               partitions: int = 8, size: int = 8,
               base_frames: int = 8) -> DataFrame:

@@ -86,6 +86,9 @@ class CompiledValidator:
         self.context_checks: list[Check] = node.context
         self._extra_ok = node._extra_ok
         self.warnings: list[str] = list(ctx.warnings)
+        #: compile-time annotation units (readOnly/title/default/...)
+        #: with applicability predicates — see annotation_units()
+        self.annotations = list(ctx.annotations)
 
     # ------------------------------------------------------------- is_valid
     @property
@@ -103,7 +106,10 @@ class CompiledValidator:
 
     # ---------------------------------------------------------- iter_errors
     def _violation_array(self) -> Column:
-        """Array of violation structs (empty when the row passes)."""
+        """Array of violation structs (empty when the row passes).
+        ``type_match`` carries ``error._matches_type()``
+        (exceptions.py:184-197) — the 5th ``by_relevance`` element,
+        consumed by :func:`operators.bestmatch.best_match`."""
         structs = [
             F.when(~F.coalesce(c.pred, F.lit(True)), F.struct(
                 F.lit(c.keyword).alias("keyword"),
@@ -111,13 +117,15 @@ class CompiledValidator:
                 F.lit(c.schema_path).alias("schema_path"),
                 c.message.cast("string").alias("message"),
                 c.failing_value.cast("string").alias("failing_value"),
+                F.coalesce(c.type_match, F.lit(False)).alias("type_match"),
             ))
             for c in self.checks
         ]
         if not structs:
             return F.array().cast(
                 "array<struct<keyword:string,json_path:string,"
-                "schema_path:string,message:string,failing_value:string>>")
+                "schema_path:string,message:string,failing_value:string,"
+                "type_match:boolean>>")
         return F.filter(F.array(*structs), lambda x: x.isNotNull())
 
     def violations(self, df: DataFrame,
@@ -138,6 +146,7 @@ class CompiledValidator:
             F.col("_v.schema_path").alias("schema_path"),
             F.col("_v.message").alias("message"),
             F.col("_v.failing_value").alias("failing_value"),
+            F.col("_v.type_match").alias("type_match"),
         )
 
     def violations_with_context(self, df: DataFrame,
@@ -156,12 +165,13 @@ class CompiledValidator:
                 c.message.cast("string").alias("message"),
                 c.failing_value.cast("string").alias("failing_value"),
                 F.lit(c.context_of).cast("string").alias("context_of"),
+                F.coalesce(c.type_match, F.lit(False)).alias("type_match"),
             ))
             for c in self.checks + self.context_checks
         ]
         ddl = ("array<struct<keyword:string,json_path:string,"
                "schema_path:string,message:string,failing_value:string,"
-               "context_of:string>>")
+               "context_of:string,type_match:boolean>>")
         arr = (F.filter(F.array(*structs), lambda x: x.isNotNull())
                if structs else F.array().cast(ddl))
         keep = [F.col(c) for c in id_cols]
@@ -175,7 +185,48 @@ class CompiledValidator:
             F.col("_v.schema_path").alias("schema_path"),
             F.col("_v.message").alias("message"),
             F.col("_v.failing_value").alias("failing_value"),
-            F.col("_v.context_of").alias("context_of"))
+            F.col("_v.context_of").alias("context_of"),
+            F.col("_v.type_match").alias("type_match"))
+
+    # ---------------------------------------------------------- annotations
+    def annotation_units(self, df: DataFrame,
+                         id_cols: Sequence[str] = ()) -> DataFrame:
+        """2020-12 "basic" output-format *annotation* units: one row per
+        (valid instance row × applicable annotation keyword), with RFC
+        6901 keywordLocation / instanceLocation and the annotation value
+        as a JSON string.  Failed validation produces no annotations
+        (json/output-tests/draft2020-12/content/general.json), and an
+        annotation applies only where its owning subschema successfully
+        applied (e.g. a satisfied anyOf branch)."""
+        import json as _json
+
+        from .operators.bestmatch import _jsonpath_to_pointer
+        valid = self.valid_column
+        structs = [
+            F.when(valid & F.coalesce(a.pred, F.lit(False)), F.struct(
+                F.lit(a.keyword).alias("keyword"),
+                F.lit("/" + a.schema_path).alias("keywordLocation"),
+                F.lit(a.json_path).alias("json_path"),
+                F.lit(_json.dumps(a.value)).alias("annotation_json"),
+            ))
+            for a in self.annotations
+        ]
+        ddl = ("array<struct<keyword:string,keywordLocation:string,"
+               "json_path:string,annotation_json:string>>")
+        arr = (F.filter(F.array(*structs), lambda x: x.isNotNull())
+               if structs else F.array().cast(ddl))
+        keep = [F.col(c) for c in id_cols]
+        exploded = (df.select(*keep, arr.alias("_anns"))
+                    .filter(F.size("_anns") > 0)
+                    .select(*keep, F.explode("_anns").alias("_a")))
+        return exploded.select(
+            *keep,
+            F.lit(True).alias("valid"),
+            F.col("_a.keyword").alias("keyword"),
+            F.col("_a.keywordLocation").alias("keywordLocation"),
+            _jsonpath_to_pointer(F.col("_a.json_path"))
+            .alias("instanceLocation"),
+            F.col("_a.annotation_json").alias("annotation_json"))
 
     # ------------------------------------------------------------- manifest
     def manifest(self, df: DataFrame,

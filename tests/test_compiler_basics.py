@@ -246,3 +246,32 @@ def test_draft4_legacy_anchor_via_public_api(spark):
                              "minimum": 1000}},
     }
     assert _valid_flags(spark, ddl, rows, schema7) == [True, True]
+
+
+def test_schema_store_per_resource_draft(spark):
+    """ADVICE-r3: a schema_store document declaring its own `$schema`
+    resolves under THAT draft's identifier rules.  Here a draft4 doc
+    uses a legacy location-independent `id: "#big"` anchor — invisible
+    under 2020-12 rules — while the root is 2020-12; the $ref through
+    the anchor must still bind."""
+    from jsonschema_spark import CompiledValidator
+
+    store = {
+        "https://example.test/legacy": {
+            "$schema": "http://json-schema.org/draft-04/schema#",
+            "definitions": {
+                "big": {"id": "#big", "minimum": 100},
+            },
+        },
+    }
+    schema = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "properties": {
+            "n": {"$ref": "https://example.test/legacy#big"},
+        },
+    }
+    df = spark.createDataFrame([(1, 5), (2, 150)], "id int, n int")
+    v = CompiledValidator(schema, df, schema_store=store)
+    bad = {r["id"] for r in
+           v.with_valid(df).filter("NOT valid").select("id").collect()}
+    assert bad == {1}

@@ -49,3 +49,17 @@ def test_draft4_boolean_exclusive_zero_failures(spark):
         "dependencies.json"])
     assert not rep.failures()
     assert rep.counts()["pass"] > 40
+
+
+def test_output_tests_corpus(spark):
+    """VERDICT-r3 #2: the official output-tests content suite (basic
+    format) passes 100% for both drafts that define it — the engine's
+    standard-output object validates against each test's own output
+    schema, including RFC 6901-escaped keywordLocations and readOnly
+    annotation units."""
+    from jsonschema_spark.conformance import run_output_suite
+    for draft in ("draft2020-12", "draft2019-09"):
+        rep = run_output_suite(spark, draft)
+        c = rep.counts()
+        assert c["fail"] == 0, rep.failures()
+        assert c["pass"] == 4, c

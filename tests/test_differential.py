@@ -161,3 +161,56 @@ def test_best_match_numeric_index_path_order(spark):
               "schema_path string, message string, failing_value string")
     got = best_match(viols, ["_row"]).collect()[0]["json_path"]
     assert got == "$.arr[12]", got
+
+
+def test_best_match_matches_type_fifth_element(spark):
+    """The 5th by_relevance element (``not _matches_type()``,
+    exceptions.py:421), closed per VERDICT-r3 #3: the context descent
+    prefers a branch error whose schema ``type`` matches the instance's
+    runtime type.  Without it the two branch errors tie on the first
+    four elements and no descent happens — the reference's own
+    test_it_prioritizes_matching_types scenario."""
+    from jsonschema.exceptions import best_match as ref_best_match
+    from jsonschema_spark.operators.bestmatch import best_match_deep
+
+    df = spark.createDataFrame([(0, "bar")], "_row int, foo string")
+    for branches in (
+        [{"type": "array", "minItems": 2},
+         {"type": "string", "minLength": 10}],
+        [{"type": "string", "minLength": 10},
+         {"type": "array", "minItems": 2}],
+        # union types (test_it_prioritizes_matching_union_types)
+        [{"type": ["array", "object"], "minItems": 2},
+         {"type": ["integer", "string"], "minLength": 10}],
+    ):
+        schema = {"properties": {"foo": {"anyOf": branches}}}
+        ref_err = ref_best_match(
+            jsonschema.Draft202012Validator(schema).iter_errors(
+                {"foo": "bar"}))
+        assert ref_err.validator == "minLength"  # reference behavior
+        v = CompiledValidator(schema, df)
+        got = best_match_deep(v.violations_with_context(df, ["_row"]),
+                              ["_row"]).collect()[0]
+        assert got["keyword"] == "minLength", (branches, got)
+
+
+def test_best_match_no_descent_on_equally_wrong_branches(spark):
+    """Counterpart guard (the reference's
+    test_no_anyOf_traversal_for_equally_relevant_errors): when every
+    branch error ties on the full 5-element key — here none of the
+    branch types matches the instance — the composite itself is
+    returned; the new element must not force a descent."""
+    from jsonschema.exceptions import best_match as ref_best_match
+    from jsonschema_spark.operators.bestmatch import best_match_deep
+
+    schema = {"properties": {"foo": {"anyOf": [
+        {"type": "array"}, {"type": "integer"}, {"type": "boolean"},
+    ]}}}
+    ref_err = ref_best_match(
+        jsonschema.Draft202012Validator(schema).iter_errors({"foo": "x"}))
+    assert ref_err.validator == "anyOf"
+    df = spark.createDataFrame([(0, "x")], "_row int, foo string")
+    v = CompiledValidator(schema, df)
+    got = best_match_deep(v.violations_with_context(df, ["_row"]),
+                          ["_row"]).collect()[0]
+    assert got["keyword"] == "anyOf", got

@@ -310,14 +310,21 @@ def test_simhash_degenerate_bucket_chunked(spark):
             "lambda mu nu xi omicron pi rho sigma tau upsilon ")
     rows = [(i, base + f"suffix{i % 3}") for i in range(600)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    from jsonschema_spark.operators.dedup import clear_dedup_cache
     persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     tight = {tuple(r) for r in
              simhash_duplicates(df, "doc_id", "text", max_hamming=6,
-                                chunk_size=25).collect()}
+                                chunk_size=25,
+                                cache_signatures=False).collect()}
+    # cache_signatures=False leaves NOTHING persisted at any point
+    assert (spark.sparkContext._jsc.getPersistentRDDs().size()
+            == persisted_before)
     loose = {tuple(r) for r in
              simhash_duplicates(df, "doc_id", "text", max_hamming=6,
                                 chunk_size=1 << 30).collect()}
     assert tight == loose and len(tight) > 100_000
+    # the default TRACKED signature cache is fully released by the hook
+    assert clear_dedup_cache() >= 1
     assert (spark.sparkContext._jsc.getPersistentRDDs().size()
             == persisted_before)
 
@@ -380,3 +387,135 @@ def test_clear_ivf_cache_releases_assignment(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
     clear_ivf_cache()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+# --------------------------------------------------- PNG codec tier -------
+
+def test_png_roundtrip_and_malformed():
+    """encode_png -> decode_png is bit-exact; malformed payloads
+    (bad signature, truncation, CRC corruption, short IDAT) return
+    None instead of raising."""
+    import numpy as np
+    from jsonschema_spark.operators.multimodal import (decode_png,
+                                                       encode_png)
+    rng = np.random.default_rng(0)
+    for h, w in ((1, 1), (3, 7), (16, 16), (11, 5)):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_png(px)
+        back = decode_png(blob)
+        assert back is not None and np.array_equal(back, px), (h, w)
+    blob = encode_png(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    assert decode_png(b"NOPE" + blob[4:]) is None
+    assert decode_png(blob[: len(blob) // 2]) is None
+    bad = blob[:48] + bytes([blob[48] ^ 0xFF]) + blob[49:]
+    assert decode_png(bad) is None  # CRC mismatch detected
+
+
+def test_png_all_filter_types_against_scalar_spec():
+    """Hand-built PNGs exercising every scanline filter (0-4) decode to
+    the pixels an independent straight-from-the-spec scalar unfilter
+    produces — certifying the vectorized unfilter against the RFC 2083
+    definitions, not against our own encoder (which only emits filter
+    0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from jsonschema_spark.operators.multimodal import (PNG_SIG,
+                                                       _png_chunk,
+                                                       decode_png)
+
+    rng = np.random.default_rng(42)
+    h, w, bpp = 6, 5, 3
+    raw_rows = []
+    filters = [0, 1, 2, 3, 4, 3]
+    for y in range(h):
+        raw_rows.append((filters[y], rng.integers(
+            0, 256, size=w * bpp, dtype=np.uint8).tolist()))
+
+    # independent scalar reference unfilter (spec pseudocode)
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    recon = [[0] * (w * bpp) for _ in range(h)]
+    for y, (ft, row) in enumerate(raw_rows):
+        for x in range(w * bpp):
+            left = recon[y][x - bpp] if x >= bpp else 0
+            up = recon[y - 1][x] if y > 0 else 0
+            ul = recon[y - 1][x - bpp] if (y > 0 and x >= bpp) else 0
+            val = row[x]
+            if ft == 1:
+                val += left
+            elif ft == 2:
+                val += up
+            elif ft == 3:
+                val += (left + up) // 2
+            elif ft == 4:
+                val += paeth(left, up, ul)
+            recon[y][x] = val % 256
+    want = np.array(recon, dtype=np.uint8).reshape(h, w, bpp)
+
+    body = b"".join(bytes([ft]) + bytes(row) for ft, row in raw_rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(body))
+            + _png_chunk(b"IEND", b""))
+    got = decode_png(blob)
+    assert got is not None and np.array_equal(got, want)
+
+
+def test_png_grey_and_rgba_color_types():
+    import struct
+    import zlib
+
+    import numpy as np
+    from jsonschema_spark.operators.multimodal import (PNG_SIG,
+                                                       _png_chunk,
+                                                       decode_png)
+    rng = np.random.default_rng(1)
+    # greyscale (color type 0) broadcasts to RGB
+    g = rng.integers(0, 256, size=(4, 3, 1), dtype=np.uint8)
+    body = b"".join(b"\x00" + g[y].tobytes() for y in range(4))
+    blob = (PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 8, 0,
+                                              0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(body))
+            + _png_chunk(b"IEND", b""))
+    got = decode_png(blob)
+    assert np.array_equal(got, np.repeat(g, 3, axis=2))
+    # RGBA (color type 6) drops alpha
+    rgba = rng.integers(0, 256, size=(4, 3, 4), dtype=np.uint8)
+    body = b"".join(b"\x00" + rgba[y].tobytes() for y in range(4))
+    blob = (PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 8, 6,
+                                              0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(body))
+            + _png_chunk(b"IEND", b""))
+    got = decode_png(blob)
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_png_images_table_planted_violations(spark):
+    """png_images_df plants truncation (decode fail), CRC corruption
+    (decode fail), and pre-encode pixel damage (low PSNR) at known id
+    rates; decode_images_real must find exactly those."""
+    from jsonschema_spark.operators.multimodal import decode_images_real
+    from jsonschema_spark.sources.images import png_images_df
+
+    n = 1200
+    img = png_images_df(spark, n)
+    dec = {r["image_id"]: r for r in decode_images_real(img).collect()}
+    assert len(dec) == n
+    for i in range(n):
+        r = dec[f"png_{i:012x}"]
+        if i % 251 == 0 or (i % 311 == 0 and i != 0):
+            assert not r["header_ok"], i
+        elif i % 157 == 0:
+            assert r["header_ok"] and r["psnr"] < 40.0, (i, r["psnr"])
+        else:
+            assert r["header_ok"] and r["psnr"] == 99.0, (i, r["psnr"])
+            assert r["decoded_w"] == 16 and r["decoded_h"] == 16

@@ -124,3 +124,49 @@ def test_iceberg_read_gated(spark):
         _pytest.skip("iceberg runtime present; covered by live clusters")
     with _pytest.raises(RuntimeError, match="classpath"):
         read_iceberg(spark, "lake.db.images", snapshot_id=1)
+
+
+def test_manifest_merge_gated(spark, tmp_path):
+    """VERDICT-r3 #4: the Iceberg manifest-MERGE branch.  Without the
+    runtime jar a manifest_table must fail loudly (no silent parquet
+    fallback); with the jar present the MERGE path is exercised for
+    idempotency (one commit record per (partition_key, lineage) even
+    after a re-run)."""
+    import pytest as _pytest
+    from jsonschema_spark.runner import ValidationRun
+    from jsonschema_spark.sources.iceberg import iceberg_available
+
+    df = spark.createDataFrame(
+        [(1, "png"), (2, "png"), (3, "bmp")], "image_id long, fmt string")
+    schema = {"required": ["image_id"]}
+    run = ValidationRun(spark, str(tmp_path / "out"), schema, "fmt",
+                        manifest_table="lake.db.manifest")
+    if not iceberg_available(spark):
+        with _pytest.raises(Exception) as ei:
+            run.run(df, ["image_id"], lineage={"snapshot_id": 7})
+        assert "iceberg" in str(ei.value).lower()
+        return  # gated: the live branch runs where the jar exists
+    res1 = run.run(df, ["image_id"], lineage={"snapshot_id": 7})
+    assert sorted(res1.completed) == ["bmp", "png"]
+    # retry with the SAME lineage: groups are already committed
+    res2 = run.run(df, ["image_id"], lineage={"snapshot_id": 7})
+    assert res2.completed == [] and sorted(res2.skipped) == ["bmp", "png"]
+    m = run.manifest()
+    assert m.groupBy("partition_key", "input_lineage").count() \
+            .filter("count > 1").count() == 0
+    # a NEW snapshot (different lineage) re-runs every group
+    res3 = run.run(df, ["image_id"], lineage={"snapshot_id": 8})
+    assert sorted(res3.completed) == ["bmp", "png"]
+
+
+def test_run_iceberg_requires_runtime(spark, tmp_path):
+    import pytest as _pytest
+    from jsonschema_spark.runner import ValidationRun
+    from jsonschema_spark.sources.iceberg import iceberg_available
+
+    if iceberg_available(spark):      # pragma: no cover (no jar here)
+        _pytest.skip("iceberg runtime present; covered by live clusters")
+    run = ValidationRun(spark, str(tmp_path / "out"),
+                        {"required": ["image_id"]}, "fmt")
+    with _pytest.raises(RuntimeError):
+        run.run_iceberg("lake.db.images", ["image_id"])
