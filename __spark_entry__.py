@@ -662,6 +662,23 @@ def q_images_bmp_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_agg.crossJoin(dec_agg)
 
 
+def q_caption_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *caption equality* half of the north-rule per-row invariant
+    (input_hint: decoded-pixel allclose + caption equality): the
+    table's caption column NULL-safe-compared against the
+    deterministic reference caption for the generating id — one
+    codegen'd narrow scan, no UDF.  The DuckDB oracle derives the
+    expected mismatch counts per class straight from the planted-rule
+    id arithmetic (no caption recomputation — an independent check of
+    which rows may legally differ)."""
+    from jsonschema_spark.operators.multimodal import caption_check
+    from jsonschema_spark.sources.images import images_df, reference_caption
+    img = images_df(spark, 20_000, with_id=True)
+    viol = caption_check(img, reference_caption(F.col("id")))
+    return (viol.groupBy("message")
+            .agg(F.count(F.lit(1)).alias("n")).orderBy("message"))
+
+
 PNGS_ORACLE_PATH = f"/tmp/spark_graft_pngs_oracle_{_GEN_FP}"
 
 
@@ -709,6 +726,53 @@ def q_images_png_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("header_ok") & (F.col("decoded_w") == F.col("w"))
                & (F.col("decoded_h") == F.col("h")))
               .cast("long")).alias("dims_roundtrip"))
+    return hdr_agg.crossJoin(dec_agg)
+
+
+AUDIO_ORACLE_PATH = f"/tmp/spark_graft_audio_oracle_{_GEN_FP}"
+
+
+def q_audio_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio tier: RIFF/WAVE PCM-16 payloads decoded by the
+    built-in struct+numpy codec (operators/multimodal.decode_wav).
+    One row: header fields (sample rate, data-chunk size) re-parsed
+    natively little-endian and cross-checked by DuckDB over the same
+    persisted bytes; decode_fail / low_snr derived independently from
+    the planted corruption rules (id % 251 truncation, id % 157
+    sample zeroing)."""
+    from jsonschema_spark.operators.multimodal import decode_audio
+    from jsonschema_spark.sources.images import audio_df
+    if not os.path.exists(os.path.join(AUDIO_ORACLE_PATH, "_SUCCESS")):
+        (audio_df(spark, 1_500)
+         .write.mode("overwrite").parquet(AUDIO_ORACLE_PATH))
+    clips = spark.read.parquet(AUDIO_ORACLE_PATH)
+
+    b = F.col("bytes")
+
+    def byte(i: int):           # 1-based byte -> long (native)
+        return F.conv(F.hex(F.substring(b, i, 1)), 16, 10).cast("long")
+
+    def le32(pos: int):
+        return (byte(pos) + byte(pos + 1) * 256
+                + byte(pos + 2) * 65536 + byte(pos + 3) * 16777216)
+
+    hdr_rate, data_len = le32(25), le32(41)
+    hdr_agg = clips.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.hex(F.substring(b, 1, 4)) == "52494646")
+              .cast("long")).alias("sig_ok"),
+        F.sum((hdr_rate == F.col("sample_rate")).cast("long"))
+        .alias("hdr_rate_ok"),
+        F.sum((data_len == F.col("n_samples") * 2).cast("long"))
+        .alias("hdr_len_ok"))
+    dec = decode_audio(clips, carry=("n_samples",))
+    dec_agg = dec.agg(
+        F.sum((~F.col("header_ok")).cast("long")).alias("decode_fail"),
+        F.sum((F.col("header_ok") & (F.col("snr") < 20.0))
+              .cast("long")).alias("low_snr"),
+        F.sum((F.col("header_ok")
+               & (F.col("decoded_samples") == F.col("n_samples")))
+              .cast("long")).alias("len_roundtrip"))
     return hdr_agg.crossJoin(dec_agg)
 
 
@@ -771,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_validation": q_images_validation,
         "images_bmp_validation": q_images_bmp_validation,
         "images_png_validation": q_images_png_validation,
+        "caption_equality": q_caption_equality,
+        "audio_validation": q_audio_validation,
         "dynamic_ref_orders": q_dynamic_ref_orders,
         "composition_orders": q_composition_orders,
         "array_keywords_lineitem": q_array_keywords_lineitem,
@@ -1422,6 +1488,65 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT)
                 AS dims_roundtrip
             FROM hdr
+        """,
+        "audio_validation": f"""
+            WITH t AS (SELECT * FROM
+                       read_parquet('{AUDIO_ORACLE_PATH}/*.parquet')),
+            b AS (
+              SELECT id, n_samples, sample_rate, hex(bytes) AS hx
+              FROM t),
+            -- RIFF/WAVE header fields re-parsed from raw bytes:
+            -- 'RIFF' magic, sample rate LE uint32 at bytes 25-28,
+            -- data-chunk size LE uint32 at 41-44
+            hdr AS (
+              SELECT *,
+                substr(hx, 1, 8) = '52494646' AS sig,
+                  CAST(('0x' || substr(hx, 49, 2)) AS BIGINT)
+                + CAST(('0x' || substr(hx, 51, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(hx, 53, 2)) AS BIGINT) * 65536
+                + CAST(('0x' || substr(hx, 55, 2)) AS BIGINT) * 16777216
+                  AS rate,
+                  CAST(('0x' || substr(hx, 81, 2)) AS BIGINT)
+                + CAST(('0x' || substr(hx, 83, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(hx, 85, 2)) AS BIGINT) * 65536
+                + CAST(('0x' || substr(hx, 87, 2)) AS BIGINT) * 16777216
+                  AS dlen
+              FROM b)
+            SELECT
+              count(*) AS n_rows,
+              CAST(sum(CASE WHEN sig THEN 1 ELSE 0 END) AS BIGINT)
+                AS sig_ok,
+              CAST(sum(CASE WHEN rate = sample_rate THEN 1 ELSE 0 END)
+                   AS BIGINT) AS hdr_rate_ok,
+              CAST(sum(CASE WHEN dlen = n_samples * 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS hdr_len_ok,
+              -- planted rules: id%251 -> data chunk truncated (decode
+              -- must fail); id%157 (minus overlap) -> zeroed samples
+              -- (decodes, SNR collapses); everything else round-trips
+              CAST(sum(CASE WHEN id % 251 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS decode_fail,
+              CAST(sum(CASE WHEN id % 157 = 0 AND id % 251 != 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_snr,
+              CAST(sum(CASE WHEN id % 251 != 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS len_roundtrip
+            FROM hdr
+        """,
+        "caption_equality": """
+            -- expected caption-invariant mismatches per class from the
+            -- planted-rule id arithmetic alone (earlier when-branch
+            -- wins: null > empty > long), over the same 20k id range
+            WITH ids AS (SELECT unnest(generate_series(0, 19999)) AS id),
+            cls AS (
+              SELECT CASE
+                WHEN id % 200 = 3
+                  THEN 'caption is null, reference is not'
+                WHEN id % 500 = 101 THEN 'caption is empty'
+                WHEN id % 1000 = 207
+                  THEN 'caption differs from reference'
+              END AS message FROM ids)
+            SELECT message, count(*) AS n FROM cls
+            WHERE message IS NOT NULL
+            GROUP BY message ORDER BY message
         """,
     }
 

@@ -569,3 +569,193 @@ def sample_frames(df: DataFrame, stride: int,
                      F.col(bytes_col).alias(bytes_col)).mapInPandas(
         run, schema="video_id string, frame_idx int, "
                     "frame_bytes binary, w int, h int")
+
+
+# ---------------------------------------- caption-equality invariant ------
+
+def caption_check(df: DataFrame, expected,
+                  caption_col: str = "caption",
+                  id_cols: tuple = ("image_id",)) -> DataFrame:
+    """The *caption equality* half of the north-rule per-row invariant
+    (BASELINE.json input_hint: "decoded-pixel allclose ... + caption
+    equality"): violation rows where the table's caption differs from
+    the caller-supplied reference-caption expression (NULL-safe
+    equality — a NULL caption vs a non-NULL reference is a mismatch).
+
+    `expected` is a Column (e.g. ``sources.images.reference_caption``
+    over the generating id), so the whole check is ONE codegen'd narrow
+    scan — no UDF, no shuffle, `bytes` pruned."""
+    cap = F.col(caption_col)
+    bad = df.filter(~cap.eqNullSafe(expected))
+    return bad.select(
+        *id_cols,
+        F.lit("captionEquality").alias("keyword"),
+        F.lit(f"$.{caption_col}").alias("json_path"),
+        F.lit("x-spark/caption/equality").alias("schema_path"),
+        F.when(cap.isNull(), F.lit("caption is null, reference is not"))
+         .when(F.length(cap) == 0, F.lit("caption is empty"))
+         .otherwise(F.lit("caption differs from reference"))
+        .alias("message"),
+        F.substring(F.coalesce(cap, F.lit("<null>")), 1, 64)
+        .alias("failing_value"),
+    )
+
+
+# ------------------------------------------------- real WAV codec ---------
+#
+# RIFF/WAVE PCM (16-bit little-endian) is the third REAL format the
+# multimodal tier decodes with struct+numpy alone — audio payloads get
+# the same treatment as BMP/PNG images and VID0 video: a genuine
+# standard container, planted corruption, header fields byte-parseable
+# by an independent SQL oracle.
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """(n,) or (n, channels) int16 PCM -> canonical 44-byte-header WAV
+    file bytes (RIFF + fmt + data chunks)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes):
+    """WAV file bytes -> ((n, channels) int16 array, sample_rate), or
+    None if malformed: bad magic, truncated data chunk (actual bytes <
+    declared size), non-PCM format, or non-16-bit samples."""
+    try:
+        if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            return None
+        (riff_len,) = struct.unpack_from("<I", blob, 4)
+        if len(blob) < 8 + riff_len:
+            return None                          # container truncated
+        pos, fmt, data = 12, None, None
+        n = len(blob)
+        while pos + 8 <= n:
+            tag = blob[pos:pos + 4]
+            (length,) = struct.unpack_from("<I", blob, pos + 4)
+            chunk = blob[pos + 8:pos + 8 + length]
+            if len(chunk) < length:
+                return None                      # chunk truncated
+            if tag == b"fmt ":
+                fmt = chunk
+            elif tag == b"data":
+                data = chunk
+            pos += 8 + length + (length & 1)     # chunks are word-aligned
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from(
+            "<HHIIHH", fmt)
+        if audio_fmt != 1 or bits != 16 or ch < 1:
+            return None
+        samples = np.frombuffer(data, dtype="<i2")
+        if len(samples) % ch:
+            return None
+        return samples.reshape(-1, ch), int(rate)
+    except (struct.error, ValueError):
+        return None
+
+
+def expected_samples(audio_id: str, n: int) -> np.ndarray:
+    """Deterministic int16 reference signal for `audio_id` — the audio
+    analogue of expected_pixels."""
+    seed = int.from_bytes(
+        __import__("hashlib").md5(audio_id.encode()).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(-2 ** 15, 2 ** 15, size=n, dtype=np.int64) \
+        .astype(np.int16)
+
+
+def snr_db(ref: np.ndarray, got: np.ndarray) -> float:
+    """Signal-to-noise ratio in dB (capped 99; shape mismatch -> 0)."""
+    if ref.shape != got.shape:
+        return 0.0
+    err = ref.astype(np.float64) - got.astype(np.float64)
+    pe = np.mean(err ** 2)
+    if pe == 0:
+        return 99.0
+    ps = np.mean(ref.astype(np.float64) ** 2)
+    return float(min(99.0, 10 * np.log10(max(ps, 1e-12) / pe)))
+
+
+AUDIO_DECODE_SCHEMA = ("audio_id string, header_ok boolean, "
+                       "decoded_rate int, decoded_samples int, "
+                       "snr double")
+
+
+def decode_audio(df: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Real WAV decode over Arrow batches; SNR measured against the
+    per-id deterministic reference signal (true decoded-sample
+    comparison).  `carry` columns pass through — same joinless shape
+    as decode_images."""
+    schema = AUDIO_DECODE_SCHEMA + "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in carry)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("audio_id", "header_ok",
+                                   "decoded_rate", "decoded_samples",
+                                   "snr")}
+            for audio_id, blob in zip(pdf["audio_id"], pdf["bytes"]):
+                out["audio_id"].append(audio_id)
+                dec = decode_wav(bytes(blob)) if blob is not None else None
+                if dec is None:
+                    out["header_ok"].append(False)
+                    out["decoded_rate"].append(0)
+                    out["decoded_samples"].append(0)
+                    out["snr"].append(0.0)
+                    continue
+                samples, rate = dec
+                mono = samples[:, 0]
+                out["header_ok"].append(True)
+                out["decoded_rate"].append(rate)
+                out["decoded_samples"].append(len(mono))
+                out["snr"].append(snr_db(
+                    expected_samples(str(audio_id), len(mono)), mono))
+            res = pd.DataFrame(out)
+            for c in carry:
+                res[c] = list(pdf[c])
+            yield res
+
+    return df.select("audio_id", "bytes", *carry).mapInPandas(
+        run, schema=schema)
+
+
+def audio_features(df: DataFrame, id_col: str = "audio_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Per-clip audio features from the REAL decode: RMS level, peak,
+    zero-crossing rate, duration — one mapInPandas pass, numpy math
+    (the audio analogue of image_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"audio_id": [], "ok": [], "duration_s": [],
+                   "rms": [], "peak": [], "zcr": []}
+            for audio_id, blob in zip(pdf[id_col], pdf[bytes_col]):
+                out["audio_id"].append(audio_id)
+                dec = decode_wav(bytes(blob)) if blob is not None else None
+                if dec is None:
+                    out["ok"].append(False)
+                    for k in ("duration_s", "rms", "peak", "zcr"):
+                        out[k].append(0.0)
+                    continue
+                samples, rate = dec
+                x = samples[:, 0].astype(np.float64) / 32768.0
+                out["ok"].append(True)
+                out["duration_s"].append(len(x) / rate)
+                out["rms"].append(float(np.sqrt(np.mean(x ** 2)))
+                                  if len(x) else 0.0)
+                out["peak"].append(float(np.max(np.abs(x)))
+                                   if len(x) else 0.0)
+                out["zcr"].append(float(np.mean(
+                    np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+                    if len(x) > 1 else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        run, schema="audio_id string, ok boolean, duration_s double, "
+                    "rms double, peak double, zcr double")

@@ -65,6 +65,15 @@ def _caption(idc: Column) -> Column:
     return F.array_join(words, " ")
 
 
+def reference_caption(idc: Column) -> Column:
+    """The deterministic reference caption for a row id — the ground
+    truth of the north-rule per-row invariant's *caption equality* half
+    (BASELINE.json input_hint: decoded-pixel allclose + caption
+    equality).  Pure native expression (xxhash64 word salad), so the
+    equality check is codegen'd, no UDF."""
+    return _caption(idc)
+
+
 def _payload(idc: Column, w: Column, h: Column, fmt: Column) -> Column:
     """Deterministic opaque payload with a parseable 16-byte header:
     magic(4) | w(4, hex) | h(4, hex) | checksum(4) then a body whose length
@@ -81,8 +90,11 @@ def _payload(idc: Column, w: Column, h: Column, fmt: Column) -> Column:
 
 def images_df(spark: SparkSession, n_rows: int = 10_000,
               partitions: int | None = None,
-              with_license: bool = False) -> DataFrame:
-    """The synthetic north-star table with planted violations."""
+              with_license: bool = False,
+              with_id: bool = False) -> DataFrame:
+    """The synthetic north-star table with planted violations.
+    `with_id` appends the generating row id (for invariant checks that
+    compare against the deterministic reference values for the id)."""
     parts = partitions or max(8, n_rows // 250_000)
     df = spark.range(0, n_rows, 1, parts)
     idc = F.col("id")
@@ -105,9 +117,16 @@ def images_df(spark: SparkSession, n_rows: int = 10_000,
            .when(r_fmt < 0.95, F.lit("png"))
            .otherwise(F.lit("webp")))
 
+    # remainders chosen so the branches are DISJOINT under the
+    # earlier-wins when-chain: 101 mod 200 -> {101, 1}; 207 mod 200 ->
+    # {7, 107} and 207 mod 500 -> 207 != 101 — so empty/long captions
+    # actually plant at their full FIXTURES.md rates (the original
+    # 103/203 remainders collided with the null branch: 203 === 3 mod
+    # 200 shadowed EVERY long caption, 603 === 3 mod 200 half the
+    # empty ones)
     caption = (F.when(idc % NULL_CAPTION_MOD == 3, F.lit(None).cast("string"))
-               .when(idc % EMPTY_CAPTION_MOD == 103, F.lit(""))
-               .when(idc % LONG_CAPTION_MOD == 203,
+               .when(idc % EMPTY_CAPTION_MOD == 101, F.lit(""))
+               .when(idc % LONG_CAPTION_MOD == 207,
                      F.repeat(F.lit("x"), 3000))
                .otherwise(_caption(idc)))
 
@@ -132,6 +151,8 @@ def images_df(spark: SparkSession, n_rows: int = 10_000,
         lic = lic.otherwise(F.concat(F.lit("lic_"),
                                      F.pmod(idc, F.lit(8)).cast("string")))
         cols.append(lic.alias("license_id"))
+    if with_id:
+        cols.append(idc.alias("id"))
     return df.select(*cols)
 
 
@@ -303,3 +324,54 @@ def videos_df(spark: SparkSession, n_rows: int = 200,
     return base.mapInPandas(
         gen, schema="id long, video_id string, bytes binary, "
                     "n_frames int, w int, h int")
+
+
+def audio_df(spark: SparkSession, n_rows: int = 1_000,
+             partitions: int = 8, base_samples: int = 800,
+             sample_rate: int = 16_000) -> DataFrame:
+    """Audio clips with REAL decodable payloads: each row carries an
+    actual RIFF/WAVE PCM-16 file (operators/multimodal.encode_wav) of
+    the row's deterministic reference signal
+    (``expected_samples(audio_id, n)``, n = base_samples + id % 5 *
+    160), violations planted at known rates:
+
+    - id % 251 == 0: payload truncated mid-data (declared chunk size
+      exceeds actual bytes -> decode fails)
+    - id % 157 == 0: a block of samples zeroed pre-encode (valid WAV,
+      SNR collapses)
+
+    Everything else round-trips bit-exact -> SNR 99.  The header's
+    sample-rate and data-size fields are little-endian byte-parseable,
+    so a SQL oracle can recompute them independently."""
+    import pandas as pd
+
+    from ..operators.multimodal import encode_wav, expected_samples
+
+    base = spark.range(n_rows).repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"id": [], "audio_id": [], "bytes": [],
+                   "n_samples": [], "sample_rate": [], "caption": []}
+            for i in pdf["id"]:
+                i = int(i)
+                audio_id = f"wav_{i:012x}"
+                n = base_samples + (i % 5) * 160
+                x = expected_samples(audio_id, n)
+                if i % 157 == 0 and i % 251 != 0:
+                    x = x.copy()
+                    x[n // 4: n // 2] = 0
+                blob = encode_wav(x, sample_rate)
+                if i % 251 == 0:
+                    blob = blob[: 44 + n]        # half the data chunk
+                out["id"].append(i)
+                out["audio_id"].append(audio_id)
+                out["bytes"].append(blob)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(sample_rate)
+                out["caption"].append(f"clip {i}")
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen, schema="id long, audio_id string, bytes binary, "
+                    "n_samples int, sample_rate int, caption string")

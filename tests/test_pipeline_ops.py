@@ -311,6 +311,7 @@ def test_simhash_degenerate_bucket_chunked(spark):
     rows = [(i, base + f"suffix{i % 3}") for i in range(600)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     from jsonschema_spark.operators.dedup import clear_dedup_cache
+    clear_dedup_cache()  # drain caches earlier tests left tracked
     persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     tight = {tuple(r) for r in
              simhash_duplicates(df, "doc_id", "text", max_hamming=6,
@@ -519,3 +520,78 @@ def test_png_images_table_planted_violations(spark):
         else:
             assert r["header_ok"] and r["psnr"] == 99.0, (i, r["psnr"])
             assert r["decoded_w"] == 16 and r["decoded_h"] == 16
+
+
+def test_caption_equality_invariant(spark):
+    """The caption-equality half of the per-row invariant: mismatches
+    are exactly the planted null/empty/long rows, classified correctly,
+    and the check is a narrow codegen'd scan (no UDF, no shuffle)."""
+    from jsonschema_spark.operators.multimodal import caption_check
+    from jsonschema_spark.sources.images import images_df, reference_caption
+
+    img = images_df(spark, 10_000, with_id=True)
+    viol = caption_check(img, reference_caption(F.col("id")))
+    counts = {r["message"]: r["count"] for r in
+              viol.groupBy("message").count().collect()}
+    assert counts == {"caption is null, reference is not": 50,
+                      "caption is empty": 20,
+                      "caption differs from reference": 10}
+    plan = viol._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+# --------------------------------------------------- WAV audio tier -------
+
+def test_wav_roundtrip_and_malformed():
+    import numpy as np
+    from jsonschema_spark.operators.multimodal import (decode_wav,
+                                                       encode_wav,
+                                                       expected_samples)
+    x = expected_samples("clip", 1234)
+    for rate in (8000, 44100):
+        s, r = decode_wav(encode_wav(x, rate))
+        assert r == rate and np.array_equal(s[:, 0], x)
+    stereo = np.stack([x, -x], axis=1)
+    s, r = decode_wav(encode_wav(stereo, 16000))
+    assert s.shape == (1234, 2) and np.array_equal(s, stereo)
+    blob = encode_wav(x)
+    assert decode_wav(blob[:100]) is None           # truncated data
+    assert decode_wav(b"XXXX" + blob[4:]) is None   # bad magic
+    # non-PCM format code rejected
+    bad = blob[:20] + b"\x03\x00" + blob[22:]
+    assert decode_wav(bad) is None
+
+
+def test_audio_table_planted_violations(spark):
+    from jsonschema_spark.operators.multimodal import decode_audio
+    from jsonschema_spark.sources.images import audio_df
+
+    n = 800
+    clips = audio_df(spark, n)
+    dec = {r["audio_id"]: r for r in
+           decode_audio(clips, carry=("n_samples",)).collect()}
+    assert len(dec) == n
+    for i in range(n):
+        r = dec[f"wav_{i:012x}"]
+        if i % 251 == 0:
+            assert not r["header_ok"], i
+        elif i % 157 == 0:
+            assert r["header_ok"] and r["snr"] < 20.0, (i, r["snr"])
+        else:
+            assert r["header_ok"] and r["snr"] == 99.0, (i, r["snr"])
+            assert r["decoded_samples"] == r["n_samples"]
+            assert r["decoded_rate"] == 16_000
+
+
+def test_audio_features(spark):
+    from jsonschema_spark.operators.multimodal import audio_features
+    from jsonschema_spark.sources.images import audio_df
+
+    feats = {r["audio_id"]: r for r in
+             audio_features(audio_df(spark, 60)).collect()}
+    ok = [r for r in feats.values() if r["ok"]]
+    assert len(ok) == 59  # one truncated clip (id 0)
+    for r in ok:
+        assert 0.0 < r["rms"] <= 1.0 and 0.0 < r["peak"] <= 1.0
+        assert 0.0 <= r["zcr"] <= 1.0
+        assert r["duration_s"] > 0.04

@@ -162,6 +162,32 @@ def main() -> None:
         ivf_topk(emb, "vec_id", "embedding", k=3, n_lists=16,
                  n_probe=4)))
 
+    # 12. chunk-salted simhash band join: bounded groups, broadcast
+    # bucket histogram, signatures only in the shuffle
+    from jsonschema_spark.operators.dedup import simhash_duplicates
+    cases.append((
+        "simhash_duplicates_chunked",
+        "chunk-salted (band, bucket) self-join: the per-bucket count "
+        "aggregate (<= 65,536 rows/band by construction) comes back as "
+        "a BROADCAST; one join side is salted into ~chunk_size chunks, "
+        "the other replicates per chunk — so no join group is ever "
+        "quadratic in a degenerate bucket, and the only shuffled rows "
+        "are 16-byte (id, signature) pairs, never documents",
+        simhash_duplicates(docs, "doc_id", "text",
+                           cache_signatures=False)))
+
+    # 13. caption-equality invariant: pure codegen narrow scan
+    from jsonschema_spark.operators.multimodal import caption_check
+    from jsonschema_spark.sources.images import reference_caption
+    img_id = images_df(spark, 50_000, with_id=True)
+    cases.append((
+        "caption_equality",
+        "caption vs deterministic reference caption (north-rule per-row "
+        "invariant, equality half): NULL-safe comparison compiled to "
+        "native expressions — zero exchanges, zero python nodes, "
+        "`bytes` pruned",
+        caption_check(img_id, reference_caption(F.col("id")))))
+
     lines = [
         "# PLANS.md — physical-plan audit",
         "",
