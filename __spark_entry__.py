@@ -43,9 +43,13 @@ def _fingerprint(path: str) -> str:
     return h.hexdigest()[:10]
 
 
-#: synthetic-oracle caches regenerate when the generator module changes
-_GEN_FP = _fingerprint(os.path.join(
-    _REPO, "jsonschema_spark", "sources", "images.py"))
+#: synthetic-oracle caches regenerate when either generator module
+#: changes — sources/images.py builds the tables, but the payload BYTES
+#: come from the codecs in operators/multimodal.py (r4 review finding:
+#: a codec fix must invalidate the persisted oracle bytes too)
+_GEN_FP = "".join(_fingerprint(os.path.join(_REPO, "jsonschema_spark", *p))
+                  for p in (("sources", "images.py"),
+                            ("operators", "multimodal.py")))[:16]
 
 
 

@@ -471,21 +471,26 @@ def _basic_output_for_case(spark: SparkSession, schema: Any, instance: Any,
              "instanceLocation": "", "error": "instance failed validation"}]
         return out
     anns = []
-    for a_unit in ctx.annotations:
-        row = df.select(
-            F.coalesce(a_unit.pred, F.lit(False)).alias("applies"),
-            _jsonpath_to_pointer(F.lit(a_unit.json_path)).alias("il")
-        ).first()
-        if not row["applies"]:
-            continue
-        u = {"valid": True,
-             "keywordLocation": "/" + a_unit.schema_path,
-             "instanceLocation": row["il"] or "",
-             "annotation": a_unit.value}
-        a = absolute(u["keywordLocation"])
-        if a:
-            u["absoluteKeywordLocation"] = a
-        anns.append(u)
+    if ctx.annotations:
+        # ONE job evaluates every annotation's applicability + pointer
+        row = df.select(*[
+            F.struct(
+                F.coalesce(a_unit.pred, F.lit(False)).alias("applies"),
+                _jsonpath_to_pointer(F.lit(a_unit.json_path)).alias("il"),
+            ).alias(f"_a{i}")
+            for i, a_unit in enumerate(ctx.annotations)]).first()
+        for i, a_unit in enumerate(ctx.annotations):
+            cell = row[f"_a{i}"]
+            if not cell["applies"]:
+                continue
+            u = {"valid": True,
+                 "keywordLocation": "/" + a_unit.schema_path,
+                 "instanceLocation": cell["il"] or "",
+                 "annotation": a_unit.value}
+            a = absolute(u["keywordLocation"])
+            if a:
+                u["absoluteKeywordLocation"] = a
+            anns.append(u)
     if anns:
         out["annotations"] = anns
     return out

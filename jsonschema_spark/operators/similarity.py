@@ -256,18 +256,31 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
         frac = min(1.0, 1.25 * max_train / n)
         if frac < 1.0:
             sample_df = sample_df.sample(frac, seed=seed)
-    # without n, limit() alone bounds the collect: CollectLimit reads
-    # partitions incrementally, so only ~the first few are scanned (a
-    # prefix-biased quantizer sample — recall is guarded by n_probe and
-    # the recall tests; pass approx_n for an unbiased sample)
+    else:
+        # n unknown: a bare limit() would train the quantizer on a pure
+        # partition PREFIX (CollectLimit reads partitions incrementally)
+        # — badly biased when the table is sorted/clustered.  A 1/64
+        # hash thinning first makes the bounded collect span ~64x more
+        # partitions while still never scanning the whole input; the
+        # small-input fallback below restores full coverage when the
+        # thinning under-samples.  Pass approx_n for a fully unbiased
+        # fraction sample.
+        sample_df = (keyed.filter(
+            F.pmod(F.xxhash64("_id", F.lit(seed)), F.lit(64)) == 0)
+            .select("_v"))
     X = np.asarray([r["_v"] for r in
                     sample_df.limit(max_train).collect()], dtype=np.float64)
-    if len(X) == 0:
-        # approx_n over-estimated a tiny input and the sample missed:
-        # retry without the fraction (bounded by limit), then give up
+    if len(X) < min(max_train, 32 * n_lists):
+        # thinning/fraction under-sampled a small input: one more cheap
+        # bounded collect over the unthinned rows
         X = np.asarray([r["_v"] for r in
                         keyed.select("_v").limit(max_train).collect()],
                        dtype=np.float64)
+    if len(X) == 0:  # genuinely empty input
+        return keyed.sparkSession.createDataFrame(
+            [], f"id {df.schema[id_col].dataType.simpleString()}, "
+                f"neighbour_id {df.schema[id_col].dataType.simpleString()},"
+                f" cosine double")
     if len(X) == 0:
         return keyed.sparkSession.createDataFrame(
             [], f"id {df.schema[id_col].dataType.simpleString()}, "

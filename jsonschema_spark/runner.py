@@ -103,8 +103,14 @@ class ValidationRun:
         run_id = uuid.uuid4().hex[:12]
         lineage_json = json.dumps(lineage or {}, sort_keys=True)
         if self.manifest_table is not None:
-            from .sources.iceberg import ensure_manifest_table
-            ensure_manifest_table(self.spark, self.manifest_table)
+            # fail fast before any validation work; the CREATE TABLE IF
+            # NOT EXISTS itself happens once, inside merge_manifest
+            from .sources.iceberg import iceberg_available
+            if not iceberg_available(self.spark):
+                raise RuntimeError(
+                    "manifest_table requires the iceberg-spark runtime "
+                    "on the classpath (submit with --packages "
+                    "org.apache.iceberg:iceberg-spark-runtime-3.5)")
         validator = CompiledValidator(self.schema, df)
         # filesystem-safe group key: NULL/empty/odd values get sentinels
         raw = F.col(self.partition_col).cast("string")

@@ -117,7 +117,8 @@ class CompiledValidator:
                 F.lit(c.schema_path).alias("schema_path"),
                 c.message.cast("string").alias("message"),
                 c.failing_value.cast("string").alias("failing_value"),
-                F.coalesce(c.type_match, F.lit(False)).alias("type_match"),
+                (c.type_match if c.type_match is not None
+                 else F.lit(False)).alias("type_match"),
             ))
             for c in self.checks
         ]
@@ -165,7 +166,8 @@ class CompiledValidator:
                 c.message.cast("string").alias("message"),
                 c.failing_value.cast("string").alias("failing_value"),
                 F.lit(c.context_of).cast("string").alias("context_of"),
-                F.coalesce(c.type_match, F.lit(False)).alias("type_match"),
+                (c.type_match if c.type_match is not None
+                 else F.lit(False)).alias("type_match"),
             ))
             for c in self.checks + self.context_checks
         ]

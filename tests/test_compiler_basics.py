@@ -275,3 +275,17 @@ def test_schema_store_per_resource_draft(spark):
     bad = {r["id"] for r in
            v.with_valid(df).filter("NOT valid").select("id").collect()}
     assert bad == {1}
+
+
+def test_boolean_false_schema_violations(spark):
+    """Regression (r4 code review): a boolean `False` root schema's
+    $falseSchema check bypasses the type_match annotation pass; the
+    violation array must still build (type_match=False, the reference's
+    TypeError -> False for error.schema=False)."""
+    from jsonschema_spark import CompiledValidator
+    df = spark.createDataFrame([(1,)], "x int")
+    v = CompiledValidator(False, df)
+    rows = v.violations(df, ["x"]).collect()
+    assert len(rows) == 1 and rows[0]["keyword"] == "$falseSchema"
+    assert rows[0]["type_match"] is False
+    assert v.violations_with_context(df, ["x"]).count() == 1

@@ -595,3 +595,38 @@ def test_audio_features(spark):
         assert 0.0 < r["rms"] <= 1.0 and 0.0 < r["peak"] <= 1.0
         assert 0.0 <= r["zcr"] <= 1.0
         assert r["duration_s"] > 0.04
+
+
+def test_ivf_clustered_input_sample_not_prefix_biased(spark):
+    """r4 review finding: with explicit n_lists and no approx_n the
+    quantizer sample must not be a partition prefix.  On a SORTED
+    two-cluster table (prefix = one cluster only), the hash-thinned
+    bounded sample must reach the same recall as a fully unbiased
+    fraction sample (approx_n supplied) — prefix training would
+    collapse recall for the unseen cluster."""
+    import numpy as np
+    from jsonschema_spark.operators.similarity import (brute_force_topk,
+                                                       clear_ivf_cache,
+                                                       ivf_topk)
+    rng = np.random.default_rng(0)
+    a = rng.normal(loc=+5, scale=0.3, size=(1500, 12))
+    b = rng.normal(loc=-5, scale=0.3, size=(1500, 12))
+    rows = [(i, [float(x) for x in (a[i] if i < 1500 else b[i - 1500])])
+            for i in range(3000)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>") \
+               .repartition(12).sortWithinPartitions("vec_id")
+    want = {r["id"]: r["neighbour_id"]
+            for r in brute_force_topk(emb, "vec_id", "v", k=1).collect()}
+
+    def recall(**kw):
+        got = {r["id"]: r["neighbour_id"]
+               for r in ivf_topk(emb, "vec_id", "v", k=1, n_lists=8,
+                                 n_probe=2, **kw).collect()}
+        clear_ivf_cache()
+        return sum(1 for i in want if got.get(i) == want[i]) / len(want)
+
+    thinned = recall()
+    unbiased = recall(approx_n=3000)
+    assert thinned >= unbiased - 0.03, (thinned, unbiased)
+    # sanity: both sides of BOTH clusters get correct neighbours
+    assert thinned >= 0.8
