@@ -396,6 +396,21 @@ _VOCABULARIES = {
     "/vocab/unevaluated": ("unevaluatedItems", "unevaluatedProperties"),
 }
 
+#: 2019-09 assigns the unevaluated* keywords to the APPLICATOR
+#: vocabulary (there is no /vocab/unevaluated before 2020-12 — 2019-09
+#: core §8.1 + its meta/applicator schema), and the positional array
+#: form is items/additionalItems rather than prefixItems.  Using the
+#: 2020-12 table against a 2019-09 meta-schema silently dropped
+#: unevaluatedItems/unevaluatedProperties (r4 regen caught it).
+_VOCABULARIES_2019 = {
+    "/vocab/validation": _VOCABULARIES["/vocab/validation"],
+    "/vocab/applicator": (
+        "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+        "dependentSchemas", "items", "additionalItems", "contains",
+        "properties", "patternProperties", "additionalProperties",
+        "propertyNames", "unevaluatedItems", "unevaluatedProperties"),
+}
+
 
 def apply_vocabulary(registry: KeywordRegistry, schema: Any,
                      resolver: Any) -> KeywordRegistry:
@@ -415,7 +430,12 @@ def apply_vocabulary(registry: KeywordRegistry, schema: Any,
     if not isinstance(voc, dict):
         return registry
     declared = {u.rstrip("/") for u in voc}
-    for suffix, kws in _VOCABULARIES.items():
+    # pick the vocabulary->keyword table of the meta-schema's ERA: the
+    # same keyword belongs to different vocabularies across drafts
+    tables = (_VOCABULARIES_2019
+              if any("/draft/2019-09/" in u for u in declared)
+              else _VOCABULARIES)
+    for suffix, kws in tables.items():
         if not any(u.endswith(suffix) for u in declared):
             registry = registry.without(*kws)
     return registry

@@ -63,3 +63,26 @@ def test_output_tests_corpus(spark):
         c = rep.counts()
         assert c["fail"] == 0, rep.failures()
         assert c["pass"] == 4, c
+
+
+def test_vocabulary_tables_are_era_aware():
+    """Regression (r4): 2019-09 places unevaluatedItems/
+    unevaluatedProperties in /vocab/applicator (no /vocab/unevaluated
+    before 2020-12); applying the 2020-12 vocabulary table to a
+    2019-09 meta-schema silently dropped both keywords."""
+    from jsonschema_spark.compiler.legacy import apply_vocabulary
+    from jsonschema_spark.conformance import (_registry_for_draft,
+                                              base_resolver)
+    res = base_resolver("draft2019-09")
+    reg = _registry_for_draft("draft2019-09")
+    schema = {"$schema": "https://json-schema.org/draft/2019-09/schema",
+              "unevaluatedItems": False}
+    reg2 = apply_vocabulary(reg, schema, res)
+    assert reg2.get("unevaluatedItems") is not None
+    assert reg2.get("unevaluatedProperties") is not None
+    # 2020-12 path unaffected
+    res12 = base_resolver("draft2020-12")
+    reg12 = apply_vocabulary(
+        _registry_for_draft("draft2020-12"),
+        {"$schema": "https://json-schema.org/draft/2020-12/schema"}, res12)
+    assert reg12.get("unevaluatedProperties") is not None
