@@ -90,7 +90,15 @@ def c_one_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
     node = make_check(ctx, "oneOf", n == 1,
                       F.format_string("%s is not valid under exactly one of "
                                       "the given schemas", stringify(ctx)))
-    return _with_context(ctx, node, "oneOf", children, n == 1)
+    # context (branch errors) attaches ONLY when NO branch matched —
+    # the reference's too-many-matches error ("valid under each of")
+    # carries no context (_keywords.py:360-373), so best_match must not
+    # descend into branch errors there (caught by the r4 by_relevance
+    # differential fuzz)
+    any_ok = oks[0]
+    for o in oks[1:]:
+        any_ok = any_ok | o
+    return _with_context(ctx, node, "oneOf", children, any_ok)
 
 
 def c_not(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:

@@ -200,3 +200,79 @@ def test_multiple_of_float_boundary_fuzz(spark):
     mismatches = [(i, di, x) for i, di, x in rows
                   if refs[di].is_valid(x) != got[i]]
     assert mismatches == [], mismatches[:10]
+
+
+def test_best_match_descent_fuzz_vs_reference(spark):
+    """Seeded differential fuzz for the FULL 5-element by_relevance key
+    (r4: `not _matches_type()` included): random mixed-type anyOf/oneOf
+    composites per column, engine ``best_match_deep`` pick
+    (keyword, json_path) == the reference's ``best_match`` for every
+    row.  Branches carry at most one assertion keyword each, so any
+    genuine full-key tie is keyword-identical in both implementations
+    (the reference's residual iteration-order tiebreak never engages)."""
+    import random
+
+    from jsonschema.exceptions import best_match as ref_best_match
+
+    from jsonschema_spark.operators.bestmatch import best_match_deep
+
+    rng = random.Random(20260817)
+    pools = {
+        "s": [{"type": "string", "minLength": 6},
+              {"type": "string", "pattern": "^a"},
+              {"type": "array", "minItems": 3},
+              {"type": "integer"},
+              {"type": ["integer", "string"], "minLength": 8},
+              {"type": "boolean"}],
+        "n": [{"type": "integer", "minimum": 10},
+              {"type": "integer", "multipleOf": 7},
+              {"type": "string", "minLength": 2},
+              {"type": "number", "maximum": 0},
+              {"type": ["array", "object"], "minItems": 2},
+              {"type": "boolean"}],
+        "arr": [{"type": "array", "minItems": 3},
+                {"type": "array", "maxItems": 1},
+                {"type": "string"},
+                {"type": "integer", "minimum": 0},
+                {"type": ["integer", "string"], "minLength": 1}],
+    }
+    rows = []
+    for i in range(30):
+        s = rng.choice([None, "", "a", "abc", "abcdef", "abcdefghij",
+                        "zzz", "axxxxxxxxx"])
+        n = rng.choice([None, -5, 0, 3, 7, 14, 49, 70, 100])
+        arr = rng.choice([None, [], [1], [1, 2], [1, 2, 3, 4]])
+        rows.append((i, s, n, arr))
+    df = spark.createDataFrame(
+        rows, "_row int, s string, n long, arr array<long>")
+
+    mismatches = []
+    for trial in range(25):
+        props = {}
+        for col in ("s", "n", "arr"):
+            branches = rng.sample(pools[col], rng.choice([2, 3]))
+            comp = rng.choice(["anyOf", "oneOf"])
+            props[col] = {comp: branches}
+        schema = {"properties": props}
+        v = CompiledValidator(schema, df)
+        got = {r["_row"]: (r["keyword"], r["json_path"])
+               for r in best_match_deep(
+                   v.violations_with_context(df, ["_row"]),
+                   ["_row"]).collect()}
+        ref = jsonschema.Draft202012Validator(schema)
+        for _row, s, n, arr in rows:
+            inst = {k: val for k, val in
+                    zip(["s", "n", "arr"], [s, n, arr]) if val is not None}
+            err = ref_best_match(ref.iter_errors(inst))
+            if err is None:
+                if _row in got:
+                    mismatches.append((trial, _row, "engine-extra",
+                                       got[_row]))
+                continue
+            path = "$" + "".join(
+                f"[{p}]" if isinstance(p, int) else f".{p}"
+                for p in err.absolute_path)
+            want = (err.validator, path)
+            if got.get(_row) != want:
+                mismatches.append((trial, _row, want, got.get(_row)))
+    assert not mismatches, mismatches[:10]
