@@ -289,3 +289,30 @@ def test_boolean_false_schema_violations(spark):
     assert len(rows) == 1 and rows[0]["keyword"] == "$falseSchema"
     assert rows[0]["type_match"] is False
     assert v.violations_with_context(df, ["x"]).count() == 1
+
+
+def test_annotation_units_property_level(spark):
+    """Annotation units from a property subschema: emitted only for
+    valid rows where the property is present, with pointer locations
+    and the JSON-encoded value."""
+    from jsonschema_spark import CompiledValidator
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "toolong")],
+        "id int, s string")
+    schema = {"properties": {
+        "s": {"maxLength": 3, "title": "short code",
+              "deprecated": True}}}
+    v = CompiledValidator(schema, df)
+    units = v.annotation_units(df, ["id"]).collect()
+    by_row = {}
+    for r in units:
+        by_row.setdefault(r["id"], []).append(
+            (r["keyword"], r["keywordLocation"], r["instanceLocation"],
+             r["annotation_json"]))
+    # row 1: present + valid -> both annotations
+    assert sorted(by_row[1]) == [
+        ("deprecated", "/properties/s/deprecated", "/s", "true"),
+        ("title", "/properties/s/title", "/s", '"short code"'),
+    ]
+    # row 2: property absent -> no units; row 3: invalid row -> none
+    assert 2 not in by_row and 3 not in by_row
