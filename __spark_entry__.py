@@ -733,6 +733,62 @@ def q_images_png_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_agg.crossJoin(dec_agg)
 
 
+JPEGS_ORACLE_PATH = f"/tmp/spark_graft_jpegs_oracle_{_GEN_FP}"
+
+
+def q_images_jpeg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **lossy**-codec tier — the format class the north rule's
+    per-row invariant is written for ("PSNR>=40dB for lossy fmt"):
+    baseline JFIF JPEG payloads (4:4:4, in-file DQT/DHT) decoded by
+    the engine's built-in pure-python codec (functions/jpeg — DCT,
+    standard Huffman tables, no Pillow).  One row:
+
+    - n_rows / sig_ok / sof_ok / hdr_dims_ok come from native byte
+      math — the SOI signature, the SOF0 marker, and the big-endian
+      frame height/width re-parsed from raw bytes at the encoder's
+      deterministic offsets; DuckDB recomputes the same fields from
+      the same persisted bytes;
+    - decode_fail / low_psnr / dims_roundtrip come from the REAL
+      Huffman+IDCT decode and the PSNR-vs-reference-pixels pass —
+      DuckDB derives the expected counts from the planted corruption
+      rules (id % 251 truncation, id % 311 SOF0-marker kill, id % 157
+      pre-encode pixel damage), certifying that lossy decoding clears
+      40 dB exactly on the undamaged rows."""
+    from jsonschema_spark.operators.multimodal import decode_images_real
+    from jsonschema_spark.sources.images import jpeg_images_df
+    if not os.path.exists(os.path.join(JPEGS_ORACLE_PATH, "_SUCCESS")):
+        (jpeg_images_df(spark, 2_000)
+         .write.mode("overwrite").parquet(JPEGS_ORACLE_PATH))
+    img = spark.read.parquet(JPEGS_ORACLE_PATH)
+
+    b = F.col("bytes")
+
+    def byte(i: int):           # 1-based byte -> long (native)
+        return F.conv(F.hex(F.substring(b, i, 1)), 16, 10).cast("long")
+
+    def be16(pos: int):
+        return byte(pos) * 256 + byte(pos + 1)
+
+    hdr_h, hdr_w = be16(164), be16(166)
+    hdr_agg = img.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.hex(F.substring(b, 1, 2)) == "FFD8").cast("long"))
+        .alias("sig_ok"),
+        F.sum((F.hex(F.substring(b, 159, 2)) == "FFC0").cast("long"))
+        .alias("sof_ok"),
+        F.sum(((hdr_w == F.col("w")) & (hdr_h == F.col("h")))
+              .cast("long")).alias("hdr_dims_ok"))
+    dec = decode_images_real(img, carry=("w", "h"))
+    dec_agg = dec.agg(
+        F.sum((~F.col("header_ok")).cast("long")).alias("decode_fail"),
+        F.sum((F.col("header_ok") & (F.col("psnr") < 40.0))
+              .cast("long")).alias("low_psnr"),
+        F.sum((F.col("header_ok") & (F.col("decoded_w") == F.col("w"))
+               & (F.col("decoded_h") == F.col("h")))
+              .cast("long")).alias("dims_roundtrip"))
+    return hdr_agg.crossJoin(dec_agg)
+
+
 AUDIO_ORACLE_PATH = f"/tmp/spark_graft_audio_oracle_{_GEN_FP}"
 
 
@@ -839,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_validation": q_images_validation,
         "images_bmp_validation": q_images_bmp_validation,
         "images_png_validation": q_images_png_validation,
+        "images_jpeg_validation": q_images_jpeg_validation,
         "caption_equality": q_caption_equality,
         "audio_validation": q_audio_validation,
         "dynamic_ref_orders": q_dynamic_ref_orders,
@@ -1480,6 +1537,56 @@ def oracle_sql() -> dict[str, str]:
               -- id%157 (minus overlaps) -> pre-encode pixel damage
               -- (valid PNG, PSNR collapses); everything else must
               -- round-trip bit-exact with matching dims
+              CAST(sum(CASE WHEN id % 251 = 0
+                              OR (id % 311 = 0 AND id % 251 != 0
+                                  AND id != 0)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS decode_fail,
+              CAST(sum(CASE WHEN id % 157 = 0 AND id % 251 != 0
+                            AND id % 311 != 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_psnr,
+              CAST(sum(CASE WHEN NOT (id % 251 = 0
+                                      OR (id % 311 = 0 AND id != 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS dims_roundtrip
+            FROM hdr
+        """,
+        "images_jpeg_validation": f"""
+            WITH t AS (SELECT * FROM
+                       read_parquet('{JPEGS_ORACLE_PATH}/*.parquet')),
+            b AS (
+              SELECT id, w, h, hex(bytes) AS hx FROM t),
+            -- JPEG header fields re-parsed from raw bytes: the SOI
+            -- marker at bytes 1-2, the SOF0 marker at the encoder's
+            -- deterministic offset (bytes 159-160: SOI+APP0+2xDQT
+            -- precede it with fixed lengths), and the frame
+            -- height/width as BIG-endian uint16 at bytes 164-165 /
+            -- 166-167
+            hdr AS (
+              SELECT *,
+                substr(hx, 1, 4) = 'FFD8' AS sig,
+                substr(hx, 317, 4) = 'FFC0' AS sof,
+                  CAST(('0x' || substr(hx, 327, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(hx, 329, 2)) AS BIGINT)
+                  AS hh,
+                  CAST(('0x' || substr(hx, 331, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(hx, 333, 2)) AS BIGINT)
+                  AS hw
+              FROM b)
+            SELECT
+              count(*) AS n_rows,
+              CAST(sum(CASE WHEN sig THEN 1 ELSE 0 END) AS BIGINT)
+                AS sig_ok,
+              CAST(sum(CASE WHEN sof THEN 1 ELSE 0 END) AS BIGINT)
+                AS sof_ok,
+              CAST(sum(CASE WHEN hw = w AND hh = h THEN 1 ELSE 0 END)
+                   AS BIGINT) AS hdr_dims_ok,
+              -- planted rules: id%251 -> mid-entropy truncation and
+              -- id%311 -> SOF0 marker zeroed: both decode failures
+              -- the codec must detect structurally; id%157 (minus
+              -- overlaps) -> pre-encode pixel damage (valid JPEG,
+              -- lossy round-trip PSNR collapses); every other row
+              -- must decode at the declared dims AND reconstruct
+              -- the reference pixels above 40 dB
               CAST(sum(CASE WHEN id % 251 = 0
                               OR (id % 311 = 0 AND id % 251 != 0
                                   AND id != 0)

@@ -322,12 +322,14 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def decode_images_real(df: DataFrame, carry: tuple = ()) -> DataFrame:
-    """Real codec path over Arrow batches: BMP blobs decode with the
-    built-in numpy codec; other formats use Pillow when importable and
-    are reported as header_ok=False otherwise.  PSNR is measured
-    against the deterministic reference image for the id
-    (`expected_pixels`) — a true decoded-pixel comparison.  `carry`
-    columns pass through (see decode_images)."""
+    """Real codec path over Arrow batches: BMP, PNG, and baseline
+    JPEG blobs decode with the built-in numpy codecs (functions/jpeg
+    supplies the lossy tier the north rule's PSNR>=40dB invariant is
+    written for); other formats use Pillow when importable and are
+    reported as header_ok=False otherwise.  PSNR is measured against
+    the deterministic reference image for the id (`expected_pixels`)
+    — a true decoded-pixel comparison.  `carry` columns pass through
+    (see decode_images)."""
     use_pil = _codec_available()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -346,6 +348,9 @@ def decode_images_real(df: DataFrame, carry: tuple = ()) -> DataFrame:
                     px = decode_bmp(bytes(blob))
                 elif blob is not None and blob[:8] == PNG_SIG:
                     px = decode_png(bytes(blob))
+                elif blob is not None and blob[:2] == b"\xff\xd8":
+                    from ..functions.jpeg import decode_jpeg
+                    px = decode_jpeg(bytes(blob))
                 elif blob is not None and use_pil:  # pragma: no cover
                     import io
 

@@ -288,6 +288,63 @@ def png_images_df(spark: SparkSession, n_rows: int = 2_000,
                     "h int, fmt string, caption string, phash long")
 
 
+def jpeg_images_df(spark: SparkSession, n_rows: int = 2_000,
+                   partitions: int = 8, size: int = 16,
+                   quality: int = 98) -> DataFrame:
+    """Images with REAL **lossy** payloads: each row carries an actual
+    baseline JFIF JPEG (4:4:4, in-file DQT/DHT — see functions/jpeg)
+    of the row's deterministic reference pixels.  This is the tier the
+    north rule's per-row invariant is phrased for: "decoded-pixel
+    allclose (PSNR>=40dB for lossy fmt)" — at quality 98 the codec
+    reconstructs even the high-entropy reference images above 43 dB,
+    so intact rows clear the bar with margin while planted damage
+    collapses far below it.  Violations planted at known rates:
+
+    - id % 251 == 0: payload truncated mid-entropy-data (EOI lost ->
+      decode fails)
+    - id % 157 == 0: one pixel row inverted BEFORE encode (valid
+      JPEG, PSNR collapses to ~17 dB)
+    - id % 311 == 0: the SOF0 marker byte zeroed AFTER encode
+      (structurally invalid -> decode fails; the header byte-math
+      sees the same damage, so engine and oracle cross-check it)"""
+    import pandas as pd
+
+    from ..functions.jpeg import encode_jpeg
+    from ..operators.multimodal import expected_pixels
+
+    base = spark.range(n_rows).repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"id": [], "image_id": [], "bytes": [], "w": [],
+                   "h": [], "fmt": [], "caption": [], "phash": []}
+            for i in pdf["id"]:
+                i = int(i)
+                out["id"].append(i)
+                image_id = f"jpg_{i:012x}"
+                px = expected_pixels(image_id, size, size)
+                if i % 157 == 0 and i % 251 != 0 and i % 311 != 0:
+                    px = px.copy()
+                    px[size // 2, :, :] = 255 - px[size // 2, :, :]
+                blob = encode_jpeg(px, quality=quality)
+                if i % 251 == 0:
+                    blob = blob[:len(blob) // 2]
+                elif i % 311 == 0 and i != 0:
+                    blob = blob[:158] + b"\x00" + blob[159:]  # kill SOF0
+                out["image_id"].append(image_id)
+                out["bytes"].append(blob)
+                out["w"].append(size)
+                out["h"].append(size)
+                out["fmt"].append("jpeg")
+                out["caption"].append(f"real jpeg {i}")
+                out["phash"].append(i * 2654435761 % (1 << 62))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen, schema="id long, image_id string, bytes binary, w int, "
+                    "h int, fmt string, caption string, phash long")
+
+
 def videos_df(spark: SparkSession, n_rows: int = 200,
               partitions: int = 8, size: int = 8,
               base_frames: int = 8) -> DataFrame:

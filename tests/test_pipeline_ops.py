@@ -630,3 +630,81 @@ def test_ivf_clustered_input_sample_not_prefix_biased(spark):
     assert thinned >= unbiased - 0.03, (thinned, unbiased)
     # sanity: both sides of BOTH clusters get correct neighbours
     assert thinned >= 0.8
+
+
+# ------------------------------------------------ JPEG (lossy) tier -------
+
+def test_jpeg_roundtrip_clears_lossy_psnr_bar():
+    """The built-in baseline JPEG codec round-trips the worst-case
+    payload (uniform noise — energy in every DCT band) above the north
+    rule's 40 dB bar at quality 98, at arbitrary non-multiple-of-8
+    dims, and near-losslessly on smooth content at quality 90."""
+    import numpy as np
+    from jsonschema_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from jsonschema_spark.operators.multimodal import (expected_pixels,
+                                                       psnr)
+
+    for w, h in ((16, 16), (13, 7), (1, 1), (31, 17), (40, 24)):
+        px = expected_pixels(f"jt_{w}x{h}", w, h)
+        back = decode_jpeg(encode_jpeg(px, quality=98))
+        assert back is not None and back.shape == (h, w, 3)
+        assert psnr(back, px) >= 40.0, (w, h)
+    # smooth gradient: mild quantization barely touches it
+    yy, xx = np.mgrid[0:32, 0:32]
+    grad = np.stack([(xx * 8) % 256, (yy * 8) % 256,
+                     ((xx + yy) * 4) % 256], axis=-1).astype(np.uint8)
+    assert psnr(decode_jpeg(encode_jpeg(grad, 90)), grad) >= 45.0
+    # lossy means lossy: noise at quality 75 lands well under the bar
+    px = expected_pixels("jt_lossy", 16, 16)
+    assert psnr(decode_jpeg(encode_jpeg(px, 75)), px) < 30.0
+
+
+def test_jpeg_malformed_and_structure():
+    """Structural failures return None (no exceptions leak into the
+    mapInPandas kernel), and the JFIF layout is deterministic: the
+    SOF0 marker sits at byte 158 with big-endian dims at 163..166 —
+    the contract the DuckDB oracle's byte-math re-parse relies on."""
+    import struct
+
+    from jsonschema_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from jsonschema_spark.operators.multimodal import expected_pixels
+
+    px = expected_pixels("jm", 24, 16)
+    blob = encode_jpeg(px, quality=98)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    assert blob.find(b"\xff\xc0") == 158
+    assert struct.unpack_from(">HH", blob, 163) == (16, 24)
+    assert decode_jpeg(blob[: len(blob) // 2]) is None    # no EOI
+    assert decode_jpeg(b"XX" + blob[2:]) is None          # bad SOI
+    assert decode_jpeg(blob[:158] + b"\x00" + blob[159:]) is None
+    # progressive frames (SOF2) are rejected, not misdecoded
+    assert decode_jpeg(blob.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+    # tables are READ from the stream, not assumed: a different
+    # quality (different DQT contents) decodes through the same path
+    q50 = encode_jpeg(px, quality=50)
+    assert decode_jpeg(q50) is not None
+
+
+def test_jpeg_images_table_planted_violations(spark):
+    """jpeg_images_df plants truncation (decode fail), SOF0-marker
+    kill (decode fail), and pre-encode pixel damage (low PSNR) at
+    known id rates; decode_images_real must find exactly those, and
+    every intact LOSSY row must still clear 40 dB against the
+    reference pixels."""
+    from jsonschema_spark.operators.multimodal import decode_images_real
+    from jsonschema_spark.sources.images import jpeg_images_df
+
+    n = 1200
+    img = jpeg_images_df(spark, n)
+    dec = {r["image_id"]: r for r in decode_images_real(img).collect()}
+    assert len(dec) == n
+    for i in range(n):
+        r = dec[f"jpg_{i:012x}"]
+        if i % 251 == 0 or (i % 311 == 0 and i != 0):
+            assert not r["header_ok"], i
+        elif i % 157 == 0:
+            assert r["header_ok"] and r["psnr"] < 40.0, (i, r["psnr"])
+        else:
+            assert r["header_ok"] and 40.0 <= r["psnr"] < 99.0, \
+                (i, r["psnr"])
+            assert r["decoded_w"] == 16 and r["decoded_h"] == 16
