@@ -282,8 +282,36 @@ def _dht_segment(tc_th: int, bits_counts, vals) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes (4:4:4).
+def _block_zigzags(chan: np.ndarray, q: np.ndarray) -> list:
+    """(H, W) float channel (H/W multiples of 8) -> list of 64-int
+    zigzag lists, blocks in raster order; DCT+quantization vectorized
+    over every block at once."""
+    blocks = _to_blocks(chan) - 128.0
+    coefs = np.einsum("ux,ryxc,vc->ryuv", _DCT_MAT, blocks, _DCT_MAT,
+                      optimize=True)
+    # AC magnitudes are < 1024 in exact math (so SSSS <= 10, which
+    # the baseline AC tables require); clip to guard the rounded
+    # boundary case.
+    quant = np.clip(np.round(coefs / q), -1023, 1023).astype(np.int64)
+    nby, nbx = quant.shape[:2]
+    return quant.reshape(nby * nbx, 64)[:, _ZIGZAG].tolist(), nbx
+
+
+def _pad_to(chan: np.ndarray, mult_h: int, mult_w: int) -> np.ndarray:
+    ph, pw = (-chan.shape[0]) % mult_h, (-chan.shape[1]) % mult_w
+    if ph or pw:
+        chan = np.pad(chan, ((0, ph), (0, pw)), mode="edge")
+    return chan
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 95,
+                subsampling: str = "4:4:4") -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes.
+
+    subsampling: "4:4:4" (default — every component full-resolution,
+    the right choice for the PSNR invariant on high-entropy payloads)
+    or "4:2:0" (chroma box-averaged 2x2, the common photographic
+    layout — exercises the general MCU interleave).
 
     Header layout is deterministic for a given encoder version:
     SOI, APP0(JFIF), DQT(luma), DQT(chroma), SOF0, DHT x4, SOS, data,
@@ -291,23 +319,37 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
     (0-based), which the DuckDB oracle re-parses independently."""
     h, w, _ = pixels.shape
     luma_q, chroma_q = quality_tables(quality)
+    if subsampling == "4:4:4":
+        hv = [(1, 1), (1, 1), (1, 1)]
+    elif subsampling == "4:2:0":
+        hv = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(hi for hi, _ in hv)
+    vmax = max(vi for _, vi in hv)
 
     y, cb, cr = _rgb_to_ycbcr(pixels)
-    pad_h, pad_w = (-h) % 8, (-w) % 8
-    comps = []
-    for chan, q in ((y, luma_q), (cb, chroma_q), (cr, chroma_q)):
-        if pad_h or pad_w:
-            chan = np.pad(chan, ((0, pad_h), (0, pad_w)), mode="edge")
-        blocks = _to_blocks(chan) - 128.0
-        coefs = np.einsum("ux,ryxc,vc->ryuv", _DCT_MAT, blocks, _DCT_MAT,
-                          optimize=True)
-        # AC magnitudes are < 1024 in exact math (so SSSS <= 10, which
-        # the baseline AC tables require); clip to guard the rounded
-        # boundary case.
-        quant = np.clip(np.round(coefs / q), -1023, 1023).astype(np.int64)
-        nby, nbx = quant.shape[:2]
-        zz = quant.reshape(nby * nbx, 64)[:, _ZIGZAG]
-        comps.append(zz.tolist())
+    if subsampling == "4:2:0":
+        cb = _pad_to(cb, 2, 2)
+        cr = _pad_to(cr, 2, 2)
+        cb = (cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2)
+              .mean(axis=(1, 3)))
+        cr = (cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2)
+              .mean(axis=(1, 3)))
+    # Pad each plane so every MCU is fully covered: the luma grid must
+    # be a multiple of 8*h_i per MCU column (ditto rows).
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    comps, nbxs = [], []
+    for chan, q, (hi, vi) in ((y, luma_q, hv[0]), (cb, chroma_q, hv[1]),
+                              (cr, chroma_q, hv[2])):
+        target_h, target_w = mcus_y * vi * 8, mcus_x * hi * 8
+        chan = np.pad(chan,
+                      ((0, target_h - chan.shape[0]),
+                       (0, target_w - chan.shape[1])), mode="edge")
+        zz, nbx = _block_zigzags(chan, q)
+        comps.append(zz)
+        nbxs.append(nbx)
 
     dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -315,15 +357,20 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
     ac_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
 
     writer = _BitWriter()
-    n_blocks = len(comps[0])
     preds = [0, 0, 0]
     tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
-    # 4:4:4 -> each MCU is one block per component, interleaved.
-    for b in range(n_blocks):
-        for c in range(3):
-            preds[c] = _encode_component_blocks(
-                writer, [comps[c][b]], tables[c][0], tables[c][1],
-                preds[c])
+    # Interleaved MCU order (T.81 A.2.3): per MCU, component i emits
+    # its h_i x v_i blocks in raster order within the MCU.
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(3):
+                hi, vi = hv[c]
+                mcu_blocks = [
+                    comps[c][(my * vi + by) * nbxs[c] + mx * hi + bx]
+                    for by in range(vi) for bx in range(hi)]
+                preds[c] = _encode_component_blocks(
+                    writer, mcu_blocks, tables[c][0], tables[c][1],
+                    preds[c])
     writer.flush()
 
     out = bytearray(b"\xff\xd8")                              # SOI
@@ -335,8 +382,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
         out += (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
                 + bytes(int(v) for v in zz_q))                # DQT
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])                         # 4:4:4
+    for cid, (hi, vi), tq in ((1, hv[0], 0), (2, hv[1], 1),
+                              (3, hv[2], 1)):
+        sof += bytes([cid, (hi << 4) | vi, tq])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof  # SOF0
     out += _dht_segment(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS)
     out += _dht_segment(0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -378,10 +426,12 @@ def _receive_extend(bits, pos: int, size: int):
 def decode_jpeg(blob: bytes):
     """Baseline JFIF JPEG bytes -> (h, w, 3) uint8 RGB, or None.
 
-    Accepts any baseline sequential 3-component 4:4:4 stream with
-    in-file DQT/DHT (tables are READ, not assumed); returns None for
-    truncated/corrupt data, progressive streams, unsupported sampling,
-    or restart-interval streams (the encoder never emits DRI)."""
+    Accepts any baseline sequential 3-component stream — 4:4:4,
+    4:2:0, 4:2:2, or any other legal (h_i, v_i) sampling combination —
+    with in-file DQT/DHT (tables are READ, not assumed); subsampled
+    chroma planes are upsampled by pixel replication.  Returns None
+    for truncated/corrupt data, progressive streams, or
+    restart-interval streams (the encoder never emits DRI)."""
     try:
         if blob[:2] != b"\xff\xd8":
             return None
@@ -426,9 +476,10 @@ def decode_jpeg(blob: bytes):
                 frame = {"h": fh, "w": fw, "comps": []}
                 for c in range(nc):
                     cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                    if hv != 0x11:                 # 4:4:4 only
+                    hi, vi = hv >> 4, hv & 0x0F
+                    if not (1 <= hi <= 4 and 1 <= vi <= 4):
                         return None
-                    frame["comps"].append((cid, tq))
+                    frame["comps"].append((cid, tq, hi, vi))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None                        # non-baseline frame
@@ -463,54 +514,72 @@ def _decode_scan(frame, scan, qtabs, htabs, entropy: bytes):
     fh, fw = frame["h"], frame["w"]
     if fh <= 0 or fw <= 0:
         return None
-    nbx, nby = (fw + 7) // 8, (fh + 7) // 8
-    n_mcus = nbx * nby
+    hmax = max(hi for _, _, hi, _ in frame["comps"])
+    vmax = max(vi for _, _, _, vi in frame["comps"])
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
     bits = np.unpackbits(
         np.frombuffer(entropy, dtype=np.uint8)).tolist()
-    coefs = np.zeros((3, n_mcus, 64), dtype=np.int64)
-    comp_q = []
-    dc_tabs, ac_tabs = [], []
-    for ci, (cid, tq) in enumerate(frame["comps"]):
+    comp_q, dc_tabs, ac_tabs, hvs, coefs = [], [], [], [], []
+    for ci, (cid, tq, hi, vi) in enumerate(frame["comps"]):
         comp_q.append(qtabs[tq])
         scid, td, ta = scan[ci]
         if scid != cid:
             return None
         dc_tabs.append(htabs[0x00 | td])
         ac_tabs.append(htabs[0x10 | ta])
+        if hmax % hi or vmax % vi:     # replication needs integer ratio
+            return None
+        hvs.append((hi, vi))
+        coefs.append(np.zeros((mcus_y * vi * mcus_x * hi, 64),
+                              dtype=np.int64))
     pos = 0
     preds = [0, 0, 0]
-    for m in range(n_mcus):
-        for c in range(3):
-            block = coefs[c, m]
-            sym, pos = _decode_huffman(bits, pos, dc_tabs[c])
-            diff, pos = _receive_extend(bits, pos, sym)
-            preds[c] += diff
-            block[0] = preds[c]
-            k = 1
-            while k < 64:
-                sym, pos = _decode_huffman(bits, pos, ac_tabs[c])
-                if sym == 0x00:                    # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        return None
-                    k += 16                        # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    return None
-                v, pos = _receive_extend(bits, pos, size)
-                block[k] = v
-                k += 1
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(3):
+                hi, vi = hvs[c]
+                nbx_c = mcus_x * hi
+                for by in range(vi):
+                    for bx in range(hi):
+                        block = coefs[c][
+                            (my * vi + by) * nbx_c + mx * hi + bx]
+                        sym, pos = _decode_huffman(bits, pos, dc_tabs[c])
+                        diff, pos = _receive_extend(bits, pos, sym)
+                        preds[c] += diff
+                        block[0] = preds[c]
+                        k = 1
+                        while k < 64:
+                            sym, pos = _decode_huffman(
+                                bits, pos, ac_tabs[c])
+                            if sym == 0x00:        # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    return None
+                                k += 16            # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                return None
+                            v, pos = _receive_extend(bits, pos, size)
+                            block[k] = v
+                            k += 1
     planes = []
     for c in range(3):
-        deq = (coefs[c][:, _UNZIGZAG].reshape(n_mcus, 8, 8)
+        hi, vi = hvs[c]
+        nbx_c, nby_c = mcus_x * hi, mcus_y * vi
+        n_blocks = nbx_c * nby_c
+        deq = (coefs[c][:, _UNZIGZAG].reshape(n_blocks, 8, 8)
                * comp_q[c][None, :, :]).astype(np.float64)
         spatial = np.einsum("xu,ruv,vc->rxc", _DCT_MAT.T, deq,
                             _DCT_MAT, optimize=True) + 128.0
-        chan = (spatial.reshape(nby, nbx, 8, 8)
+        chan = (spatial.reshape(nby_c, nbx_c, 8, 8)
                 .transpose(0, 2, 1, 3)
-                .reshape(nby * 8, nbx * 8))
+                .reshape(nby_c * 8, nbx_c * 8))
+        if hi != hmax or vi != vmax:               # upsample (replicate)
+            chan = np.repeat(np.repeat(chan, vmax // vi, axis=0),
+                             hmax // hi, axis=1)
         planes.append(chan[:fh, :fw])
     return _ycbcr_to_rgb(*planes)

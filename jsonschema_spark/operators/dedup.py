@@ -103,15 +103,24 @@ def minhash_signatures_df(df: DataFrame, id_col: str, text_col: str,
                           shingle_k: int = 5) -> DataFrame:
     """(_id, _sig) MinHash signatures via explode + codegen'd min-aggs.
 
-    HOF lambdas (aggregate/zip_with) are interpreted, so per-item x
-    per-hash work inside them is ~100x slower than whole-stage codegen.
-    Exploding shingles and taking `num_hashes` min(xxhash64(shingle, s))
-    aggregates keeps everything codegen'd; map-side partial aggregation
-    means the shuffle carries one partial signature per doc per
-    partition, never the shingles."""
+    HOF lambdas (aggregate/zip_with/transform) are interpreted, so
+    per-item x per-hash work inside them is ~100x slower than
+    whole-stage codegen.  The shingle stream is therefore generated as
+    ``explode(sequence(1, len-k+1))`` followed by a codegen'd
+    position-indexed ``substring`` — no shingle ARRAY is ever built
+    (the ``shingles()`` transform-HOF + array_distinct shape measured
+    ~4x slower at sf0.1), and no distinct pass is needed because
+    ``min`` is duplicate-insensitive; signatures are bit-identical
+    either way.  `num_hashes` min(xxhash64(shingle, s)) aggregates
+    keep everything codegen'd; map-side partial aggregation means the
+    shuffle carries one partial signature per doc per partition,
+    never the shingles."""
+    n_sh = F.greatest(F.length(text_col) - (shingle_k - 1), F.lit(1))
     toks = (ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
-            .select(F.col(id_col).alias("_id"),
-                    F.explode(shingles(F.col(text_col), shingle_k))
+            .select(F.col(id_col).alias("_id"), F.col(text_col),
+                    F.explode(F.sequence(F.lit(1), n_sh)).alias("_i"))
+            .select("_id",
+                    F.expr(f"substring(`{text_col}`, _i, {shingle_k})")
                     .alias("_sh")))
     aggs = [F.min(F.xxhash64(F.col("_sh"), F.lit(s))).alias(f"_h{s}")
             for s in range(num_hashes)]
@@ -360,17 +369,32 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
 def _jaccard_pairs_from_grams(grams: DataFrame, min_jaccard: float,
                               max_bucket: int) -> DataFrame:
     """Shared posting-list core: (_id, _grams array) -> exact Jaccard
-    pairs.  Document gram *arrays are never shuffled* — the intersection
-    size is ``count(shared grams)`` from the inverted-index self-join and
-    the union is ``|A| + |B| - inter`` from pre-aggregated set sizes.
+    pairs (see :func:`_jaccard_pairs_from_posting`)."""
+    posting = (grams.select("_id", F.explode("_grams").alias("_g"))
+               .distinct())
+    return _jaccard_pairs_from_posting(posting, min_jaccard, max_bucket)
+
+
+def _jaccard_pairs_from_posting(posting: DataFrame, min_jaccard: float,
+                                max_bucket: int) -> DataFrame:
+    """Shared posting-list core: DISTINCT (_id, _g) posting rows ->
+    exact Jaccard pairs.  Document gram *arrays are never shuffled* —
+    the intersection size is ``count(shared grams)`` from the
+    inverted-index self-join and the union is ``|A| + |B| - inter``
+    from pre-aggregated set sizes.
+
+    Callers feed the posting list straight from a codegen'd
+    explode+substring/slice projection (never a transform-HOF array —
+    interpreted lambdas measured ~5x slower end-to-end at sf0.1); the
+    per-document distinct is a groupBy-shaped shuffle that combines
+    map-side, so it rides the same exchange the df-count needs anyway.
 
     Exact whenever no shared gram's document frequency exceeds
     `max_bucket`; grams above it (stop-grams) are dropped from pairing —
     the classic posting-list skew guard (a df-D gram alone generates
     D^2/2 join rows, which is what kills this join at 100 TB).  A df=1
     gram can never be shared, so the lower bound loses nothing."""
-    sized = grams.select("_id", F.size("_grams").alias("_n"))
-    posting = grams.select("_id", F.explode("_grams").alias("_g"))
+    sized = posting.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     shared = (posting.groupBy("_g")
               .agg(F.count(F.lit(1)).alias("_df"))
               .filter(F.col("_df").between(2, max_bucket)))
@@ -392,12 +416,21 @@ def _jaccard_pairs_from_grams(grams: DataFrame, min_jaccard: float,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, min_jaccard: float = 0.6,
                         max_bucket: int = 200) -> DataFrame:
-    """Exact word-n-gram Jaccard pairs (see _jaccard_pairs_from_grams
-    for the posting-list shape)."""
-    grams = (ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
-             .select(F.col(id_col).alias("_id"),
-                     word_ngrams(F.col(text_col), n).alias("_grams")))
-    return _jaccard_pairs_from_grams(grams, min_jaccard, max_bucket)
+    """Exact word-n-gram Jaccard pairs (see _jaccard_pairs_from_posting
+    for the posting-list shape).  The posting list is generated
+    codegen-side: split once per doc, explode gram start indices, and
+    slice+join per exploded row — no interpreted transform-HOF."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    cnt = F.greatest(F.size("_w") - (n - 1), F.lit(1))
+    posting = (ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+               .select(F.col(id_col).alias("_id"), words.alias("_w"))
+               .select("_id", "_w",
+                       F.explode(F.sequence(F.lit(1), cnt)).alias("_i"))
+               .select("_id",
+                       F.array_join(F.slice("_w", F.col("_i"), n), " ")
+                       .alias("_g"))
+               .distinct())
+    return _jaccard_pairs_from_posting(posting, min_jaccard, max_bucket)
 
 
 def shingle_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -708,3 +708,28 @@ def test_jpeg_images_table_planted_violations(spark):
             assert r["header_ok"] and 40.0 <= r["psnr"] < 99.0, \
                 (i, r["psnr"])
             assert r["decoded_w"] == 16 and r["decoded_h"] == 16
+
+
+def test_jpeg_chroma_subsampling_420():
+    """The decoder is a GENERAL baseline decoder, not encoder-matched:
+    4:2:0 streams (2x2 luma sampling, the common photographic layout)
+    decode through the same path via the interleaved-MCU walk +
+    chroma replication, at awkward non-multiple-of-16 dims."""
+    import numpy as np
+    from jsonschema_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from jsonschema_spark.operators.multimodal import psnr
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    grad = np.stack([(xx * 4) % 256, (yy * 4) % 256,
+                     ((xx + yy) * 2) % 256], axis=-1).astype(np.uint8)
+    for w, h in ((56, 40), (13, 7), (17, 9), (33, 33)):
+        g = grad[:h, :w]
+        blob = encode_jpeg(g, 95, subsampling="4:2:0")
+        d = decode_jpeg(blob)
+        assert d is not None and d.shape == (h, w, 3)
+        assert psnr(d, g) >= 30.0, (w, h)
+    # SOF advertises the sampling factors: Y=0x22, chroma=0x11
+    off = blob.find(b"\xff\xc0")
+    assert blob[off + 11] == 0x22 and blob[off + 14] == 0x11
+    # 4:2:0 beats 4:4:4 on size for smooth content
+    assert len(blob) < len(encode_jpeg(grad[:33, :33], 95))
