@@ -366,15 +366,6 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
 
 # ------------------------------------------------------ ngram jaccard -----
 
-def _jaccard_pairs_from_grams(grams: DataFrame, min_jaccard: float,
-                              max_bucket: int) -> DataFrame:
-    """Shared posting-list core: (_id, _grams array) -> exact Jaccard
-    pairs (see :func:`_jaccard_pairs_from_posting`)."""
-    posting = (grams.select("_id", F.explode("_grams").alias("_g"))
-               .distinct())
-    return _jaccard_pairs_from_posting(posting, min_jaccard, max_bucket)
-
-
 def _jaccard_pairs_from_posting(posting: DataFrame, min_jaccard: float,
                                 max_bucket: int) -> DataFrame:
     """Shared posting-list core: DISTINCT (_id, _g) posting rows ->
@@ -438,11 +429,17 @@ def shingle_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                           max_bucket: int = 500) -> DataFrame:
     """Exact character-k-shingle Jaccard pairs — the ground truth the
     MinHash estimator approximates (same shingle space as
-    minhash_signatures_df)."""
-    grams = (ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
-             .select(F.col(id_col).alias("_id"),
-                     shingles(F.col(text_col), k).alias("_grams")))
-    return _jaccard_pairs_from_grams(grams, min_jaccard, max_bucket)
+    minhash_signatures_df, same codegen'd explode+substring posting
+    generation: no interpreted transform-HOF shingle array is built)."""
+    n_sh = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
+    posting = (ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+               .select(F.col(id_col).alias("_id"), F.col(text_col),
+                       F.explode(F.sequence(F.lit(1), n_sh)).alias("_i"))
+               .select("_id",
+                       F.expr(f"substring(`{text_col}`, _i, {k})")
+                       .alias("_g"))
+               .distinct())
+    return _jaccard_pairs_from_posting(posting, min_jaccard, max_bucket)
 
 
 def verify_pairs_exact_jaccard(pairs: DataFrame, df: DataFrame,
