@@ -8,11 +8,14 @@ plumbing (schema, batching, UDF signature):
   written by ``sources.images._payload`` (for the 8M-row benchmark
   table whose payloads are compact placeholders);
 - ``decode_images_real`` — a REAL codec path: Windows BMP decodes with
-  the built-in struct+numpy codec (``encode_bmp``/``decode_bmp``) and
+  the built-in struct+numpy codec (``encode_bmp``/``decode_bmp``),
   PNG with the built-in pure-python codec (``encode_png``/
   ``decode_png`` — spec-conformant chunks/CRCs/zlib/all five scanline
   filters; zlib is stdlib, so the COMPRESSED tier needs no
-  third-party library).  jpeg/webp use Pillow when importable.  PSNR
+  third-party library), baseline JPEG with ``functions/jpeg`` (the
+  lossy tier) and WebP-lossless with ``functions/webp`` (VP8L,
+  libwebp-interoperable).  Unrecognised formats fall back to Pillow
+  when importable.  PSNR
   is measured against the per-id deterministic reference image, a
   true decoded-pixel comparison (``sources.images.bmp_images_df`` /
   ``png_images_df`` generate real payloads with planted
@@ -126,9 +129,9 @@ def decode_images(df: DataFrame, carry: tuple = ()) -> DataFrame:
 # to 4 bytes) is decodable with struct+numpy alone — a REAL standard
 # format, viewable by any image tool, with no library dependency.  This
 # gives the pixel-invariant pipeline one genuinely decoded format;
-# jpeg/webp stay gated on Pillow; PNG is fully supported by the
-# built-in pure-python codec below (zlib is stdlib — the compressed
-# tier needs no third-party dependency).
+# PNG (below), baseline JPEG (functions/jpeg) and WebP-lossless
+# (functions/webp) complete the built-in set — no third-party
+# dependency anywhere in the decode path.
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -322,11 +325,12 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def decode_images_real(df: DataFrame, carry: tuple = ()) -> DataFrame:
-    """Real codec path over Arrow batches: BMP, PNG, and baseline
-    JPEG blobs decode with the built-in numpy codecs (functions/jpeg
-    supplies the lossy tier the north rule's PSNR>=40dB invariant is
-    written for); other formats use Pillow when importable and are
-    reported as header_ok=False otherwise.  PSNR is measured against
+    """Real codec path over Arrow batches: BMP, PNG, baseline JPEG
+    and WebP-lossless blobs decode with the built-in numpy codecs
+    (functions/jpeg supplies the lossy tier the north rule's
+    PSNR>=40dB invariant is written for; functions/webp the
+    libwebp-interoperable VP8L tier); other formats use Pillow when
+    importable and are reported as header_ok=False otherwise.  PSNR is measured against
     the deterministic reference image for the id (`expected_pixels`)
     — a true decoded-pixel comparison.  `carry` columns pass through
     (see decode_images)."""
@@ -351,6 +355,9 @@ def decode_images_real(df: DataFrame, carry: tuple = ()) -> DataFrame:
                 elif blob is not None and blob[:2] == b"\xff\xd8":
                     from ..functions.jpeg import decode_jpeg
                     px = decode_jpeg(bytes(blob))
+                elif blob is not None and blob[:4] == b"RIFF":
+                    from ..functions.webp import decode_webp
+                    px = decode_webp(bytes(blob))
                 elif blob is not None and use_pil:  # pragma: no cover
                     import io
 

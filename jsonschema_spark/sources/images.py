@@ -345,6 +345,60 @@ def jpeg_images_df(spark: SparkSession, n_rows: int = 2_000,
                     "h int, fmt string, caption string, phash long")
 
 
+def webp_images_df(spark: SparkSession, n_rows: int = 2_000,
+                   partitions: int = 8, size: int = 16) -> DataFrame:
+    """Images with REAL **WebP-lossless** payloads: each row carries an
+    actual RIFF/VP8L file (see functions/webp — entropy-coded with
+    canonical prefix codes, interoperable with libwebp) of the row's
+    deterministic reference pixels.  Violations planted at known rates:
+
+    - id % 251 == 0: payload truncated mid-VP8L-chunk (RIFF size no
+      longer covered -> decode fails structurally)
+    - id % 157 == 0: one pixel row inverted BEFORE encode (valid WebP,
+      lossless round-trip, PSNR collapses vs the reference pixels)
+    - id % 311 == 0: the VP8L signature byte (0x2F) zeroed AFTER
+      encode (structurally invalid -> decode fails; header byte-math
+      oracles see the same damage)
+
+    Everything else round-trips bit-exact -> PSNR 99."""
+    import pandas as pd
+
+    from ..functions.webp import encode_webp
+    from ..operators.multimodal import expected_pixels
+
+    base = spark.range(n_rows).repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"id": [], "image_id": [], "bytes": [], "w": [],
+                   "h": [], "fmt": [], "caption": [], "phash": []}
+            for i in pdf["id"]:
+                i = int(i)
+                out["id"].append(i)
+                image_id = f"wbp_{i:012x}"
+                px = expected_pixels(image_id, size, size)
+                if i % 157 == 0 and i % 251 != 0 and i % 311 != 0:
+                    px = px.copy()
+                    px[size // 2, :, :] = 255 - px[size // 2, :, :]
+                blob = encode_webp(px)
+                if i % 251 == 0:
+                    blob = blob[:len(blob) // 2]
+                elif i % 311 == 0 and i != 0:
+                    blob = blob[:20] + b"\x00" + blob[21:]  # kill VP8L sig
+                out["image_id"].append(image_id)
+                out["bytes"].append(blob)
+                out["w"].append(size)
+                out["h"].append(size)
+                out["fmt"].append("webp")
+                out["caption"].append(f"real webp {i}")
+                out["phash"].append(i * 2654435761 % (1 << 62))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen, schema="id long, image_id string, bytes binary, w int, "
+                    "h int, fmt string, caption string, phash long")
+
+
 def videos_df(spark: SparkSession, n_rows: int = 200,
               partitions: int = 8, size: int = 8,
               base_frames: int = 8) -> DataFrame:
