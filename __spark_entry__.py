@@ -789,6 +789,68 @@ def q_images_jpeg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_agg.crossJoin(dec_agg)
 
 
+WEBPS_ORACLE_PATH = f"/tmp/spark_graft_webps_oracle_{_GEN_FP}"
+
+
+def q_images_webp_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP tier: RIFF/VP8L payloads decoded by the engine's
+    built-in pure-python codec (functions/webp — canonical prefix
+    codes, transforms, libwebp-interoperable streams).  One row:
+
+    - n_rows / sig_ok / riff_covered / hdr_dims_ok come from native
+      byte math — the RIFF+WEBP+VP8L fourccs and 0x2F signature byte,
+      the little-endian RIFF size vs the payload length (catches the
+      planted truncation structurally), and the width/height decoded
+      from the VP8L 14-bit LSB-first bitfields; DuckDB recomputes the
+      same fields from the same persisted bytes;
+    - decode_fail / low_psnr / dims_roundtrip come from the REAL
+      entropy-decode + PSNR pass — DuckDB derives the expected counts
+      from the planted corruption rules (id % 251 truncation,
+      id % 311 VP8L-signature kill, id % 157 pre-encode pixel
+      damage), certifying the lossless tier round-trips bit-exact on
+      every undamaged row."""
+    from jsonschema_spark.operators.multimodal import decode_images_real
+    from jsonschema_spark.sources.images import webp_images_df
+    if not os.path.exists(os.path.join(WEBPS_ORACLE_PATH, "_SUCCESS")):
+        (webp_images_df(spark, 2_000)
+         .write.mode("overwrite").parquet(WEBPS_ORACLE_PATH))
+    img = spark.read.parquet(WEBPS_ORACLE_PATH)
+
+    b = F.col("bytes")
+
+    def byte(i: int):           # 1-based byte -> long (native)
+        return F.conv(F.hex(F.substring(b, i, 1)), 16, 10).cast("long")
+
+    def le32(pos: int):
+        return (byte(pos) + byte(pos + 1) * 256
+                + byte(pos + 2) * 65536 + byte(pos + 3) * 16777216)
+
+    # VP8L dims: 28 LSB-first bits after the 0x2F byte — (w-1) in
+    # bits 0..13, (h-1) in bits 14..27 of the LE dword at byte 22
+    dims = le32(22)
+    hdr_w = (dims % 16384) + 1
+    hdr_h = ((dims / 16384).cast("long") % 16384) + 1
+    hdr_agg = img.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(((F.hex(F.substring(b, 1, 4)) == "52494646")
+               & (F.hex(F.substring(b, 9, 8)) == "574542505650384C")
+               & (F.hex(F.substring(b, 21, 1)) == "2F"))
+              .cast("long")).alias("sig_ok"),
+        F.sum((le32(5) + 8 <= F.length(b)).cast("long"))
+        .alias("riff_covered"),
+        F.sum(((hdr_w == F.col("w")) & (hdr_h == F.col("h")))
+              .cast("long")).alias("hdr_dims_ok"))
+    dec = decode_images_real(img, carry=("w", "h"))
+    dec_agg = dec.agg(
+        F.sum((~F.col("header_ok")).cast("long")).alias("decode_fail"),
+        F.sum((F.col("header_ok") & (F.col("psnr") < 40.0))
+              .cast("long")).alias("low_psnr"),
+        F.sum((F.col("header_ok") & (F.col("decoded_w") == F.col("w"))
+               & (F.col("decoded_h") == F.col("h")))
+              .cast("long")).alias("dims_roundtrip"))
+    return hdr_agg.crossJoin(dec_agg)
+
+
 AUDIO_ORACLE_PATH = f"/tmp/spark_graft_audio_oracle_{_GEN_FP}"
 
 
@@ -897,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_png_validation": q_images_png_validation,
         "images_jpeg_validation": q_images_jpeg_validation,
         "caption_equality": q_caption_equality,
+        "images_webp_validation": q_images_webp_validation,
         "audio_validation": q_audio_validation,
         "dynamic_ref_orders": q_dynamic_ref_orders,
         "composition_orders": q_composition_orders,
@@ -1587,6 +1650,65 @@ def oracle_sql() -> dict[str, str]:
               -- lossy round-trip PSNR collapses); every other row
               -- must decode at the declared dims AND reconstruct
               -- the reference pixels above 40 dB
+              CAST(sum(CASE WHEN id % 251 = 0
+                              OR (id % 311 = 0 AND id % 251 != 0
+                                  AND id != 0)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS decode_fail,
+              CAST(sum(CASE WHEN id % 157 = 0 AND id % 251 != 0
+                            AND id % 311 != 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_psnr,
+              CAST(sum(CASE WHEN NOT (id % 251 = 0
+                                      OR (id % 311 = 0 AND id != 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS dims_roundtrip
+            FROM hdr
+        """,
+        "images_webp_validation": f"""
+            WITH t AS (SELECT * FROM
+                       read_parquet('{WEBPS_ORACLE_PATH}/*.parquet')),
+            b AS (
+              SELECT id, w, h, octet_length(bytes) AS olen,
+                     hex(bytes) AS hx FROM t),
+            -- WebP header fields re-parsed from raw bytes: the RIFF /
+            -- WEBP+VP8L fourccs and the 0x2F signature byte, the RIFF
+            -- size as LITTLE-endian uint32 at bytes 5-8 (an intact
+            -- file has riff_size + 8 = file length), and the VP8L
+            -- width/height from the 28 LSB-first bits after the
+            -- signature: (w-1) = bits 0..13, (h-1) = bits 14..27 of
+            -- the LE dword at bytes 22-25
+            hdr AS (
+              SELECT *,
+                substr(hx, 1, 8) = '52494646'
+                  AND substr(hx, 17, 16) = '574542505650384C'
+                  AND substr(hx, 41, 2) = '2F' AS sig,
+                  CAST(('0x' || substr(hx, 9, 2)) AS BIGINT)
+                + CAST(('0x' || substr(hx, 11, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(hx, 13, 2)) AS BIGINT) * 65536
+                + CAST(('0x' || substr(hx, 15, 2)) AS BIGINT) * 16777216
+                  AS riff_size,
+                  CAST(('0x' || substr(hx, 43, 2)) AS BIGINT)
+                + CAST(('0x' || substr(hx, 45, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(hx, 47, 2)) AS BIGINT) * 65536
+                + CAST(('0x' || substr(hx, 49, 2)) AS BIGINT) * 16777216
+                  AS dims
+              FROM b)
+            SELECT
+              count(*) AS n_rows,
+              CAST(sum(CASE WHEN sig THEN 1 ELSE 0 END) AS BIGINT)
+                AS sig_ok,
+              CAST(sum(CASE WHEN riff_size + 8 <= olen THEN 1 ELSE 0
+                       END) AS BIGINT) AS riff_covered,
+              CAST(sum(CASE WHEN (dims % 16384) + 1 = w
+                             AND ((dims // 16384) % 16384) + 1 = h
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS hdr_dims_ok,
+              -- planted rules: id%251 -> mid-chunk truncation and
+              -- id%311 -> VP8L signature byte zeroed: both decode
+              -- failures the codec must detect structurally; id%157
+              -- (minus overlaps) -> pre-encode pixel damage (valid
+              -- WebP, lossless round-trip, PSNR collapses vs the
+              -- reference pixels); every other row must decode
+              -- bit-exact at the declared dims
               CAST(sum(CASE WHEN id % 251 = 0
                               OR (id % 311 = 0 AND id % 251 != 0
                                   AND id != 0)
