@@ -89,31 +89,55 @@ class WebPError(ValueError):
 
 
 class _BitReader:
-    """LSB-first bit reader (spec §5.1)."""
+    """LSB-first bit reader (spec §5.1), buffered: bits accumulate in a
+    small int so each read is O(1) integer ops, not a per-bit loop —
+    the entropy-decode hot path runs one read per symbol bit."""
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0          # bit position
+        self.nbytes = len(data)
+        self.bytepos = 0
+        self.buf = 0
+        self.nbits = 0
 
     def read(self, n: int) -> int:
-        v = 0
-        p = self.pos
-        data = self.data
-        for i in range(n):
-            byte_i = (p + i) >> 3
-            if byte_i >= len(data):
+        buf, nbits, p = self.buf, self.nbits, self.bytepos
+        while nbits < n:
+            if p >= self.nbytes:
                 raise WebPError("bitstream truncated")
-            v |= ((data[byte_i] >> ((p + i) & 7)) & 1) << i
-        self.pos = p + n
-        return v
+            buf |= self.data[p] << nbits
+            p += 1
+            nbits += 8
+        self.buf = buf >> n
+        self.nbits = nbits - n
+        self.bytepos = p
+        return buf & ((1 << n) - 1)
 
     def read_bit(self) -> int:
-        p = self.pos
-        byte_i = p >> 3
-        if byte_i >= len(self.data):
-            raise WebPError("bitstream truncated")
-        self.pos = p + 1
-        return (self.data[byte_i] >> (p & 7)) & 1
+        if self.nbits == 0:
+            if self.bytepos >= self.nbytes:
+                raise WebPError("bitstream truncated")
+            self.buf = self.data[self.bytepos]
+            self.bytepos += 1
+            self.nbits = 8
+        v = self.buf & 1
+        self.buf >>= 1
+        self.nbits -= 1
+        return v
+
+    def peek8(self) -> int:
+        """Low 8 buffered bits WITHOUT consuming (fewer near stream
+        end); prefix-code fast path peeks then consumes the matched
+        code length."""
+        while self.nbits < 8 and self.bytepos < self.nbytes:
+            self.buf |= self.data[self.bytepos] << self.nbits
+            self.bytepos += 1
+            self.nbits += 8
+        return self.buf & 0xFF
+
+    def consume(self, n: int) -> None:
+        self.buf >>= n
+        self.nbits -= n
 
 
 class _BitWriter:
@@ -173,9 +197,23 @@ class _PrefixCode:
             self.table = None
             return
         self.single = None
-        self.table = {(l, c): s
-                      for s, (c, l) in _canonical_codes(lengths).items()}
+        codes = _canonical_codes(lengths)
+        self.table = {(l, c): s for s, (c, l) in codes.items()}
         self.max_len = max(l for l, _ in self.table)
+        # 8-bit-root LUT over LSB-first stream bits: codes <= 8 bits
+        # resolve in one peek+index; longer codes leave their slots
+        # None (prefix-freedom means a long code's first byte never
+        # collides with a short code's padded slots) and fall back to
+        # the bit-walk
+        lut = [None] * 256
+        for s, (c, l) in codes.items():
+            if l <= 8:
+                pat = 0
+                for i in range(l):                  # bit-reverse c
+                    pat |= ((c >> i) & 1) << (l - 1 - i)
+                step = 1 << l
+                lut[pat::step] = [(s, l)] * (256 >> l)
+        self.lut = lut
 
     @classmethod
     def trivial(cls, symbol: int) -> "_PrefixCode":
@@ -187,6 +225,19 @@ class _PrefixCode:
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        # inlined peek8 — this is the per-symbol hot path
+        while br.nbits < 8 and br.bytepos < br.nbytes:
+            br.buf |= br.data[br.bytepos] << br.nbits
+            br.bytepos += 1
+            br.nbits += 8
+        ent = self.lut[br.buf & 0xFF]
+        if ent is not None:
+            sym, l = ent
+            if l > br.nbits:
+                raise WebPError("bitstream truncated")
+            br.buf >>= l
+            br.nbits -= l
+            return sym
         code = 0
         table = self.table
         for length in range(1, self.max_len + 1):
