@@ -271,3 +271,49 @@ def test_webp_images_table_planted_violations(spark):
         else:
             assert r["header_ok"] and r["psnr"] == 99.0, (i, r["psnr"])
             assert r["decoded_w"] == 16 and r["decoded_h"] == 16
+
+
+# ------------------------------------------------------------ fuzzing ---
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    _HAVE_HYP = True
+except ImportError:                                   # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _img_strategy = st.builds(
+        lambda w, h, mode, seed: _fuzz_image(w, h, mode, seed),
+        st.integers(1, 40), st.integers(1, 40),
+        st.sampled_from(["noise", "flat", "palette", "gradient",
+                         "stripes"]),
+        st.integers(0, 2**31 - 1))
+
+    def _fuzz_image(w, h, mode, seed):
+        rng = np.random.default_rng(seed)
+        if mode == "noise":
+            return rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        if mode == "flat":
+            return np.full((h, w, 3), rng.integers(0, 256), np.uint8)
+        if mode == "palette":
+            k = int(rng.integers(2, 17))
+            pal = rng.integers(0, 256, size=(k, 3)).astype(np.uint8)
+            return pal[rng.integers(0, k, size=(h, w))]
+        if mode == "gradient":
+            return (np.add.outer(np.arange(h), np.arange(w))[..., None]
+                    * rng.integers(1, 9, size=3) % 256).astype(np.uint8)
+        base = rng.integers(0, 256, size=(1, w, 3)).astype(np.uint8)
+        return np.repeat(base, h, axis=0)
+
+    @pytest.mark.skipif(LIB is None, reason="system libwebp not present")
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(img=_img_strategy)
+    def test_fuzz_roundtrip_and_interop(img):
+        """Random dims x content classes: our round-trip is bit-exact,
+        libwebp accepts our stream, and we accept libwebp's."""
+        blob = encode_webp(img)
+        assert np.array_equal(decode_webp(blob), img)
+        assert np.array_equal(lib_decode(blob), img)
+        assert np.array_equal(decode_webp(lib_encode(img)), img)
