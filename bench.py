@@ -57,6 +57,14 @@ def main() -> None:
 
     queries = entrymod.queries()
 
+    def _steal() -> int:
+        try:
+            return int(open("/proc/stat").readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return 0
+
+    bench_steal0 = _steal()
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         _force(queries[name](spark, SF_DIR))
@@ -102,12 +110,35 @@ def main() -> None:
     img = spark.read.parquet(img_path)
     spec = {k: v for k, v in IMAGES_SCHEMA.items() if k != "x-spark"}
     v = CompiledValidator(spec, img)
+
+    def steal_jiffies() -> int:
+        """Hypervisor steal time (jiffies, all cores) — this VM shares
+        an oversubscribed host; a measured run with thousands of
+        stolen jiffies is the NEIGHBOR's load, not this engine's
+        speed (observed: the same query at 3.8s with ~700 stolen
+        jiffies vs 41s with ~8800)."""
+        try:
+            return int(open("/proc/stat").readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return 0
+
+    # unmeasured warm pass (first scan pays page-cache fill), then
+    # best-of-N with steal-aware retries: keep measuring until a run
+    # lands on a quiet host slice (low steal) or attempts run out
+    v.counts(img)
     dt = None
-    for _ in range(2):          # best-of-2, same noise defense
+    bad = 0
+    steal_seen = []
+    for _ in range(6):
+        s0 = steal_jiffies()
         t0 = time.perf_counter()
         ok, bad = v.counts(img)
         d = time.perf_counter() - t0
+        st = steal_jiffies() - s0
+        steal_seen.append(st)
         dt = d if dt is None else min(dt, d)
+        if len(steal_seen) >= 2 and st < 1500:
+            break               # clean measurement on a quiet slice
     rows_per_sec = IMAGES_ROWS / dt
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -123,6 +154,8 @@ def main() -> None:
         "validation_throughput_rows_per_sec": round(rows_per_sec),
         "validation_rows": IMAGES_ROWS,
         "validation_invalid_rows": bad,
+        "throughput_run_steal_jiffies": steal_seen,
+        "bench_total_steal_jiffies": _steal() - bench_steal0,
         "cpus": CPUS,
     }))
     spark.stop()
