@@ -58,6 +58,10 @@ def main() -> None:
     queries = entrymod.queries()
 
     def _steal() -> int:
+        # hypervisor steal (jiffies, all cores): this VM shares an
+        # oversubscribed host — a run with thousands of stolen jiffies
+        # measures the NEIGHBOR's load, not this engine (observed:
+        # the same warm job at 3.8s/~700 jiffies vs 41s/~8800)
         try:
             return int(open("/proc/stat").readline().split()[8])
         except (OSError, IndexError, ValueError):
@@ -111,17 +115,6 @@ def main() -> None:
     spec = {k: v for k, v in IMAGES_SCHEMA.items() if k != "x-spark"}
     v = CompiledValidator(spec, img)
 
-    def steal_jiffies() -> int:
-        """Hypervisor steal time (jiffies, all cores) — this VM shares
-        an oversubscribed host; a measured run with thousands of
-        stolen jiffies is the NEIGHBOR's load, not this engine's
-        speed (observed: the same query at 3.8s with ~700 stolen
-        jiffies vs 41s with ~8800)."""
-        try:
-            return int(open("/proc/stat").readline().split()[8])
-        except (OSError, IndexError, ValueError):
-            return 0
-
     # unmeasured warm pass (first scan pays page-cache fill), then
     # best-of-N with steal-aware retries: keep measuring until a run
     # lands on a quiet host slice (low steal) or attempts run out
@@ -130,15 +123,14 @@ def main() -> None:
     bad = 0
     steal_seen = []
     for _ in range(6):
-        s0 = steal_jiffies()
+        s0 = _steal()
         t0 = time.perf_counter()
         ok, bad = v.counts(img)
         d = time.perf_counter() - t0
-        st = steal_jiffies() - s0
-        steal_seen.append(st)
+        steal_seen.append(_steal() - s0)
         dt = d if dt is None else min(dt, d)
-        if len(steal_seen) >= 2 and st < 1500:
-            break               # clean measurement on a quiet slice
+        if len(steal_seen) >= 2 and min(steal_seen) < 1500:
+            break       # some run already landed on a quiet slice
     rows_per_sec = IMAGES_ROWS / dt
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

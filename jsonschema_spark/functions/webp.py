@@ -125,19 +125,6 @@ class _BitReader:
         self.nbits -= 1
         return v
 
-    def peek8(self) -> int:
-        """Low 8 buffered bits WITHOUT consuming (fewer near stream
-        end); prefix-code fast path peeks then consumes the matched
-        code length."""
-        while self.nbits < 8 and self.bytepos < self.nbytes:
-            self.buf |= self.data[self.bytepos] << self.nbits
-            self.bytepos += 1
-            self.nbits += 8
-        return self.buf & 0xFF
-
-    def consume(self, n: int) -> None:
-        self.buf >>= n
-        self.nbits -= n
 
 
 class _BitWriter:

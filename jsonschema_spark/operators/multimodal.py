@@ -355,7 +355,10 @@ def decode_images_real(df: DataFrame, carry: tuple = ()) -> DataFrame:
                 elif blob is not None and blob[:2] == b"\xff\xd8":
                     from ..functions.jpeg import decode_jpeg
                     px = decode_jpeg(bytes(blob))
-                elif blob is not None and blob[:4] == b"RIFF":
+                elif (blob is not None and blob[:4] == b"RIFF"
+                        and blob[12:16] == b"VP8L"):
+                    # lossless WebP only — lossy VP8/VP8X RIFF payloads
+                    # fall through to the Pillow path below
                     from ..functions.webp import decode_webp
                     px = decode_webp(bytes(blob))
                 elif blob is not None and use_pil:  # pragma: no cover
