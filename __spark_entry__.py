@@ -898,6 +898,58 @@ def q_audio_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_agg.crossJoin(dec_agg)
 
 
+PHASH_PANEL_ORACLE_PATH = f"/tmp/spark_graft_phash_panel_oracle_{_GEN_FP}"
+
+
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE screen over the north-star table's stored
+    ``phash:int64`` column (BASELINE.json input_hint): banded-hamming
+    pairs at hamming <= 3 via operators/dedup.phash_near_duplicates —
+    4 x 16-bit bands (pigeonhole-complete), chunk-salted bucket joins,
+    all codegen'd shift/mask/bit_count.  Runs on a persisted 6k-row
+    panel so the DuckDB oracle can BRUTE-FORCE every pair — a true
+    all-pairs recall AND precision certificate for the banded path
+    (the sf-independent analogue of `simhash_vs_exact`'s audit)."""
+    from jsonschema_spark.operators.dedup import phash_near_duplicates
+    from jsonschema_spark.sources.images import images_df
+    if not os.path.exists(os.path.join(PHASH_PANEL_ORACLE_PATH,
+                                       "_SUCCESS")):
+        (images_df(spark, 6_000)
+         .write.mode("overwrite").parquet(PHASH_PANEL_ORACLE_PATH))
+    img = spark.read.parquet(PHASH_PANEL_ORACLE_PATH)
+    pairs = phash_near_duplicates(img, "image_id", "phash",
+                                  max_hamming=3)
+    return pairs.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+
+
+PHASH_INTEG_ORACLE_PATH = f"/tmp/spark_graft_phash_integ_oracle_{_GEN_FP}"
+
+
+def q_phash_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column integrity: the stored ``phash`` must equal the
+    perceptual hash RECOMPUTED from decoded payload pixels
+    (operators/multimodal.phash_integrity_check — one joinless
+    mapInPandas pass: built-in codec decode -> dct_phash -> xor
+    bit_count vs the stored value).  One summary row; the DuckDB
+    oracle derives decode_fail structurally (BMP declared size vs
+    actual byte length over the same persisted bytes) and the
+    mismatch count from the planted corruption rule (id % 211 two-bit
+    flip), certifying the recompute finds exactly the planted damage."""
+    from jsonschema_spark.operators.multimodal import phash_integrity_check
+    from jsonschema_spark.sources.images import phash_images_df
+    if not os.path.exists(os.path.join(PHASH_INTEG_ORACLE_PATH,
+                                       "_SUCCESS")):
+        (phash_images_df(spark, 2_000)
+         .write.mode("overwrite").parquet(PHASH_INTEG_ORACLE_PATH))
+    img = spark.read.parquet(PHASH_INTEG_ORACLE_PATH)
+    chk = phash_integrity_check(img)
+    return chk.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~F.col("decode_ok")).cast("long")).alias("decode_fail"),
+        F.sum((F.col("hamming") > 0).cast("long")).alias("phash_mismatch"),
+        F.sum((F.col("hamming") == 0).cast("long")).alias("verified_ok"))
+
+
 VIDEOS_ORACLE_PATH = f"/tmp/spark_graft_videos_oracle_{_GEN_FP}"
 
 
@@ -955,6 +1007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_vs_exact": q_simhash_vs_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "images_validation": q_images_validation,
+        "phash_near_dups": q_phash_near_dups,
+        "phash_integrity": q_phash_integrity,
         "images_bmp_validation": q_images_bmp_validation,
         "images_png_validation": q_images_png_validation,
         "images_jpeg_validation": q_images_jpeg_validation,
@@ -1500,6 +1554,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT keyword, CAST(n AS BIGINT) AS n
             FROM counts WHERE n > 0 ORDER BY keyword
+        """,
+        "phash_near_dups": f"""
+            -- TRUE all-pairs brute force over the persisted 6k panel:
+            -- every unordered image_id pair's bit_count(xor) distance,
+            -- no banding — certifies the engine's banded+chunk-salted
+            -- path for BOTH recall and precision
+            WITH t AS (SELECT * FROM
+                       read_parquet('{PHASH_PANEL_ORACLE_PATH}/*.parquet'))
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(min(bit_count(xor(a.phash, b.phash))) AS INT)
+                     AS hamming
+            FROM t a JOIN t b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
+            GROUP BY 1, 2
+            ORDER BY id_a, id_b
+        """,
+        "phash_integrity": f"""
+            -- decode_fail derived STRUCTURALLY (BMP little-endian
+            -- declared file size at bytes 3-6 vs actual length over
+            -- the same persisted bytes); mismatch from the planted
+            -- two-bit-flip rule (id % 211, decodable rows only)
+            WITH t AS (SELECT * FROM
+                       read_parquet('{PHASH_INTEG_ORACLE_PATH}/*.parquet')),
+            hdr AS (
+              SELECT id, octet_length(bytes) AS olen,
+                  CAST(('0x' || substr(hex(bytes), 5, 2)) AS BIGINT)
+                + CAST(('0x' || substr(hex(bytes), 7, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(hex(bytes), 9, 2)) AS BIGINT) * 65536
+                + CAST(('0x' || substr(hex(bytes), 11, 2)) AS BIGINT)
+                  * 16777216 AS declared
+              FROM t)
+            SELECT
+              count(*) AS n_rows,
+              CAST(sum(CASE WHEN olen < declared THEN 1 ELSE 0 END)
+                   AS BIGINT) AS decode_fail,
+              CAST(sum(CASE WHEN olen >= declared AND id % 211 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS phash_mismatch,
+              CAST(sum(CASE WHEN olen >= declared AND id % 211 != 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS verified_ok
+            FROM hdr
         """,
         "video_frame_sample": f"""
             WITH t AS (SELECT * FROM

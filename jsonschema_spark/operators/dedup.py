@@ -341,7 +341,35 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
     if cache_signatures:
         sigs = sigs.cache()
         _DEDUP_PERSISTED.append(sigs)
+    return packed_hamming_pairs(sigs, bits=bits, max_hamming=max_hamming,
+                                band_bits=band_bits, chunk_size=chunk_size)
+
+
+def packed_hamming_pairs(sigs: DataFrame, bits: int = 64,
+                         max_hamming: int = 3, band_bits: int = 16,
+                         chunk_size: int = 8192,
+                         require_full_recall: bool = False) -> DataFrame:
+    """Banded-hamming pair core over an already-materialized packed
+    code column ``(_id, _sh long)`` — the join shape shared by text
+    SimHash and perceptual-hash (phash) near-dup detection.
+
+    Pigeonhole: with ``bits/band_bits`` bands, any pair at hamming <=
+    (bits/band_bits - 1) is guaranteed to share at least one exact
+    band.  Above that the banding is a best-effort LSH screen (recall
+    < 1 by design — the caller trades recall for join size, standard
+    SimHash practice); pass ``require_full_recall=True`` to assert the
+    guarantee instead (the phash path does — a near-dup *validation*
+    check must not silently miss pairs).  Band keys are literal
+    shift/mask extractions and the final distance is
+    ``bit_count(xor)`` — fully codegen'd; the (band, bucket) self-join
+    is bounded by :func:`chunked_bucket_pairs` chunk salting so no
+    task goes quadratic in a hot bucket."""
     n_bands = bits // band_bits
+    if require_full_recall:
+        assert max_hamming < n_bands, (
+            f"pigeonhole broken: hamming {max_hamming} needs > "
+            f"{max_hamming} bands, got {n_bands} ({bits} bits / "
+            f"{band_bits} band_bits)")
     mask = (1 << band_bits) - 1
     bucket_exprs = [
         F.struct(F.lit(b).alias("_band"),
@@ -362,6 +390,31 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
                      ham.alias("hamming")))
     return (pairs.filter(F.col("hamming") <= max_hamming)
             .groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming")))
+
+
+def phash_near_duplicates(df: DataFrame, id_col: str = "image_id",
+                          phash_col: str = "phash",
+                          max_hamming: int = 3,
+                          band_bits: int = 16,
+                          chunk_size: int = 8192) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance
+    over the north-star table's ``phash:int64`` column (BASELINE.json
+    input_hint; the reference analogue is a uniqueItems-style pairwise
+    check, reference `_keywords.py` uniqueItems — here relaxed from
+    equality to a hamming ball, the standard near-dup-image screen).
+
+    No signature computation: the stored 64-bit phash IS the packed
+    code, so this is pure :func:`packed_hamming_pairs` — 4 bands x 16
+    bits guarantees full recall at hamming <= 3, bounded bucket joins,
+    everything codegen'd.  Rows with NULL phash never pair.  Output
+    ``(id_a, id_b, hamming)``; duplicate ids (same id on two rows)
+    contribute their min-hamming pair once."""
+    sigs = (df.filter(F.col(phash_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    F.col(phash_col).cast("long").alias("_sh")))
+    return packed_hamming_pairs(sigs, bits=64, max_hamming=max_hamming,
+                                band_bits=band_bits, chunk_size=chunk_size,
+                                require_full_recall=True)
 
 
 # ------------------------------------------------------ ngram jaccard -----

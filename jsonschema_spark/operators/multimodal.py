@@ -324,6 +324,37 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
         min(99.0, 10 * np.log10(255.0 ** 2 / mse)))
 
 
+def decode_blob(blob, use_pil: bool = False):
+    """Magic-byte codec dispatch shared by every real-decode pass: BMP,
+    PNG, baseline JPEG and WebP-lossless decode with the built-in numpy
+    codecs; anything else tries Pillow when importable.  Returns an
+    (h, w, 3) uint8 array or None on any structural failure."""
+    if blob is None:
+        return None
+    if blob[:2] == b"BM":
+        return decode_bmp(bytes(blob))
+    if blob[:8] == PNG_SIG:
+        return decode_png(bytes(blob))
+    if blob[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg
+        return decode_jpeg(bytes(blob))
+    if blob[:4] == b"RIFF" and blob[12:16] == b"VP8L":
+        # lossless WebP only — lossy VP8/VP8X RIFF payloads fall
+        # through to the Pillow path below
+        from ..functions.webp import decode_webp
+        return decode_webp(bytes(blob))
+    if use_pil:  # pragma: no cover
+        import io
+
+        import PIL.Image
+        try:
+            return np.asarray(
+                PIL.Image.open(io.BytesIO(bytes(blob))).convert("RGB"))
+        except Exception:
+            return None
+    return None
+
+
 def decode_images_real(df: DataFrame, carry: tuple = ()) -> DataFrame:
     """Real codec path over Arrow batches: BMP, PNG, baseline JPEG
     and WebP-lossless blobs decode with the built-in numpy codecs
@@ -347,30 +378,7 @@ def decode_images_real(df: DataFrame, carry: tuple = ()) -> DataFrame:
                 out["fmt"].append(fmt)
                 out["payload_len"].append(
                     len(blob) if blob is not None else 0)
-                px = None
-                if blob is not None and blob[:2] == b"BM":
-                    px = decode_bmp(bytes(blob))
-                elif blob is not None and blob[:8] == PNG_SIG:
-                    px = decode_png(bytes(blob))
-                elif blob is not None and blob[:2] == b"\xff\xd8":
-                    from ..functions.jpeg import decode_jpeg
-                    px = decode_jpeg(bytes(blob))
-                elif (blob is not None and blob[:4] == b"RIFF"
-                        and blob[12:16] == b"VP8L"):
-                    # lossless WebP only — lossy VP8/VP8X RIFF payloads
-                    # fall through to the Pillow path below
-                    from ..functions.webp import decode_webp
-                    px = decode_webp(bytes(blob))
-                elif blob is not None and use_pil:  # pragma: no cover
-                    import io
-
-                    import PIL.Image
-                    try:
-                        px = np.asarray(
-                            PIL.Image.open(io.BytesIO(bytes(blob)))
-                            .convert("RGB"))
-                    except Exception:
-                        px = None
+                px = decode_blob(blob, use_pil=use_pil)
                 if px is None:
                     out["header_ok"].append(False)
                     out["decoded_w"].append(0)
@@ -390,6 +398,100 @@ def decode_images_real(df: DataFrame, carry: tuple = ()) -> DataFrame:
 
     return df.select("image_id", "fmt", "bytes", *carry).mapInPandas(
         run, schema=_carry_schema(df, carry))
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (type-II, norm='ortho')."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    i = np.arange(n, dtype=np.float64)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] *= np.sqrt(0.5)
+    return m
+
+
+def dct_phash(px: np.ndarray) -> int:
+    """63-bit DCT perceptual hash of an (h, w, 3) uint8 image — the
+    derivation contract for the north-star table's ``phash`` column
+    (BASELINE.json input_hint: phash:int64).
+
+    Spec (deterministic, documented so independent implementations
+    agree bit-for-bit): Rec.601 grayscale -> nearest-neighbor sample
+    to 32x32 (index ``floor(i*dim/32)``) -> orthonormal 2-D DCT-II ->
+    top-left 8x8 coefficient block, DC dropped (63 coefficients) ->
+    bit j (row-major) set iff coef_j > median(coefs).  Only bits 0..62
+    are used, so the result is always a non-negative int64 — it can
+    live in the table's ``phash >= 0`` schema unchanged."""
+    global _DCT32
+    if _DCT32 is None:
+        _DCT32 = _dct_matrix(32)
+    g = (px[..., 0] * 0.299 + px[..., 1] * 0.587
+         + px[..., 2] * 0.114).astype(np.float64)
+    h, w = g.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    s = g[np.ix_(ys, xs)]
+    coefs = (_DCT32 @ s @ _DCT32.T)[:8, :8].ravel()[1:]
+    med = np.median(coefs)
+    bits = coefs > med
+    out = 0
+    for j in np.nonzero(bits)[0]:
+        out |= 1 << int(j)
+    return out
+
+
+def phash_integrity_check(df: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Verify the stored ``phash`` column against the perceptual hash
+    RECOMPUTED from decoded pixels — the cross-column integrity check
+    that ties the codec tier to the table's phash metadata (a corrupt
+    or stale phash silently breaks every phash-keyed dedup downstream,
+    so a 100 TB ingest validates it like any other constraint).
+
+    One joinless mapInPandas pass: decode blob (built-in codecs),
+    :func:`dct_phash` the pixels, hamming vs the stored value via int
+    xor bit_count.  Output per row: decode_ok, stored vs computed
+    phash, hamming (NULL when undecodable or stored phash is NULL).
+    Callers assert ``hamming == 0`` for lossless formats or
+    ``hamming <= t`` for lossy re-encodes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_pil = _codec_available()
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "fmt", "decode_ok",
+                                   "stored_phash", "computed_phash",
+                                   "hamming")}
+            for image_id, fmt, blob, stored in zip(
+                    pdf["image_id"], pdf["fmt"], pdf["bytes"],
+                    pdf["phash"]):
+                out["image_id"].append(image_id)
+                out["fmt"].append(fmt)
+                stored_i = None if pd.isna(stored) else int(stored)
+                out["stored_phash"].append(stored_i)
+                px = decode_blob(blob, use_pil=use_pil)
+                if px is None:
+                    out["decode_ok"].append(False)
+                    out["computed_phash"].append(None)
+                    out["hamming"].append(None)
+                    continue
+                comp = dct_phash(px)
+                out["decode_ok"].append(True)
+                out["computed_phash"].append(comp)
+                out["hamming"].append(
+                    None if stored_i is None
+                    else int(bin(comp ^ stored_i).count("1")))
+            res = pd.DataFrame(out)
+            for c in carry:
+                res[c] = list(pdf[c])
+            yield res
+
+    extra = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in carry)
+    return df.select("image_id", "fmt", "bytes", "phash", *carry).mapInPandas(
+        run, schema="image_id string, fmt string, decode_ok boolean, "
+                    "stored_phash long, computed_phash long, hamming int"
+                    + extra)
 
 
 def psnr_check(df: DataFrame, min_psnr: float = 40.0) -> DataFrame:

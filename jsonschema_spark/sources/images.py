@@ -33,6 +33,7 @@ NULL_CAPTION_MOD = 200  # 0.5% null captions
 EMPTY_CAPTION_MOD = 500  # 0.2% empty captions
 LONG_CAPTION_MOD = 1000  # 0.1% over-long captions
 DUP_PHASH_MOD = 333     # 0.3% colliding phash
+NEAR_PHASH_MOD = 389    # ~0.5% NEAR-dup phash (hamming 1 / 3 vs prev row)
 TRUNC_BYTES_MOD = 1000  # 0.1% truncated payloads
 ORPHAN_LICENSE_MOD = 500  # 0.2% license_id absent from the dim
 
@@ -130,8 +131,24 @@ def images_df(spark: SparkSession, n_rows: int = 10_000,
                      F.repeat(F.lit("x"), 3000))
                .otherwise(_caption(idc)))
 
-    phash_src = F.when((idc % DUP_PHASH_MOD == 5) & (idc > 0), idc - 1).otherwise(idc)
-    phash = F.pmod(phash_src * F.lit(2654435761), F.lit(2 ** 61 - 1)).cast("long")
+    def _phash_base(j):
+        # exact-dup plant folded in: row j borrows row j-1's value
+        src = F.when((j % DUP_PHASH_MOD == 5) & (j > 0), j - 1).otherwise(j)
+        return F.pmod(src * F.lit(2654435761), F.lit(2 ** 61 - 1)).cast("long")
+
+    # NEAR-dup phash plant: flip 1 or 3 adjacent low-61 bits of the
+    # PREVIOUS row's base value (bit position id%58 keeps the flips
+    # inside 61 bits, so phash stays non-negative).  Remainders 9/97
+    # can't land on consecutive ids, so the flipped-against neighbor's
+    # value is always its own _phash_base.
+    near_bit = "cast(pmod(id, 58) as int)"
+    phash = (F.when((idc % NEAR_PHASH_MOD == 9) & (idc > 0),
+                    _phash_base(idc - 1)
+                    .bitwiseXOR(F.expr(f"shiftleft(1L, {near_bit})")))
+             .when((idc % NEAR_PHASH_MOD == 97) & (idc > 0),
+                   _phash_base(idc - 1)
+                   .bitwiseXOR(F.expr(f"shiftleft(7L, {near_bit})")))
+             .otherwise(_phash_base(idc)))
 
     payload = _payload(idc, F.greatest(w, F.lit(1)), F.greatest(h, F.lit(1)), fmt)
     payload = F.when(idc % TRUNC_BYTES_MOD == 41,
@@ -227,6 +244,56 @@ def bmp_images_df(spark: SparkSession, n_rows: int = 2_000,
                 out["fmt"].append("bmp")
                 out["caption"].append(f"real bmp {i}")
                 out["phash"].append(i * 2654435761 % (1 << 62))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen, schema="id long, image_id string, bytes binary, w int, "
+                    "h int, fmt string, caption string, phash long")
+
+
+def phash_images_df(spark: SparkSession, n_rows: int = 2_000,
+                    partitions: int = 8, size: int = 16) -> DataFrame:
+    """Images whose ``phash`` column is the REAL perceptual hash of the
+    payload pixels (operators/multimodal.dct_phash over the decodable
+    BMP blob), with integrity violations planted at known rates:
+
+    - id % 251 == 0: payload truncated mid-body -> decode fails, the
+      stored phash is unverifiable;
+    - id % 211 == 0 (and decodable): stored phash corrupted by two bit
+      flips (bits 3 and 47) -> hamming 2 mismatch;
+    - everything else: stored phash == recomputed phash exactly (BMP is
+      lossless, so decode is bit-exact).
+
+    The integrity checker (phash_integrity_check) must find exactly the
+    planted damage and nothing else."""
+    import pandas as pd
+
+    from ..operators.multimodal import dct_phash, encode_bmp, expected_pixels
+
+    base = spark.range(n_rows).repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"id": [], "image_id": [], "bytes": [], "w": [],
+                   "h": [], "fmt": [], "caption": [], "phash": []}
+            for i in pdf["id"]:
+                i = int(i)
+                out["id"].append(i)
+                image_id = f"ph_{i:012x}"
+                px = expected_pixels(image_id, size, size)
+                blob = encode_bmp(px)
+                ph = dct_phash(px)
+                if i % 251 == 0:
+                    blob = blob[:54 + len(blob) // 3]
+                elif i % 211 == 0:
+                    ph ^= (1 << 3) | (1 << 47)
+                out["image_id"].append(image_id)
+                out["bytes"].append(blob)
+                out["w"].append(size)
+                out["h"].append(size)
+                out["fmt"].append("bmp")
+                out["caption"].append(f"phash fixture {i}")
+                out["phash"].append(ph)
             yield pd.DataFrame(out)
 
     return base.mapInPandas(

@@ -733,3 +733,79 @@ def test_jpeg_chroma_subsampling_420():
     assert blob[off + 11] == 0x22 and blob[off + 14] == 0x11
     # 4:2:0 beats 4:4:4 on size for smooth content
     assert len(blob) < len(encode_jpeg(grad[:33, :33], 95))
+
+
+# ------------------------------------------------- phash image near-dup ---
+
+def test_dct_phash_spec_properties():
+    """63-bit, non-negative, lossless-roundtrip-stable, sensitive to
+    visible change, insensitive to its own recomputation."""
+    from jsonschema_spark.operators.multimodal import (dct_phash, decode_bmp,
+                                                       encode_bmp,
+                                                       expected_pixels)
+    px = expected_pixels("img_a", 16, 16)
+    p = dct_phash(px)
+    assert 0 <= p < (1 << 63)
+    assert dct_phash(px) == p
+    assert dct_phash(decode_bmp(encode_bmp(px))) == p  # lossless roundtrip
+    inv = 255 - px
+    assert dct_phash(inv) != p
+    # exactly the 63 AC coefficients vote; median split keeps popcount
+    # near half
+    assert 20 <= bin(p).count("1") <= 43
+
+
+def test_phash_near_duplicates_vs_bruteforce(spark):
+    """Banded+chunk-salted pairs == driver brute force on the planted
+    north-star table (recall AND precision)."""
+    import itertools
+
+    from jsonschema_spark.operators.dedup import phash_near_duplicates
+    img = images_df(spark, 3000)
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in phash_near_duplicates(img, "image_id", "phash",
+                                          max_hamming=3).collect()}
+    rows = img.select("image_id", "phash").collect()
+    bf = {}
+    for a, b in itertools.combinations(rows, 2):
+        if a.image_id == b.image_id:
+            continue
+        h = bin(a.phash ^ b.phash).count("1")
+        if h <= 3:
+            k = (min(a.image_id, b.image_id), max(a.image_id, b.image_id))
+            bf[k] = min(bf.get(k, 99), h)
+    assert got == {(a, b, h) for (a, b), h in bf.items()}
+    assert got, "planted near-dups must produce pairs"
+    assert {h for (_, _, h) in got} >= {0, 1, 3}  # all planted classes
+
+
+def test_packed_hamming_pigeonhole_guard(spark):
+    """max_hamming >= n_bands silently loses recall — the validation
+    path (phash) demands the guarantee and must refuse; the LSH path
+    (simhash) may trade recall deliberately and must not."""
+    from jsonschema_spark.operators.dedup import packed_hamming_pairs
+    sigs = spark.createDataFrame([("a", 1)], "_id string, _sh long")
+    with pytest.raises(AssertionError):
+        packed_hamming_pairs(sigs, bits=64, max_hamming=4, band_bits=16,
+                             require_full_recall=True)
+    # permissive mode builds the plan without complaint
+    packed_hamming_pairs(sigs, bits=64, max_hamming=4, band_bits=16)
+
+
+def test_phash_integrity_planted(spark):
+    """The recompute-from-pixels check finds exactly the planted
+    damage: id%251 truncation -> decode_fail, id%211 bit flips ->
+    hamming 2, everything else verifies at hamming 0."""
+    from jsonschema_spark.operators.multimodal import phash_integrity_check
+    from jsonschema_spark.sources.images import phash_images_df
+    n = 800
+    chk = phash_integrity_check(phash_images_df(spark, n)).collect()
+    by_id = {int(r.image_id.split("_")[1], 16): r for r in chk}
+    assert len(by_id) == n
+    for i, r in by_id.items():
+        if i % 251 == 0:
+            assert not r.decode_ok and r.hamming is None
+        elif i % 211 == 0:
+            assert r.decode_ok and r.hamming == 2
+        else:
+            assert r.decode_ok and r.hamming == 0, (i, r)
