@@ -415,6 +415,29 @@ def q_drift_ks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ks double, l1 double, n_current bigint, n_baseline bigint")
 
 
+def q_drift_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-PARTITION drift — the north_star sentence verbatim
+    ("distribution-drift checks comparing per-partition histograms/KS
+    statistics against a baseline snapshot"): each o_orderstatus
+    partition's o_totalprice histogram scored against the whole-table
+    baseline with KS, L1, chi-square and smoothed PSI, computed fully
+    distributed (operators/drift.partitioned_drift: one shuffle + one
+    tiny window per partition, no driver loop — 100k partitions cost
+    the same plan).  The DuckDB oracle reproduces every statistic from
+    the same dense (part x bucket) grid with window CDFs."""
+    from jsonschema_spark.operators.drift import histogram, partitioned_drift
+    o = _t(spark, sf_dir, "orders")
+    base = histogram(o, "o_totalprice", 0.0, 500000.0, 32)
+    d = partitioned_drift(o, "o_orderstatus", "o_totalprice",
+                          0.0, 500000.0, 32, base)
+    return (d.select("part", "n_rows",
+                     F.round("ks", 6).alias("ks"),
+                     F.round("l1", 6).alias("l1"),
+                     F.round("chi2", 4).alias("chi2"),
+                     F.round("psi", 6).alias("psi"))
+            .orderBy("part"))
+
+
 def q_formats_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """format keyword (email/uuid/date) over deterministically
     synthesized strings with planted violations."""
@@ -1020,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_keywords_lineitem": q_array_keywords_lineitem,
         "quantiles_orders": q_quantiles_orders,
         "drift_ks_orders": q_drift_ks_orders,
+        "drift_partitioned": q_drift_partitioned,
         "formats_customer": q_formats_customer,
         "text_quality": q_text_quality,
         "embeddings_topk": q_embeddings_topk,
@@ -1341,6 +1365,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.tc AS BIGINT) AS n_current,
                    CAST(t.tb AS BIGINT) AS n_baseline
             FROM c, t GROUP BY t.tc, t.tb
+        """,
+        "drift_partitioned": """
+            -- per-partition drift vs whole-table baseline over a DENSE
+            -- (part x bucket) grid: KS from window CDFs, L1/chi2/PSI
+            -- from per-bucket proportions — mirrors
+            -- operators/drift.partitioned_drift exactly
+            WITH cur AS (
+              SELECT o_orderstatus AS part,
+                     least(greatest(CAST(floor(o_totalprice / 15625.0)
+                                         AS BIGINT), 0), 31) AS bucket,
+                     count(*) AS n_cur
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+              GROUP BY 1, 2),
+            base AS (
+              SELECT least(greatest(CAST(floor(o_totalprice / 15625.0)
+                                         AS BIGINT), 0), 31) AS bucket,
+                     count(*) AS n_base
+              FROM orders WHERE o_totalprice IS NOT NULL
+              GROUP BY 1),
+            grid AS (
+              SELECT p.part, g.bucket
+              FROM (SELECT DISTINCT part FROM cur) p
+              CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bucket) g),
+            j AS (
+              SELECT grid.part, grid.bucket,
+                     coalesce(cur.n_cur, 0) AS n_cur,
+                     coalesce(base.n_base, 0) AS n_base
+              FROM grid
+              LEFT JOIN base ON base.bucket = grid.bucket
+              LEFT JOIN cur ON cur.part = grid.part
+                           AND cur.bucket = grid.bucket),
+            s AS (
+              SELECT part, bucket, n_cur, n_base,
+                     sum(n_cur) OVER (PARTITION BY part) AS tot_c,
+                     sum(n_base) OVER (PARTITION BY part) AS tot_b,
+                     sum(n_cur) OVER (PARTITION BY part ORDER BY bucket)
+                       AS cum_c,
+                     sum(n_base) OVER (PARTITION BY part ORDER BY bucket)
+                       AS cum_b
+              FROM j)
+            SELECT part,
+                   CAST(max(tot_c) AS BIGINT) AS n_rows,
+                   round(max(abs(cum_c * 1.0 / tot_c
+                                 - cum_b * 1.0 / tot_b)), 6) AS ks,
+                   round(sum(abs(n_cur * 1.0 / tot_c
+                                 - n_base * 1.0 / tot_b)) / 2, 6) AS l1,
+                   round(sum(CASE WHEN n_base > 0
+                             THEN power(n_cur - n_base * 1.0 / tot_b * tot_c,
+                                        2)
+                                  / (n_base * 1.0 / tot_b * tot_c)
+                             ELSE 0 END), 4) AS chi2,
+                   round(sum(((n_cur + 1.0) / (tot_c + 32)
+                              - (n_base + 1.0) / (tot_b + 32))
+                             * ln(((n_cur + 1.0) / (tot_c + 32))
+                                  / ((n_base + 1.0) / (tot_b + 32)))), 6)
+                     AS psi
+            FROM s GROUP BY part ORDER BY part
         """,
         "formats_customer": _FORMATS_ORACLE,
         "text_quality": r"""

@@ -141,3 +141,73 @@ def drift_violations(current: DataFrame, baseline: DataFrame, col: str,
     schema = ("keyword string, json_path string, schema_path string, "
               "message string, failing_value string")
     return spark.createDataFrame(rows, schema)
+
+
+def partitioned_drift(df: DataFrame, part_col: str, col: str,
+                      lo: float, hi: float, bins: int,
+                      baseline: DataFrame) -> DataFrame:
+    """Per-partition drift vs ONE baseline histogram — the north-star
+    shape verbatim (BASELINE.json north_star: "distribution-drift
+    checks comparing per-partition histograms/KS statistics against a
+    baseline snapshot"), computed fully DISTRIBUTED: no driver-side
+    per-partition loop, so 100k partitions cost one shuffle + one
+    window, not 100k jobs.
+
+    Plan: one groupBy(part, bucket) count (the only wide shuffle over
+    the data) -> dense (part x bucket) grid from a codegen'd sequence
+    explode -> broadcast-joined baseline counts -> within-partition
+    cumulative sums (window over bucket) -> per-partition aggregates:
+
+    - ks:   max |CDF_cur - CDF_base|
+    - l1:   total-variation distance, sum|p_cur - p_base| / 2
+    - chi2: sum (n_cur - E)^2 / E over buckets with baseline mass
+    - psi:  population stability index with add-one (Laplace)
+            smoothing on both sides so empty buckets stay finite:
+            sum (pc' - pb') * ln(pc'/pb'), p' = (n+1)/(tot+bins)
+
+    `baseline` is a (bucket, n) histogram built with the SAME
+    `bucket_expr` bounds (e.g. `histogram(...)` of the snapshot).
+    Rows of `df` with NULL `part_col`/`col` are excluded, matching the
+    table-scope `drift_statistics`.  Every expression is native (the
+    windows are tiny: `bins` rows per partition), so a SQL engine can
+    reproduce the numbers bit-for-bit — see the `drift_partitioned`
+    driver oracle."""
+    from pyspark.sql import Window
+
+    cur = (df.filter(F.col(col).isNotNull() & F.col(part_col).isNotNull())
+           .groupBy(F.col(part_col).alias("part"),
+                    bucket_expr(col, lo, hi, bins).alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n_cur")))
+    parts = cur.select("part").distinct()
+    grid = parts.select(
+        "part", F.explode(F.sequence(F.lit(0), F.lit(bins - 1)))
+        .alias("bucket"))
+    base = baseline.select(F.col("bucket").cast("long").alias("bucket"),
+                           F.col("n").cast("long").alias("n_base"))
+    j = (grid.join(F.broadcast(base), "bucket", "left")
+         .join(cur, ["part", "bucket"], "left")
+         .fillna(0, ["n_cur", "n_base"]))
+    by_part = Window.partitionBy("part")
+    cum = (Window.partitionBy("part").orderBy("bucket")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    tot_c = F.sum("n_cur").over(by_part)
+    tot_b = F.sum("n_base").over(by_part)
+    pc, pb = F.col("n_cur") / tot_c, F.col("n_base") / tot_b
+    pcs = (F.col("n_cur") + 1) / (tot_c + bins)
+    pbs = (F.col("n_base") + 1) / (tot_b + bins)
+    expected = pb * tot_c
+    scored = j.select(
+        "part", "n_cur", "n_base",
+        (F.abs(F.sum("n_cur").over(cum) / tot_c
+               - F.sum("n_base").over(cum) / tot_b)).alias("_ks_term"),
+        F.abs(pc - pb).alias("_l1_term"),
+        F.when(expected > 0,
+               F.pow(F.col("n_cur") - expected, F.lit(2.0)) / expected)
+        .otherwise(F.lit(0.0)).alias("_chi2_term"),
+        ((pcs - pbs) * F.log(pcs / pbs)).alias("_psi_term"))
+    return (scored.groupBy("part")
+            .agg(F.sum("n_cur").alias("n_rows"),
+                 F.max("_ks_term").alias("ks"),
+                 (F.sum("_l1_term") / 2.0).alias("l1"),
+                 F.sum("_chi2_term").alias("chi2"),
+                 F.sum("_psi_term").alias("psi")))

@@ -38,3 +38,35 @@ def test_shifted_distribution_flags_drift(spark, tmp_path):
                                max_ks=0.05)
     rows = {r["keyword"] for r in v.collect()}
     assert "drift:ks" in rows
+
+
+def test_partitioned_drift_matches_per_partition_reference(spark):
+    """The distributed per-partition scorer agrees with the driver-side
+    drift_statistics run partition-by-partition, and a planted shifted
+    partition stands out on every statistic."""
+    from jsonschema_spark.operators.drift import partitioned_drift
+    img = images_df(spark, 12_000, with_id=True)
+    # plant one drifted partition: ids ending 0-2 keep w, 3 gets w*3
+    part = (F.col("id") % 4).cast("string")
+    df = img.select(
+        part.alias("grp"),
+        F.when(F.col("id") % 4 == 3, F.col("w") * 3)
+        .otherwise(F.col("w")).alias("w"))
+    base = histogram(df.filter(F.col("grp") != "3"), "w", 0.0, 4096.0, 16)
+    out = {r.part: r for r in
+           partitioned_drift(df, "grp", "w", 0.0, 4096.0, 16,
+                             base).collect()}
+    assert set(out) == {"0", "1", "2", "3"}
+    # distributed numbers == driver-side reference, partition by partition
+    for g in out:
+        cur = histogram(df.filter(F.col("grp") == g), "w", 0.0, 4096.0, 16)
+        ref = drift_statistics(cur, base)
+        assert abs(out[g].ks - ref["ks"]) < 1e-9
+        assert abs(out[g].l1 - ref["l1"]) < 1e-9
+        assert abs(out[g].chi2 - ref["chi2"]) < 1e-6
+        assert out[g].n_rows == ref["n_current"]
+    # the planted partition dominates every statistic
+    for stat in ("ks", "l1", "chi2", "psi"):
+        vals = {g: getattr(out[g], stat) for g in out}
+        assert max(vals, key=vals.get) == "3", (stat, vals)
+    assert out["3"].ks > 0.15 and out["0"].ks < 0.05
