@@ -188,6 +188,32 @@ def main() -> None:
         "`bytes` pruned",
         caption_check(img_id, reference_caption(F.col("id")))))
 
+    # 14. phash near-dup: narrow (id, phash) projection, bounded
+    # band-bucket join, hamming inside the join condition
+    from jsonschema_spark.operators.dedup import phash_near_duplicates
+    cases.append((
+        "phash_near_duplicates",
+        "banded 64-bit hamming over the STORED phash column: the scan "
+        "projects only (image_id, phash) — `bytes`/caption pruned — "
+        "bands are codegen'd shift/mask extractions, the bucket "
+        "histogram broadcasts, and the final distance is "
+        "bit_count(xor) evaluated INSIDE the join condition, so "
+        "non-qualifying pairs never materialize rows",
+        phash_near_duplicates(img, "image_id", "phash")))
+
+    # 15. per-partition drift: one data shuffle + tiny windows
+    from jsonschema_spark.operators.drift import histogram, partitioned_drift
+    base_hist = histogram(img, "w", 0.0, 4096.0, 16)
+    cases.append((
+        "partitioned_drift",
+        "per-partition KS/L1/chi2/PSI vs baseline: the ONLY wide "
+        "shuffle over data is groupBy(part, bucket); the dense grid "
+        "is a sequence explode over the distinct parts, the baseline "
+        "joins as a BROADCAST, and each window runs over bins rows "
+        "per partition — per-partition cost is O(bins), independent "
+        "of table size",
+        partitioned_drift(img, "fmt", "w", 0.0, 4096.0, 16, base_hist)))
+
     lines = [
         "# PLANS.md — physical-plan audit",
         "",
