@@ -172,12 +172,23 @@ def partitioned_drift(df: DataFrame, part_col: str, col: str,
     windows are tiny: `bins` rows per partition), so a SQL engine can
     reproduce the numbers bit-for-bit — see the `drift_partitioned`
     driver oracle."""
-    from pyspark.sql import Window
-
     cur = (df.filter(F.col(col).isNotNull() & F.col(part_col).isNotNull())
            .groupBy(F.col(part_col).alias("part"),
                     bucket_expr(col, lo, hi, bins).alias("bucket"))
            .agg(F.count(F.lit(1)).alias("n_cur")))
+    return score_histograms(cur, bins, baseline)
+
+
+def score_histograms(cur: DataFrame, bins: int,
+                     baseline: DataFrame) -> DataFrame:
+    """Score pre-aggregated per-partition histograms ``(part, bucket,
+    n_cur)`` against one baseline ``(bucket, n)`` histogram — the
+    shared scoring core of :func:`partitioned_drift` and the streaming
+    windowed-drift path (where the histogram aggregation already
+    happened under a watermark and each finalized window is a
+    partition)."""
+    from pyspark.sql import Window
+
     parts = cur.select("part").distinct()
     grid = parts.select(
         "part", F.explode(F.sequence(F.lit(0), F.lit(bins - 1)))

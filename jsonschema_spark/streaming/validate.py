@@ -120,3 +120,69 @@ def run_validation_stream(stream_df: DataFrame, schema: Any,
                     os.path.join(out_dir, "_ckpt_manifest"))
             .outputMode("append").trigger(**trig).start())
     return queries
+
+
+def windowed_histogram(stream_df: DataFrame, ts_col: str, col: str,
+                       lo: float, hi: float, bins: int,
+                       window: str = "1 minute",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming per-event-time-window histogram of ``col`` — ONE
+    watermark-bounded stateful aggregation (append-mode safe: a
+    window's (bucket, n) rows emit exactly once, when the watermark
+    passes its end).  Output: (window_start, window_end, bucket, n)."""
+    from ..operators.drift import bucket_expr
+    stream_df = _ensure_event_time(stream_df, ts_col)
+    return (stream_df
+            .filter(F.col(col).isNotNull())
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("window"),
+                     bucket_expr(col, lo, hi, bins).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "bucket", "n"))
+
+
+def drift_stream(stream_df: DataFrame, ts_col: str, col: str,
+                 lo: float, hi: float, bins: int,
+                 baseline: DataFrame, out_dir: str,
+                 window: str = "1 minute",
+                 watermark: str = "10 minutes",
+                 available_now: bool = True):
+    """Streaming distribution-drift vs a baseline snapshot — the
+    north-star drift check on unbounded input.
+
+    Two-tier shape (streaming-legal: chaining a window+CDF over a
+    streaming aggregate is not, so the scoring runs per sink batch):
+    the watermarked :func:`windowed_histogram` aggregation emits each
+    window's finalized histogram exactly once; ``foreachBatch`` then
+    scores those tiny (bins-row) histograms against the broadcast
+    baseline with the SAME :func:`..operators.drift.score_histograms`
+    core the batch path uses (KS/L1/chi2/PSI per window) and appends
+    them to ``out_dir`` parquet.  Because every window arrives in
+    exactly one batch, scores are per-window exact — identical to
+    running :func:`..operators.drift.partitioned_drift` on the same
+    rows in batch (asserted in tests).  Checkpointed: exactly-once,
+    resumable."""
+    from ..operators.drift import score_histograms
+
+    hist = windowed_histogram(stream_df, ts_col, col, lo, hi, bins,
+                              window, watermark)
+
+    def score(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        cur = batch.select(
+            F.col("window_start").cast("string").alias("part"),
+            "bucket", F.col("n").alias("n_cur"))
+        (score_histograms(cur, bins, baseline)
+         .write.mode("append").parquet(os.path.join(out_dir, "drift")))
+
+    trig = {"availableNow": True} if available_now else \
+           {"processingTime": "10 seconds"}
+    return (hist.writeStream.outputMode("append")
+            .foreachBatch(score)
+            .option("checkpointLocation",
+                    os.path.join(out_dir, "_checkpoint_drift"))
+            .trigger(**trig)
+            .start())

@@ -183,3 +183,43 @@ def test_streaming_images_validation_matches_batch(spark, tmp_path):
     q2.awaitTermination(120)
     deduped = spark.read.parquet(out2)
     assert deduped.count() == batch.select("image_id").distinct().count()
+
+
+def test_streaming_drift_matches_batch_per_window(spark, events_stream,
+                                                  tmp_path):
+    """Streaming windowed drift (watermarked histogram + foreachBatch
+    scoring) produces the SAME per-window KS/L1/chi2/PSI as the batch
+    partitioned_drift over identical rows — window finalization under
+    availableNow emits each window exactly once."""
+    from jsonschema_spark.operators.drift import (histogram,
+                                                  partitioned_drift)
+    from jsonschema_spark.streaming.validate import drift_stream
+    stream, batch = events_stream
+    ts = "ts"
+    col, lo, hi, bins = "value", 0.0, 400.0, 16
+    base = histogram(batch, col, lo, hi, bins)
+
+    out = str(tmp_path / "drift_out")
+    q = drift_stream(stream, ts, col, lo, hi, bins, base, out,
+                     window="1 day", watermark="0 seconds")
+    _drain(q)
+
+    got = {r.part: r for r in
+           spark.read.parquet(f"{out}/drift").collect()}
+    assert got, "streaming drift produced no windows"
+
+    from jsonschema_spark.streaming.validate import _ensure_event_time
+    b = _ensure_event_time(batch, ts)
+    exp_df = partitioned_drift(
+        b.withColumn("_w", F.window(F.col(ts), "1 day")["start"]
+                     .cast("string")),
+        "_w", col, lo, hi, bins, base)
+    exp = {r.part: r for r in exp_df.collect()}
+    # availableNow + watermark: the LAST window may be held back by the
+    # final watermark; every emitted window must match batch exactly
+    assert set(got) >= set(list(exp)[:-1]) or set(got) == set(exp)
+    for w, r in got.items():
+        e = exp[w]
+        assert r.n_rows == e.n_rows
+        for stat in ("ks", "l1", "chi2", "psi"):
+            assert abs(getattr(r, stat) - getattr(e, stat)) < 1e-9, (w, stat)
