@@ -382,12 +382,27 @@ def packed_hamming_pairs(sigs: DataFrame, bits: int = 64,
         F.explode(F.array(*bucket_exprs)).alias("_bb")
     ).select("_id", "_sh", "_bb._band", "_bb._bucket")
     a, b = chunked_bucket_pairs(banded, ["_band", "_bucket"], chunk_size)
-    ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
-    pairs = (a.join(b, ["_band", "_bucket", "_chunk"])
-             .filter(F.col("a._id") < F.col("b._id"))
+    xor = F.col("a._sh").bitwiseXOR(F.col("b._sh"))
+    ham = F.bit_count(xor)
+    # a colliding pair matches in EVERY shared band — emit it only in
+    # the FIRST one (lowest zero xor-band, a codegen'd when-chain
+    # inside the join condition), so join output is ~n_bands x smaller
+    # before the dedup shuffle and per-pair work happens once
+    first_band = F.lit(None).cast("int")
+    for bb in range(n_bands - 1, -1, -1):
+        nib = (F.shiftrightunsigned(xor, bb * band_bits)
+               .bitwiseAND(F.lit(mask)))
+        first_band = F.when(nib == 0, F.lit(bb)).otherwise(first_band)
+    pairs = (a.join(b, (F.col("a._band") == F.col("b._band"))
+                    & (F.col("a._bucket") == F.col("b._bucket"))
+                    & (F.col("a._chunk") == F.col("b._chunk"))
+                    & (F.col("a._id") < F.col("b._id"))
+                    & (F.col("a._band") == first_band))
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"),
                      ham.alias("hamming")))
+    # the remaining duplicates are DISTINCT input rows sharing an id
+    # (e.g. planted duplicate image_ids) — min-combine those
     return (pairs.filter(F.col("hamming") <= max_hamming)
             .groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming")))
 
