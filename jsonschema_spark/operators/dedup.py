@@ -150,9 +150,29 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
         .alias("_band", "_bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
+
+    # near-identical docs collide in MANY bands — emit each pair only
+    # in its FIRST slice-equal band (codegen'd when-chain of long
+    # equalities inside the join condition), so join output shrinks by
+    # the average collision multiplicity before the dedup shuffle.
+    # Slice equality (not band-hash equality) is the true semantic —
+    # a 2^-64 band-hash collision can no longer emit a spurious row.
+    def _band_eq(bb: int):
+        cond = None
+        for r in range(rows):
+            e = (F.element_at(F.col("a._sig"), bb * rows + r + 1)
+                 == F.element_at(F.col("b._sig"), bb * rows + r + 1))
+            cond = e if cond is None else cond & e
+        return cond
+
+    first_band = F.lit(None).cast("int")
+    for bb in range(bands - 1, -1, -1):
+        first_band = F.when(_band_eq(bb), F.lit(bb)).otherwise(first_band)
+
     pairs = (a.join(b, (F.col("a._band") == F.col("b._band"))
                     & (F.col("a._bucket") == F.col("b._bucket"))
-                    & (F.col("a._id") < F.col("b._id")))
+                    & (F.col("a._id") < F.col("b._id"))
+                    & (F.col("a._band") == first_band))
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"),
                      F.size(F.filter(
