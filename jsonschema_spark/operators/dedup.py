@@ -427,11 +427,107 @@ def packed_hamming_pairs(sigs: DataFrame, bits: int = 64,
             .groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming")))
 
 
+def enumerated_hamming_pairs(sigs: DataFrame, bits: int = 64,
+                             max_hamming: int = 3,
+                             chunk_size: int = 8192) -> DataFrame:
+    """Exact hamming-ball pairs over packed codes ``(_id, _sh long)``
+    via BIT-FLIP ENUMERATION on wide exact keys — the 10^9+-row
+    alternative to 16-bit banding (public algorithm: Manku, Jain &
+    Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07 §3).
+
+    Banding's keyspace is 2^band_bits = 65,536 buckets/band, so at
+    10^9+ rows the average bucket holds n/65,536 rows and bucket-local
+    work grows ~n^2/65,536 — chunk salting bounds task size but not
+    total work.  Enumeration instead splits the code into 2 blocks of
+    bits/2; a pair within hamming <= 3 has <= 1 differing bit in SOME
+    block (pigeonhole), so joining every row's block value against the
+    other rows' {identity + bits/2 single-bit variants} on the EXACT
+    32-bit block key gives a 2^32 keyspace — ~0.25 rows/bucket at 10^9
+    rows, no quadratic anywhere.  The price is a (bits/2 + 1)x probe-
+    side key expansion (28-byte key rows, codes only — never payloads),
+    the linear-shuffle trade the published design makes.
+
+    Each qualifying pair meets in both orientations per matching
+    (block, variant) event — ``_id`` ordering keeps one — and in up to
+    2 blocks; emitting only the FIRST block with <= 1 xor-bits (cheap
+    bit_count condition) makes events unique per input-row pair, with
+    the final groupBy min-combining distinct rows that share an id.
+    Residual key skew (a planted cluster of identical codes lands on
+    one identity key) is bounded by the same
+    :func:`chunked_bucket_pairs` salting as the banded path.
+    Requires ``max_hamming <= 3`` (the 2-block <= 1-flip regime;
+    larger balls need more blocks) and even ``bits``."""
+    assert max_hamming <= 3, "2-block single-flip enumeration covers h<=3"
+    assert bits % 2 == 0
+    half = bits // 2
+    lo_mask = (1 << half) - 1
+
+    def block_val(sh, blk: int):
+        v = F.shiftrightunsigned(sh, blk * half).bitwiseAND(F.lit(lo_mask))
+        return v
+
+    originals = sigs.select(
+        "_id", "_sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(blk).alias("_blk"),
+                     block_val(F.col("_sh"), blk).alias("_key"))
+            for blk in range(2)])).alias("_bk")
+    ).select("_id", "_sh", "_bk._blk", "_bk._key")
+
+    variants = sigs.select(
+        "_id", "_sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(blk).alias("_blk"),
+                     block_val(F.col("_sh"), blk)
+                     .bitwiseXOR(F.lit(flip)).alias("_key"))
+            for blk in range(2)
+            for flip in [0] + [1 << j for j in range(half)]]))
+        .alias("_bk")
+    ).select("_id", "_sh", "_bk._blk", "_bk._key")
+
+    # bound residual identity-key skew (clusters of identical codes on
+    # one key): unlike the banded path, the (block, key) histogram here
+    # spans a 2^32 keyspace, so only the HOT keys (count > chunk_size —
+    # rare by construction) are broadcast; everything else defaults to
+    # one chunk via the left join's coalesce
+    hot = (originals.groupBy("_blk", "_key")
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > chunk_size)
+           .select("_blk", "_key",
+                   F.ceil(F.col("_n") / chunk_size).cast("int")
+                   .alias("_nc")))
+    nc = F.coalesce(F.col("_nc"), F.lit(1))
+    a = (originals.join(F.broadcast(hot), ["_blk", "_key"], "left")
+         .withColumn("_chunk", F.explode(F.sequence(F.lit(0), nc - 1)))
+         .drop("_nc").alias("a"))
+    b = (variants.join(F.broadcast(hot), ["_blk", "_key"], "left")
+         .withColumn("_chunk", F.pmod(F.xxhash64("_id", F.lit(97)), nc)
+                     .cast("int"))
+         .drop("_nc").alias("b"))
+
+    xor = F.col("a._sh").bitwiseXOR(F.col("b._sh"))
+    first_blk = F.when(
+        F.bit_count(xor.bitwiseAND(F.lit(lo_mask))) <= 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    pairs = (a.join(b, (F.col("a._blk") == F.col("b._blk"))
+                    & (F.col("a._key") == F.col("b._key"))
+                    & (F.col("a._chunk") == F.col("b._chunk"))
+                    & (F.col("a._id") < F.col("b._id"))
+                    & (F.col("a._blk") == first_blk)
+                    & (F.bit_count(xor) <= max_hamming))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.bit_count(xor).alias("hamming")))
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.min("hamming").alias("hamming")))
+
+
 def phash_near_duplicates(df: DataFrame, id_col: str = "image_id",
                           phash_col: str = "phash",
                           max_hamming: int = 3,
                           band_bits: int = 16,
-                          chunk_size: int = 8192) -> DataFrame:
+                          chunk_size: int = 8192,
+                          strategy: str = "banded") -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash hamming distance
     over the north-star table's ``phash:int64`` column (BASELINE.json
     input_hint; the reference analogue is a uniqueItems-style pairwise
@@ -439,14 +535,30 @@ def phash_near_duplicates(df: DataFrame, id_col: str = "image_id",
     equality to a hamming ball, the standard near-dup-image screen).
 
     No signature computation: the stored 64-bit phash IS the packed
-    code, so this is pure :func:`packed_hamming_pairs` — 4 bands x 16
-    bits guarantees full recall at hamming <= 3, bounded bucket joins,
-    everything codegen'd.  Rows with NULL phash never pair.  Output
-    ``(id_a, id_b, hamming)``; duplicate ids (same id on two rows)
-    contribute their min-hamming pair once."""
+    code.  Two exact (full recall AND precision) strategies:
+
+    - ``"banded"`` (default): :func:`packed_hamming_pairs` — 4 bands x
+      16 bits (pigeonhole-complete at hamming <= 3), bounded bucket
+      joins, everything codegen'd.  Right up to ~10^8 rows; beyond
+      that the 65,536-bucket/band keyspace makes bucket-local work
+      grow ~n^2/65,536.
+    - ``"enumerate"``: :func:`enumerated_hamming_pairs` — Manku-style
+      single-bit-flip enumeration on exact 32-bit block keys (2^32
+      keyspace, no quadratic buckets at any realistic n) for a 33x
+      probe-key expansion.  The 10^9+-row strategy.
+
+    Both return identical pair sets (asserted in tests).  Rows with
+    NULL phash never pair.  Output ``(id_a, id_b, hamming)``;
+    duplicate ids (same id on two rows) contribute their min-hamming
+    pair once."""
     sigs = (df.filter(F.col(phash_col).isNotNull())
             .select(F.col(id_col).alias("_id"),
                     F.col(phash_col).cast("long").alias("_sh")))
+    if strategy == "enumerate":
+        return enumerated_hamming_pairs(sigs, bits=64,
+                                        max_hamming=max_hamming,
+                                        chunk_size=chunk_size)
+    assert strategy == "banded", f"unknown strategy {strategy!r}"
     return packed_hamming_pairs(sigs, bits=64, max_hamming=max_hamming,
                                 band_bits=band_bits, chunk_size=chunk_size,
                                 require_full_recall=True)

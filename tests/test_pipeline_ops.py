@@ -809,3 +809,32 @@ def test_phash_integrity_planted(spark):
             assert r.decode_ok and r.hamming == 2
         else:
             assert r.decode_ok and r.hamming == 0, (i, r)
+
+
+def test_phash_enumerate_strategy_equals_banded(spark):
+    """Manku-style bit-flip enumeration (the 10^9-row strategy) returns
+    the exact same pair set as 16-bit banding, including under a
+    planted degenerate cluster of identical phashes where the hot
+    identity key must be chunk-salted (tight chunk_size)."""
+    from jsonschema_spark.operators.dedup import phash_near_duplicates
+    img = images_df(spark, 2500)
+    # degenerate cluster: 400 extra rows sharing ONE phash value
+    cluster = spark.range(400).selectExpr(
+        "format_string('clu_%012x', id) AS image_id",
+        "CAST(NULL AS BINARY) AS bytes", "16 AS w", "16 AS h",
+        "'png' AS fmt", "'c' AS caption", "CAST(123456789 AS LONG) AS phash")
+    df = img.select("image_id", "bytes", "w", "h", "fmt", "caption",
+                    "phash").unionByName(cluster)
+    banded = {(r.id_a, r.id_b, r.hamming)
+              for r in phash_near_duplicates(
+                  df, "image_id", "phash", strategy="banded").collect()}
+    enum_tight = {(r.id_a, r.id_b, r.hamming)
+                  for r in phash_near_duplicates(
+                      df, "image_id", "phash", strategy="enumerate",
+                      chunk_size=64).collect()}
+    assert banded == enum_tight
+    # the cluster contributes C(400,2) hamming-0 pairs
+    n_cluster = sum(1 for (a, b2, h) in banded
+                    if a.startswith("clu_") and b2.startswith("clu_")
+                    and h == 0)
+    assert n_cluster == 400 * 399 // 2
