@@ -340,7 +340,8 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
                        bits: int = 64, max_hamming: int = 3,
                        band_bits: int = 16,
                        chunk_size: int = 8192,
-                       cache_signatures: bool = True) -> DataFrame:
+                       cache_signatures: bool = True,
+                       strategy: str = "banded") -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, blocked by
     `bits/band_bits` bands so at least one band matches exactly when the
     distance is small (pigeonhole).  Band extraction and hamming are
@@ -356,11 +357,22 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
     sides; `cache_signatures` computes it once (measured ~25% faster
     at sf0.1) into a TRACKED cache released by
     :func:`clear_dedup_cache` — pass False for a fully cache-free
-    plan (the pipeline recomputes per subtree)."""
+    plan (the pipeline recomputes per subtree).
+
+    ``strategy="enumerate"`` (max_hamming <= 3 only) switches the pair
+    join to :func:`enumerated_hamming_pairs` — exact 32-bit block keys
+    instead of 16-bit bands, removing the 65,536-bucket quadratic
+    ceiling at 10^9+ rows for a 33x probe-key expansion (same pair
+    set, asserted in tests)."""
     sigs = simhash_packed_df(df, id_col, text_col, bits)
     if cache_signatures:
         sigs = sigs.cache()
         _DEDUP_PERSISTED.append(sigs)
+    if strategy == "enumerate":
+        return enumerated_hamming_pairs(sigs, bits=bits,
+                                        max_hamming=max_hamming,
+                                        chunk_size=chunk_size)
+    assert strategy == "banded", f"unknown strategy {strategy!r}"
     return packed_hamming_pairs(sigs, bits=bits, max_hamming=max_hamming,
                                 band_bits=band_bits, chunk_size=chunk_size)
 

@@ -838,3 +838,29 @@ def test_phash_enumerate_strategy_equals_banded(spark):
                     if a.startswith("clu_") and b2.startswith("clu_")
                     and h == 0)
     assert n_cluster == 400 * 399 // 2
+
+
+def test_enumerated_hamming_core_equals_banded_on_random_codes(spark):
+    """Direct core equality: enumerated (bit-flip) and banded pair
+    joins return identical (id, id, hamming) sets on random 64-bit
+    codes with planted hamming-1/2/3 neighbours, at every hamming
+    threshold the enumeration supports."""
+    from jsonschema_spark.operators.dedup import (enumerated_hamming_pairs,
+                                                  packed_hamming_pairs)
+    sigs = spark.range(4000).selectExpr(
+        "CAST(id AS STRING) AS _id",
+        # random base; ids 100-109 planted near id-1 at hamming id%3+1
+        """CASE
+             WHEN id BETWEEN 100 AND 109 THEN
+               xxhash64(id - 1, 42) ^ CAST(shiftleft(CAST(
+                 CASE id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 7 END
+               AS LONG), CAST(id % 50 AS INT)) AS LONG)
+             ELSE xxhash64(id, 42)
+           END AS _sh""")
+    for h in (1, 2, 3):
+        banded = {tuple(r) for r in packed_hamming_pairs(
+            sigs, max_hamming=h, require_full_recall=True).collect()}
+        enum = {tuple(r) for r in enumerated_hamming_pairs(
+            sigs, max_hamming=h).collect()}
+        assert banded == enum, h
+    assert banded, "planted neighbours must pair at h=3"
