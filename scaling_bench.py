@@ -35,6 +35,7 @@ import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 ROWS = int(os.environ.get("SCALING_ROWS", 32_000_000))
+PAIR_ROWS = int(os.environ.get("SCALING_PAIR_ROWS", 2_000_000))
 DATA = os.path.join("/tmp", f"scaling_images_{ROWS}")
 LEVELS = (8, 32)
 REPEATS = 4
@@ -114,6 +115,17 @@ def full_check_stored():
 def scan_validate():
     return v_disk.counts(img_disk)
 
+# near-dup pair scaling runs on its own (smaller) row count: the
+# enumerate strategy's 33x probe-key fan-out makes 32M rows a
+# multi-minute job; %(pair_rows)d rows exercises the identical plan
+PAIR_ROWS = %(pair_rows)d
+img_pairs = images_df(spark, PAIR_ROWS, partitions=cores * 8)
+
+def phash_neardup():
+    from jsonschema_spark.operators.dedup import phash_near_duplicates
+    return phash_near_duplicates(
+        img_pairs, "image_id", "phash", strategy="enumerate").count()
+
 def _steal():
     # hypervisor steal (jiffies): a run with thousands is the
     # NEIGHBOR's load, not this job's speed — see BENCH/BASELINE.md
@@ -126,7 +138,8 @@ out = {"cores": cores, "rows": rows}
 for name, fn in (("compute_validate", compute_validate),
                  ("full_check", full_check),
                  ("full_check_stored", full_check_stored),
-                 ("scan_validate", scan_validate)):
+                 ("scan_validate", scan_validate),
+                 ("phash_neardup", phash_neardup)):
     best = None
     steals = []
     for _ in range(%(repeats)d + 2):
@@ -138,15 +151,16 @@ for name, fn in (("compute_validate", compute_validate),
         best = dt if best is None else min(best, dt)
         if len(steals) >= %(repeats)d and min(steals) < 1500:
             break       # enough runs and one landed on a quiet slice
+    job_rows = PAIR_ROWS if name == "phash_neardup" else rows
     out[name] = {"seconds": round(best, 3),
-                 "rows_per_sec": round(rows / best),
+                 "rows_per_sec": round(job_rows / best),
                  "steal_jiffies": steals}
 print("RESULT " + json.dumps(out))
 spark.stop()
-""" % {"repo": REPO, "repeats": REPEATS}
+""" % {"repo": REPO, "repeats": REPEATS, "pair_rows": PAIR_ROWS}
 
 JOBS = ("compute_validate", "full_check", "full_check_stored",
-        "scan_validate")
+        "scan_validate", "phash_neardup")
 
 CAVEATS = {
     "compute_validate": "pure codegen, no I/O — the honest CPU proxy",
@@ -159,6 +173,10 @@ CAVEATS = {
     "scan_validate": "parquet scan; sandbox page cache capped ~6GB -> "
                      "bound by ONE shared virtual disk (no cluster "
                      "analogue: executor scan bandwidth scales with N)",
+    "phash_neardup": "banded-hamming near-dup pairs (enumerate "
+                     "strategy, 33x key fan-out, exact 32-bit block "
+                     "keys) over the stored phash column; own row "
+                     "count (see raw), shuffle on tmpfs",
 }
 
 
