@@ -11,7 +11,10 @@ dataset-scope checks that have no row-local JSON-Schema analogue::
         "drift": {"baseline": "<path>",
                   "numeric": {"w": [0.0, 16384.0, 32]},
                   "categorical": ["fmt"]},
-        "pixel_invariant": {"min_psnr": 40.0}
+        "pixel_invariant": {"min_psnr": 40.0},
+        "phash_integrity": {"max_hamming": 0},
+        "near_dup_phash": {"max_hamming": 3, "max_pairs": 0,
+                           "strategy": "banded"}
     }
 
 ``validate_dataset`` compiles the row-level keywords through the normal
@@ -90,6 +93,50 @@ def validate_dataset(df: DataFrame, schema: dict,
         from .operators.multimodal import psnr_check
         parts.append(pad(psnr_check(
             df, min_psnr=xs["pixel_invariant"].get("min_psnr", 40.0))))
+
+    if "phash_integrity" in xs:
+        # stored phash must equal (within max_hamming) the perceptual
+        # hash recomputed from decoded pixels; undecodable rows are the
+        # pixel_invariant's finding, not a phash mismatch
+        from .operators.multimodal import phash_integrity_check
+        cfg = xs["phash_integrity"] or {}
+        maxh = cfg.get("max_hamming", 0)
+        chk = phash_integrity_check(df)
+        bad = chk.filter(F.col("hamming") > maxh).select(
+            "image_id",
+            F.lit("phashIntegrity").alias("keyword"),
+            F.lit("$.phash").alias("json_path"),
+            F.lit("x-spark/phash_integrity").alias("schema_path"),
+            F.concat(F.lit("stored phash differs from recomputed "
+                           "pixel hash by "),
+                     F.col("hamming").cast("string"),
+                     F.lit(" bits")).alias("message"),
+            F.col("stored_phash").cast("string").alias("failing_value"))
+        parts.append(pad(bad))
+
+    if "near_dup_phash" in xs:
+        # dataset-level assertion: at most max_pairs near-duplicate
+        # images by phash hamming <= max_hamming (one aggregate
+        # violation row, mirroring the stats assertions)
+        from .operators.dedup import phash_near_duplicates
+        cfg = xs["near_dup_phash"] or {}
+        maxh = cfg.get("max_hamming", 3)
+        maxp = cfg.get("max_pairs", 0)
+        pairs = phash_near_duplicates(
+            df, "image_id", "phash", max_hamming=maxh,
+            strategy=cfg.get("strategy", "banded"))
+        agg = (pairs.agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > maxp)
+               .select(
+                   F.lit("nearDup:phash").alias("keyword"),
+                   F.lit("$.phash").alias("json_path"),
+                   F.lit("x-spark/near_dup_phash").alias("schema_path"),
+                   F.concat(F.col("_n").cast("string"),
+                            F.lit(f" near-duplicate image pairs at "
+                                  f"hamming <= {maxh} (allowed "
+                                  f"{maxp})")).alias("message"),
+                   F.col("_n").cast("string").alias("failing_value")))
+        parts.append(pad(agg))
 
     out = parts[0].select(*keep, *VIOLATION_COLS)
     for p in parts[1:]:

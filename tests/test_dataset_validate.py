@@ -40,3 +40,42 @@ def test_validate_dataset_missing_table_raises(spark):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "licenses" in str(e)
+
+
+def test_validate_dataset_phash_checks(spark):
+    """The two phash x-spark checks: integrity mismatches surface as
+    per-row phashIntegrity violations (planted two-bit flips), and the
+    near-dup budget emits one aggregate nearDup:phash row whose count
+    matches the operator."""
+    from jsonschema_spark.operators.dedup import phash_near_duplicates
+    from jsonschema_spark.sources.images import phash_images_df
+    n = 900
+    img = phash_images_df(spark, n).cache()
+    spec = {
+        "type": "object",
+        "properties": {"phash": {"type": "integer", "minimum": 0}},
+        "x-spark": {"phash_integrity": {"max_hamming": 0},
+                    "near_dup_phash": {"max_hamming": 3, "max_pairs": 0}},
+    }
+    v = validate_dataset(img, spec, ["image_id"]).cache()
+    integ = v.filter(F.col("keyword") == "phashIntegrity").collect()
+    planted = {i for i in range(n) if i % 211 == 0 and i % 251 != 0}
+    assert {int(r["image_id"].split("_")[1], 16) for r in integ} == planted
+    assert all("2 bits" in r["message"] for r in integ)
+    # distinct random images -> no near pairs -> budget 0 is satisfied
+    assert v.filter(F.col("keyword") == "nearDup:phash").count() == 0
+    # the north-star table PLANTS near-dup phashes -> budget 0 trips
+    planted_img = images_df(spark, 5_000).cache()
+    n_pairs = phash_near_duplicates(planted_img, "image_id",
+                                    "phash").count()
+    assert n_pairs > 0
+    spec2 = {"type": "object",
+             "x-spark": {"near_dup_phash": {"max_hamming": 3,
+                                            "max_pairs": 0}}}
+    near = (validate_dataset(planted_img, spec2, ["image_id"])
+            .filter(F.col("keyword") == "nearDup:phash").collect())
+    assert len(near) == 1 and near[0]["failing_value"] == str(n_pairs)
+    # a permissive budget silences the aggregate row
+    spec2["x-spark"]["near_dup_phash"]["max_pairs"] = n_pairs
+    v2 = validate_dataset(planted_img, spec2, ["image_id"])
+    assert v2.filter(F.col("keyword") == "nearDup:phash").count() == 0
