@@ -24,8 +24,12 @@ violation-rows DataFrame (same schema as ``CompiledValidator.violations``)
 
 Physical notes: the row pass is one narrow scan; each uniqueness check is
 one key shuffle; referential checks broadcast small dims; stats is one
-agg; drift compares pre-aggregated histograms; the pixel invariant is the
-only Python (Arrow-batched) stage and the only reader of ``bytes``.
+agg; drift compares pre-aggregated histograms; only the pixel-invariant /
+phash-integrity stage is Python (Arrow-batched) and only it reads
+``bytes`` — and when BOTH of those checks are configured they share ONE
+fused real-codec decode pass (stand-alone ``pixel_invariant`` keeps the
+stub-header decode of ``psnr_check``; the fused pass decodes with the
+real codecs, which is what a phash recompute requires anyway).
 """
 
 from __future__ import annotations
@@ -89,7 +93,7 @@ def validate_dataset(df: DataFrame, schema: dict,
         if viol is not None:
             parts.append(pad(viol))
 
-    if "pixel_invariant" in xs:
+    if "pixel_invariant" in xs and "phash_integrity" not in xs:
         from .operators.multimodal import psnr_check
         parts.append(pad(psnr_check(
             df, min_psnr=xs["pixel_invariant"].get("min_psnr", 40.0))))
@@ -97,11 +101,17 @@ def validate_dataset(df: DataFrame, schema: dict,
     if "phash_integrity" in xs:
         # stored phash must equal (within max_hamming) the perceptual
         # hash recomputed from decoded pixels; undecodable rows are the
-        # pixel_invariant's finding, not a phash mismatch
+        # pixel_invariant's finding, not a phash mismatch.  When BOTH
+        # checks are configured, ONE fused real-decode pass feeds both
+        # violation streams — decoding bytes is the expensive stage
+        # and must not run twice.
         from .operators.multimodal import phash_integrity_check
         cfg = xs["phash_integrity"] or {}
         maxh = cfg.get("max_hamming", 0)
-        chk = phash_integrity_check(df)
+        fuse_pixel = "pixel_invariant" in xs
+        chk = phash_integrity_check(
+            df, carry=("w", "h") if fuse_pixel else (),
+            with_psnr=fuse_pixel)
         bad = chk.filter(F.col("hamming") > maxh).select(
             "image_id",
             F.lit("phashIntegrity").alias("keyword"),
@@ -113,6 +123,23 @@ def validate_dataset(df: DataFrame, schema: dict,
                      F.lit(" bits")).alias("message"),
             F.col("stored_phash").cast("string").alias("failing_value"))
         parts.append(pad(bad))
+        if fuse_pixel:
+            min_psnr = xs["pixel_invariant"].get("min_psnr", 40.0)
+            pix_bad = chk.filter(
+                (~F.col("decode_ok"))
+                | (F.col("psnr") < min_psnr)
+                | (F.col("decoded_w") != F.col("w"))
+                | (F.col("decoded_h") != F.col("h"))).select(
+                "image_id",
+                F.lit("pixelInvariant").alias("keyword"),
+                F.lit("$.bytes").alias("json_path"),
+                F.lit("x-spark/pixel/psnr").alias("schema_path"),
+                F.concat(F.lit("decoded payload fails PSNR/metadata "
+                               "invariant (psnr="),
+                         F.round("psnr", 2).cast("string"),
+                         F.lit(")")).alias("message"),
+                F.col("psnr").cast("string").alias("failing_value"))
+            parts.append(pad(pix_bad))
 
     if "near_dup_phash" in xs:
         # dataset-level assertion: at most max_pairs near-duplicate

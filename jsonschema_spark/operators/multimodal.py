@@ -442,7 +442,8 @@ def dct_phash(px: np.ndarray) -> int:
     return out
 
 
-def phash_integrity_check(df: DataFrame, carry: tuple = ()) -> DataFrame:
+def phash_integrity_check(df: DataFrame, carry: tuple = (),
+                          with_psnr: bool = False) -> DataFrame:
     """Verify the stored ``phash`` column against the perceptual hash
     RECOMPUTED from decoded pixels — the cross-column integrity check
     that ties the codec tier to the table's phash metadata (a corrupt
@@ -454,7 +455,17 @@ def phash_integrity_check(df: DataFrame, carry: tuple = ()) -> DataFrame:
     xor bit_count.  Output per row: decode_ok, stored vs computed
     phash, hamming (NULL when undecodable or stored phash is NULL).
     Callers assert ``hamming == 0`` for lossless formats or
-    ``hamming <= t`` for lossy re-encodes."""
+    ``hamming <= t`` for lossy re-encodes.
+
+    ``with_psnr=True`` additionally emits (psnr, decoded_w, decoded_h)
+    from the SAME decode — the fused one-scan path when both the pixel
+    invariant and phash integrity are configured (decoding is the
+    expensive stage; it must not run twice).
+
+    The stored phash travels into Arrow as a STRING: pandas coerces an
+    int64 column containing any NULL to float64, which silently loses
+    low bits of 63-bit values (> 2^53) and would fabricate mismatches
+    on every other row of the batch."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         use_pil = _codec_available()
@@ -462,18 +473,25 @@ def phash_integrity_check(df: DataFrame, carry: tuple = ()) -> DataFrame:
             out = {k: [] for k in ("image_id", "fmt", "decode_ok",
                                    "stored_phash", "computed_phash",
                                    "hamming")}
+            if with_psnr:
+                for k in ("psnr", "decoded_w", "decoded_h"):
+                    out[k] = []
             for image_id, fmt, blob, stored in zip(
                     pdf["image_id"], pdf["fmt"], pdf["bytes"],
-                    pdf["phash"]):
+                    pdf["_phash_str"]):
                 out["image_id"].append(image_id)
                 out["fmt"].append(fmt)
-                stored_i = None if pd.isna(stored) else int(stored)
+                stored_i = None if stored is None else int(stored)
                 out["stored_phash"].append(stored_i)
                 px = decode_blob(blob, use_pil=use_pil)
                 if px is None:
                     out["decode_ok"].append(False)
                     out["computed_phash"].append(None)
                     out["hamming"].append(None)
+                    if with_psnr:
+                        out["psnr"].append(0.0)
+                        out["decoded_w"].append(0)
+                        out["decoded_h"].append(0)
                     continue
                 comp = dct_phash(px)
                 out["decode_ok"].append(True)
@@ -481,14 +499,29 @@ def phash_integrity_check(df: DataFrame, carry: tuple = ()) -> DataFrame:
                 out["hamming"].append(
                     None if stored_i is None
                     else int(bin(comp ^ stored_i).count("1")))
+                if with_psnr:
+                    hh, ww = px.shape[:2]
+                    out["psnr"].append(psnr(px, expected_pixels(
+                        str(image_id), ww, hh)))
+                    out["decoded_w"].append(int(ww))
+                    out["decoded_h"].append(int(hh))
             res = pd.DataFrame(out)
+            # int-lists containing None become float64 in pandas,
+            # truncating 63-bit values — force nullable Int64
+            for c in ("stored_phash", "computed_phash", "hamming"):
+                res[c] = pd.array(out[c], dtype="Int64")
             for c in carry:
                 res[c] = list(pdf[c])
             yield res
 
     extra = "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in carry)
-    return df.select("image_id", "fmt", "bytes", "phash", *carry).mapInPandas(
+    if with_psnr:
+        extra = ", psnr double, decoded_w int, decoded_h int" + extra
+    return df.select(
+        "image_id", "fmt", "bytes",
+        F.col("phash").cast("string").alias("_phash_str"), *carry
+    ).mapInPandas(
         run, schema="image_id string, fmt string, decode_ok boolean, "
                     "stored_phash long, computed_phash long, hamming int"
                     + extra)

@@ -158,25 +158,31 @@ def drift_stream(stream_df: DataFrame, ts_col: str, col: str,
     window's finalized histogram exactly once; ``foreachBatch`` then
     scores those tiny (bins-row) histograms against the broadcast
     baseline with the SAME :func:`..operators.drift.score_histograms`
-    core the batch path uses (KS/L1/chi2/PSI per window) and appends
-    them to ``out_dir`` parquet.  Because every window arrives in
-    exactly one batch, scores are per-window exact — identical to
-    running :func:`..operators.drift.partitioned_drift` on the same
-    rows in batch (asserted in tests).  Checkpointed: exactly-once,
-    resumable."""
+    core the batch path uses (KS/L1/chi2/PSI per window) and writes
+    them under ``out_dir``.  Because every window arrives in exactly
+    one batch, scores are per-window exact — identical to running
+    :func:`..operators.drift.partitioned_drift` on the same rows in
+    batch (asserted in tests).  Each batch writes to its OWN
+    ``batch=<id>`` partition directory with overwrite (foreachBatch is
+    at-least-once; a replayed batch re-derives the same batch_id and
+    overwrites its own output, so the sink is effectively
+    exactly-once).  Read results with
+    ``spark.read.parquet(out_dir + "/drift")`` — partition discovery
+    adds the ``batch`` column.  Checkpointed: resumable."""
     from ..operators.drift import score_histograms
 
     hist = windowed_histogram(stream_df, ts_col, col, lo, hi, bins,
                               window, watermark)
 
-    def score(batch: DataFrame, _batch_id: int) -> None:
+    def score(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
         cur = batch.select(
             F.col("window_start").cast("string").alias("part"),
             "bucket", F.col("n").alias("n_cur"))
         (score_histograms(cur, bins, baseline)
-         .write.mode("append").parquet(os.path.join(out_dir, "drift")))
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "drift", f"batch={batch_id}")))
 
     trig = {"availableNow": True} if available_now else \
            {"processingTime": "10 seconds"}

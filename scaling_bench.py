@@ -173,10 +173,11 @@ CAVEATS = {
     "scan_validate": "parquet scan; sandbox page cache capped ~6GB -> "
                      "bound by ONE shared virtual disk (no cluster "
                      "analogue: executor scan bandwidth scales with N)",
-    "phash_neardup": "banded-hamming near-dup pairs (enumerate "
-                     "strategy, 33x key fan-out, exact 32-bit block "
-                     "keys) over the stored phash column; own row "
-                     "count (see raw), shuffle on tmpfs",
+    "phash_neardup": "near-dup pairs over the stored phash column via "
+                     "the ENUMERATE strategy (Manku bit-flip join: 33x "
+                     "key fan-out, exact 32-bit block keys — no "
+                     "banding); own row count (see raw), shuffle on "
+                     "tmpfs",
 }
 
 

@@ -850,17 +850,51 @@ def test_enumerated_hamming_core_equals_banded_on_random_codes(spark):
     sigs = spark.range(4000).selectExpr(
         "CAST(id AS STRING) AS _id",
         # random base; ids 100-109 planted near id-1 at hamming id%3+1
+        # EVEN ids 100-108 plant near their (unplanted, odd) left
+        # neighbour at hamming 1/2/3 cycling — odd neighbours keep
+        # their base value, so each planted distance actually exists
         """CASE
-             WHEN id BETWEEN 100 AND 109 THEN
+             WHEN id BETWEEN 100 AND 108 AND id % 2 = 0 THEN
                xxhash64(id - 1, 42) ^ CAST(shiftleft(CAST(
-                 CASE id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 7 END
+                 CASE CAST(id / 2 AS INT) % 3
+                   WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 7 END
                AS LONG), CAST(id % 50 AS INT)) AS LONG)
              ELSE xxhash64(id, 42)
            END AS _sh""")
+    by_h = {}
     for h in (1, 2, 3):
         banded = {tuple(r) for r in packed_hamming_pairs(
             sigs, max_hamming=h, require_full_recall=True).collect()}
         enum = {tuple(r) for r in enumerated_hamming_pairs(
             sigs, max_hamming=h).collect()}
         assert banded == enum, h
-    assert banded, "planted neighbours must pair at h=3"
+        by_h[h] = banded
+    # every planted distance class is actually exercised, and raising
+    # the threshold strictly grows the pair set
+    assert {h for (_, _, h) in by_h[3]} == {1, 2, 3}
+    assert by_h[1] < by_h[2] < by_h[3]
+
+
+def test_phash_integrity_null_phash_batchmates_unharmed(spark):
+    """Regression: pandas coerces int64-with-NULL to float64, which
+    loses low bits of 63-bit values — the stored phash must survive a
+    NULL batchmate bit-exact (it travels as a string now)."""
+    from jsonschema_spark.operators.multimodal import (dct_phash,
+                                                       encode_bmp,
+                                                       expected_pixels,
+                                                       phash_integrity_check)
+    px = expected_pixels("big", 16, 16)
+    base = dct_phash(px)              # ~8.4e18 here: far above 2^53, so
+    flipped = base ^ (1 << 62)        # float64 would truncate both
+    assert min(base, flipped) > (1 << 53)
+    blob = encode_bmp(px)
+    rows = [("a", blob, base), ("b", blob, None), ("c", blob, flipped)]
+    df = spark.createDataFrame(
+        [(i, bytearray(b), p) for i, b, p in rows],
+        "image_id string, bytes binary, phash long").withColumn(
+        "fmt", F.lit("bmp")).coalesce(1)   # one Arrow batch
+    got = {r.image_id: r for r in phash_integrity_check(df).collect()}
+    assert got["a"].hamming == 0          # exact match survives NULL mate
+    assert got["b"].hamming is None and got["b"].stored_phash is None
+    assert got["c"].stored_phash == flipped   # bit-exact round trip
+    assert got["c"].hamming == 1          # differs only in bit 62

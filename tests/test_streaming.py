@@ -215,9 +215,11 @@ def test_streaming_drift_matches_batch_per_window(spark, events_stream,
                      .cast("string")),
         "_w", col, lo, hi, bins, base)
     exp = {r.part: r for r in exp_df.collect()}
-    # availableNow + watermark: the LAST window may be held back by the
-    # final watermark; every emitted window must match batch exactly
-    assert set(got) >= set(list(exp)[:-1]) or set(got) == set(exp)
+    # availableNow + watermark: the CHRONOLOGICALLY last window may be
+    # held back by the final watermark; every emitted window must match
+    # batch exactly
+    latest = max(exp)
+    assert set(got) in (set(exp), set(exp) - {latest})
     for w, r in got.items():
         e = exp[w]
         assert r.n_rows == e.n_rows
