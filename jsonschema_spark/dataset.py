@@ -112,34 +112,43 @@ def validate_dataset(df: DataFrame, schema: dict,
         chk = phash_integrity_check(
             df, carry=("w", "h") if fuse_pixel else (),
             with_psnr=fuse_pixel)
-        bad = chk.filter(F.col("hamming") > maxh).select(
-            "image_id",
-            F.lit("phashIntegrity").alias("keyword"),
-            F.lit("$.phash").alias("json_path"),
-            F.lit("x-spark/phash_integrity").alias("schema_path"),
+
+        def _vrow(keyword, json_path, schema_path, message, failing):
+            return F.struct(F.lit(keyword).alias("keyword"),
+                            F.lit(json_path).alias("json_path"),
+                            F.lit(schema_path).alias("schema_path"),
+                            message.alias("message"),
+                            failing.alias("failing_value"))
+
+        integ_bad = F.col("hamming") > maxh
+        integ_struct = F.when(integ_bad, _vrow(
+            "phashIntegrity", "$.phash", "x-spark/phash_integrity",
             F.concat(F.lit("stored phash differs from recomputed "
                            "pixel hash by "),
-                     F.col("hamming").cast("string"),
-                     F.lit(" bits")).alias("message"),
-            F.col("stored_phash").cast("string").alias("failing_value"))
-        parts.append(pad(bad))
+                     F.col("hamming").cast("string"), F.lit(" bits")),
+            F.col("stored_phash").cast("string")))
+        structs = [integ_struct]
         if fuse_pixel:
             min_psnr = xs["pixel_invariant"].get("min_psnr", 40.0)
-            pix_bad = chk.filter(
-                (~F.col("decode_ok"))
-                | (F.col("psnr") < min_psnr)
-                | (F.col("decoded_w") != F.col("w"))
-                | (F.col("decoded_h") != F.col("h"))).select(
-                "image_id",
-                F.lit("pixelInvariant").alias("keyword"),
-                F.lit("$.bytes").alias("json_path"),
-                F.lit("x-spark/pixel/psnr").alias("schema_path"),
+            pix_bad = ((~F.col("decode_ok"))
+                       | (F.col("psnr") < min_psnr)
+                       | (F.col("decoded_w") != F.col("w"))
+                       | (F.col("decoded_h") != F.col("h")))
+            structs.append(F.when(pix_bad, _vrow(
+                "pixelInvariant", "$.bytes", "x-spark/pixel/psnr",
                 F.concat(F.lit("decoded payload fails PSNR/metadata "
                                "invariant (psnr="),
-                         F.round("psnr", 2).cast("string"),
-                         F.lit(")")).alias("message"),
-                F.col("psnr").cast("string").alias("failing_value"))
-            parts.append(pad(pix_bad))
+                         F.round("psnr", 2).cast("string"), F.lit(")")),
+                F.col("psnr").cast("string"))))
+        # ONE projection over the single decode subtree emits every
+        # violation type — a union of per-type filters would reference
+        # (and re-execute) the mapInPandas decode once per branch
+        bad = (chk.select(
+            "image_id",
+            F.explode(F.filter(F.array(*structs),
+                               lambda s: s.isNotNull())).alias("_v"))
+            .select("image_id", "_v.*"))
+        parts.append(pad(bad))
 
     if "near_dup_phash" in xs:
         # dataset-level assertion: at most max_pairs near-duplicate

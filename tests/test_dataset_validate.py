@@ -79,3 +79,32 @@ def test_validate_dataset_phash_checks(spark):
     spec2["x-spark"]["near_dup_phash"]["max_pairs"] = n_pairs
     v2 = validate_dataset(planted_img, spec2, ["image_id"])
     assert v2.filter(F.col("keyword") == "nearDup:phash").count() == 0
+
+
+def test_validate_dataset_fused_pixel_and_phash_single_decode(spark):
+    """Configuring pixel_invariant AND phash_integrity together takes
+    the fused one-decode path: both violation streams appear, planted
+    truncations surface as pixelInvariant (real-codec decode failure),
+    planted bit flips as phashIntegrity — and the plan contains exactly
+    ONE Python (mapInPandas) stage reading bytes."""
+    from jsonschema_spark.sources.images import phash_images_df
+    n = 600
+    img = phash_images_df(spark, n).cache()
+    spec = {"type": "object",
+            "x-spark": {"pixel_invariant": {"min_psnr": 40.0},
+                        "phash_integrity": {"max_hamming": 0}}}
+    # plan audit FIRST (before any caching of the result lineage):
+    # exactly one Python decode stage feeds both violation streams
+    plan = (validate_dataset(img, spec, ["image_id"])
+            ._jdf.queryExecution().executedPlan().toString())
+    # the fixture generator is itself a MapInPandas ("gen"); the check
+    # kernel is "run" — exactly one decode stage must exist
+    assert plan.count("MapInPandas run(") == 1
+    v = validate_dataset(img, spec, ["image_id"]).cache()
+    pix = {int(r["image_id"].split("_")[1], 16) for r in
+           v.filter(F.col("keyword") == "pixelInvariant").collect()}
+    integ = {int(r["image_id"].split("_")[1], 16) for r in
+             v.filter(F.col("keyword") == "phashIntegrity").collect()}
+    assert pix == {i for i in range(n) if i % 251 == 0}
+    assert integ == {i for i in range(n) if i % 211 == 0 and i % 251 != 0}
+
