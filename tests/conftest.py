@@ -8,6 +8,11 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running dev-scan tests (kept small in CI)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from jsonschema_spark.session import get_spark
