@@ -71,8 +71,10 @@ def c_any_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
     children = [compile_subschema(ctx.child(schema_fragment=f"anyOf/{i}"),
                                   sub) for i, sub in enumerate(value)]
     oks = [c.ok for c in children]
-    pred = oks[0]
-    for o in oks[1:]:
+    # seed False: `anyOf: []` (meta-schema-invalid but tolerated, like
+    # the reference's any() over no branches) fails every instance
+    pred = F.lit(False)
+    for o in oks:
         pred = pred | o
     node = make_check(ctx, "anyOf", pred,
                       F.format_string("%s is not valid under any of the "
@@ -95,8 +97,8 @@ def c_one_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
     # carries no context (_keywords.py:360-373), so best_match must not
     # descend into branch errors there (caught by the r4 by_relevance
     # differential fuzz)
-    any_ok = oks[0]
-    for o in oks[1:]:
+    any_ok = F.lit(False)  # seed False: tolerate `oneOf: []` (fails all)
+    for o in oks:
         any_ok = any_ok | o
     return _with_context(ctx, node, "oneOf", children, any_ok)
 

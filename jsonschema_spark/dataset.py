@@ -96,7 +96,8 @@ def validate_dataset(df: DataFrame, schema: dict,
     if "pixel_invariant" in xs and "phash_integrity" not in xs:
         from .operators.multimodal import psnr_check
         parts.append(pad(psnr_check(
-            df, min_psnr=xs["pixel_invariant"].get("min_psnr", 40.0))))
+            df, min_psnr=(xs["pixel_invariant"] or {}).get("min_psnr",
+                                                           40.0))))
 
     if "phash_integrity" in xs:
         # stored phash must equal (within max_hamming) the perceptual
@@ -129,7 +130,7 @@ def validate_dataset(df: DataFrame, schema: dict,
             F.col("stored_phash").cast("string")))
         structs = [integ_struct]
         if fuse_pixel:
-            min_psnr = xs["pixel_invariant"].get("min_psnr", 40.0)
+            min_psnr = (xs["pixel_invariant"] or {}).get("min_psnr", 40.0)
             pix_bad = ((~F.col("decode_ok"))
                        | (F.col("psnr") < min_psnr)
                        | (F.col("decoded_w") != F.col("w"))

@@ -57,15 +57,6 @@ def shingles(text: Column, k: int = 5) -> Column:
                     lambda i: F.substring(text, i, k)))
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (native)."""
-    words = F.split(F.trim(text), r"\s+")
-    cnt = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), cnt),
-                    lambda i: F.array_join(F.slice(words, i, n), " ")))
-
-
 # ------------------------------------------------------------ minhash -----
 
 def minhash_signature(items: Column, num_hashes: int = 64) -> Column:

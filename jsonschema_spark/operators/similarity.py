@@ -245,7 +245,8 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
         n = keyed.count()  # auto-sizing inherently needs n (documented)
     if n_lists is None:
         n_lists = max(16, min(int(math.isqrt(n)), max_train // 4))
-    sample_df = keyed.select("_v")
+    unthinned = keyed.select("_v")
+    sample_df = unthinned
     if n is not None:
         if n == 0:
             return keyed.sparkSession.createDataFrame(
@@ -270,18 +271,14 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
             .select("_v"))
     X = np.asarray([r["_v"] for r in
                     sample_df.limit(max_train).collect()], dtype=np.float64)
-    if len(X) < min(max_train, 32 * n_lists):
+    if sample_df is not unthinned and len(X) < min(max_train, 32 * n_lists):
         # thinning/fraction under-sampled a small input: one more cheap
-        # bounded collect over the unthinned rows
+        # bounded collect over the unthinned rows (skipped when the
+        # first collect already saw them all)
         X = np.asarray([r["_v"] for r in
-                        keyed.select("_v").limit(max_train).collect()],
+                        unthinned.limit(max_train).collect()],
                        dtype=np.float64)
     if len(X) == 0:  # genuinely empty input
-        return keyed.sparkSession.createDataFrame(
-            [], f"id {df.schema[id_col].dataType.simpleString()}, "
-                f"neighbour_id {df.schema[id_col].dataType.simpleString()},"
-                f" cosine double")
-    if len(X) == 0:
         return keyed.sparkSession.createDataFrame(
             [], f"id {df.schema[id_col].dataType.simpleString()}, "
                 f"neighbour_id {df.schema[id_col].dataType.simpleString()},"

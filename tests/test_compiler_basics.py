@@ -316,3 +316,17 @@ def test_annotation_units_property_level(spark):
     ]
     # row 2: property absent -> no units; row 3: invalid row -> none
     assert 2 not in by_row and 3 not in by_row
+
+
+def test_empty_composition_lists(spark):
+    """`anyOf: []` / `oneOf: []` violate the meta-schema (minItems 1);
+    the engine rejects them up front with SchemaCompileError — the
+    eager analogue of the reference's `check_schema` (the reference's
+    *validator* lazily tolerates them and fails every instance; our
+    compile step surfaces the malformed spec instead, never an
+    IndexError from the branch-OR fold)."""
+    ddl = "_i int, x int"
+    df = spark.createDataFrame([(0, 1)], ddl)
+    for kw in ("anyOf", "oneOf", "allOf"):
+        with pytest.raises(SchemaCompileError, match="non-empty"):
+            CompiledValidator({"properties": {"x": {kw: []}}}, df)

@@ -108,3 +108,25 @@ def test_validate_dataset_fused_pixel_and_phash_single_decode(spark):
     assert pix == {i for i in range(n) if i % 251 == 0}
     assert integ == {i for i in range(n) if i % 211 == 0 and i % 251 != 0}
 
+
+
+def test_validate_dataset_null_check_configs(spark):
+    """Every x-spark check block may be JSON null (= all defaults) —
+    the same tolerance `phash_integrity`/`near_dup_phash` already had,
+    extended to `pixel_invariant` standalone AND fused (regression:
+    `.get` on None)."""
+    from jsonschema_spark.sources.images import phash_images_df
+
+    def rows(df, xs):
+        v = validate_dataset(df, {"type": "object", "x-spark": xs},
+                             ["image_id"])
+        return sorted((r["image_id"], r["keyword"]) for r in v.collect())
+
+    stub = images_df(spark, 2_000).cache()
+    assert (rows(stub, {"pixel_invariant": None})
+            == rows(stub, {"pixel_invariant": {}}))
+    real = phash_images_df(spark, 300).cache()
+    got = rows(real, {"pixel_invariant": None, "phash_integrity": None})
+    assert got == rows(real, {"pixel_invariant": {},
+                              "phash_integrity": {}})
+    assert any(k == "pixelInvariant" for _, k in got)  # planted damage
