@@ -352,7 +352,10 @@ def test_ivf_no_count_job_with_explicit_n_lists(spark, monkeypatch):
     count job was launched; results still match brute force when every
     cell is probed."""
     import numpy as np
-    from pyspark.sql import DataFrame as _DF
+    # NB: patch the CLASSIC DataFrame — pyspark.sql.DataFrame is the
+    # abstract base whose methods the classic class overrides, so
+    # patching the base intercepts nothing on Spark 4
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
     from jsonschema_spark.operators.similarity import (brute_force_topk,
                                                        clear_ivf_cache,
                                                        ivf_topk)
@@ -898,3 +901,32 @@ def test_phash_integrity_null_phash_batchmates_unharmed(spark):
     assert got["b"].hamming is None and got["b"].stored_phash is None
     assert got["c"].stored_phash == flipped   # bit-exact round trip
     assert got["c"].hamming == 1          # differs only in bit 62
+
+
+def test_ivf_single_training_collect_on_small_input(spark, monkeypatch):
+    """When n is known (approx_n) and the bounded training collect
+    already scanned the whole (unthinned) input, the under-sample
+    fallback must NOT re-run an identical second collect (one wasted
+    job per explicit-n_lists call on small inputs)."""
+    import numpy as np
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+    from jsonschema_spark.operators.similarity import (clear_ivf_cache,
+                                                       ivf_topk)
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    calls = {"n": 0}
+    real_collect = _DF.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return real_collect(self)
+
+    monkeypatch.setattr(_DF, "collect", counting)
+    ann = ivf_topk(df, "vec_id", "v", k=1, n_lists=4, n_probe=4,
+                   approx_n=200)
+    assert calls["n"] == 1, f"expected 1 training collect, got {calls['n']}"
+    monkeypatch.undo()
+    assert ann.count() == 200
+    clear_ivf_cache()
