@@ -51,6 +51,12 @@ def validate_dataset(df: DataFrame, schema: dict,
                      registry: Any = None) -> DataFrame:
     """Row-level + x-spark dataset checks -> unified violation rows."""
     xs = schema.get("x-spark", {}) or {}
+    if xs:
+        # CompiledValidator only meta-checks the row keywords it is
+        # given; validate the stripped extension block explicitly so a
+        # config typo fails here, not mid-job (spec._check_x_spark)
+        from .spec import _check_x_spark
+        _check_x_spark(xs, "#/x-spark")
     row_schema = {k: v for k, v in schema.items() if k != "x-spark"}
     v = CompiledValidator(row_schema, df, registry)
     keep = list(id_cols)

@@ -33,6 +33,113 @@ def _is_number(v: Any) -> bool:
     return isinstance(v, (int, float)) and not isinstance(v, bool)
 
 
+#: rule keys accepted per stats column (operators/stats.stats_violations)
+_X_SPARK_STATS_RULES = frozenset(
+    {"max_null_rate", "min", "max", "min_distinct"})
+_X_SPARK_DRIFT_KEYS = frozenset(
+    {"baseline", "numeric", "categorical", "max_ks", "max_l1"})
+#: blocks where JSON null means "all defaults", with their known keys
+_X_SPARK_NULLABLE = {"pixel_invariant": frozenset({"min_psnr"}),
+                     "phash_integrity": frozenset({"max_hamming"}),
+                     "near_dup_phash": frozenset({"max_hamming", "max_pairs",
+                                                  "strategy"})}
+
+
+def _check_x_spark(xs: Any, path: str) -> None:
+    """Meta-check of the engine's ``x-spark`` dataset-check block (the
+    grammar is dataset.py's module docstring): a config mistake fails
+    driver-side with a pointed SchemaCompileError instead of an opaque
+    error deep inside a running Spark job.  Unknown top-level block
+    names are tolerated (forward compatibility, like unknown JSON-Schema
+    keywords); unknown keys INSIDE a known block are rejected — they are
+    silently ignored at runtime, i.e. a typo would disable the check."""
+    def bad(where: str, why: str) -> SchemaCompileError:
+        return SchemaCompileError(f"{path}{where}: {why}")
+    if not isinstance(xs, dict):
+        raise bad("", "must be an object")
+    if "unique" in xs:
+        v = xs["unique"]
+        if (not isinstance(v, list)
+                or not all(isinstance(k, str) and k for k in v)):
+            raise bad("/unique", "must be an array of column names")
+    if "referential" in xs:
+        v = xs["referential"]
+        if not isinstance(v, list):
+            raise bad("/referential", "must be an array of objects")
+        for i, r in enumerate(v):
+            ref = r.get("ref") if isinstance(r, dict) else None
+            if (not isinstance(r, dict)
+                    or not isinstance(r.get("column"), str)
+                    or not isinstance(ref, dict)
+                    or not isinstance(ref.get("table"), str)
+                    or not isinstance(ref.get("key"), str)):
+                raise bad(f"/referential/{i}",
+                          'must be {"column": str, "ref": '
+                          '{"table": str, "key": str}}')
+    if "stats" in xs:
+        v = xs["stats"]
+        if not isinstance(v, dict):
+            raise bad("/stats", "must map column names to rule objects")
+        for col, rule in v.items():
+            if not isinstance(rule, dict):
+                raise bad(f"/stats/{col}", "must be a rule object")
+            unknown = set(rule) - _X_SPARK_STATS_RULES
+            if unknown:
+                raise bad(f"/stats/{col}",
+                          f"unknown rule(s) {sorted(unknown)}; known: "
+                          f"{sorted(_X_SPARK_STATS_RULES)}")
+            for k, val in rule.items():
+                if k == "min_distinct":
+                    if not isinstance(val, int) or isinstance(val, bool):
+                        raise bad(f"/stats/{col}/{k}", "must be an integer")
+                elif not _is_number(val):
+                    raise bad(f"/stats/{col}/{k}", "must be a number")
+    if "drift" in xs:
+        d = xs["drift"]
+        if not isinstance(d, dict) or not isinstance(d.get("baseline"), str):
+            raise bad("/drift", 'must be an object with a "baseline" path')
+        unknown = set(d) - _X_SPARK_DRIFT_KEYS
+        if unknown:
+            raise bad("/drift", f"unknown key(s) {sorted(unknown)}; known: "
+                                f"{sorted(_X_SPARK_DRIFT_KEYS)}")
+        num = d.get("numeric") or {}
+        if not isinstance(num, dict):
+            raise bad("/drift/numeric", "must map columns to [lo, hi, bins]")
+        for col, bounds in num.items():
+            if (not isinstance(bounds, (list, tuple)) or len(bounds) != 3
+                    or not all(_is_number(x) for x in bounds)):
+                raise bad(f"/drift/numeric/{col}",
+                          "must be [lo, hi, bins] (three numbers)")
+        cat = d.get("categorical") or ()
+        if (not isinstance(cat, (list, tuple))
+                or not all(isinstance(c, str) for c in cat)):
+            raise bad("/drift/categorical",
+                      "must be an array of column names")
+        for k in ("max_ks", "max_l1"):
+            if d.get(k) is not None and not _is_number(d[k]):
+                raise bad(f"/drift/{k}", "must be a number")
+    for block, keys in _X_SPARK_NULLABLE.items():
+        if block not in xs or xs[block] is None:  # null == all defaults
+            continue
+        cfg = xs[block]
+        if not isinstance(cfg, dict):
+            raise bad(f"/{block}", "must be an object or null")
+        unknown = set(cfg) - keys
+        if unknown:
+            raise bad(f"/{block}", f"unknown key(s) {sorted(unknown)}; "
+                                   f"known: {sorted(keys)}")
+        for k, val in cfg.items():
+            if k == "strategy":
+                if val not in ("banded", "enumerate"):
+                    raise bad(f"/{block}/strategy",
+                              'must be "banded" or "enumerate"')
+            elif k == "min_psnr":
+                if not _is_number(val):
+                    raise bad(f"/{block}/{k}", "must be a number")
+            elif not isinstance(val, int) or isinstance(val, bool):
+                raise bad(f"/{block}/{k}", "must be an integer")
+
+
 def check_schema(schema: Any, path: str = "#",
                  extra_types: frozenset = frozenset()) -> None:
     """Raise :class:`SchemaCompileError` if the spec is malformed.
@@ -146,3 +253,5 @@ def check_schema(schema: Any, path: str = "#",
                     except re.error as e:
                         raise bad(kw, f"invalid regex key {name!r}: {e}")
                 check_schema(sub, f"{path}/{kw}/{name}", extra_types)
+    if "x-spark" in schema:
+        _check_x_spark(schema["x-spark"], f"{path}/x-spark")

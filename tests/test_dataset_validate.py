@@ -130,3 +130,45 @@ def test_validate_dataset_null_check_configs(spark):
     assert got == rows(real, {"pixel_invariant": {},
                               "phash_integrity": {}})
     assert any(k == "pixelInvariant" for _, k in got)  # planted damage
+
+
+def test_check_schema_validates_x_spark_block():
+    """check_schema covers the engine's own extension namespace: config
+    mistakes fail driver-side with a pointed SchemaCompileError instead
+    of an opaque error deep inside a Spark job.  A typo'd key inside a
+    known block would be silently ignored at runtime (check disabled) —
+    exactly the mistake the meta-check must catch."""
+    import pytest
+    from jsonschema_spark import SchemaCompileError, check_schema
+
+    # the full documented grammar (dataset.py docstring) is accepted
+    check_schema({"x-spark": {
+        "unique": ["image_id", "phash"],
+        "referential": [{"column": "license_id",
+                         "ref": {"table": "licenses",
+                                 "key": "license_id"}}],
+        "stats": {"caption": {"max_null_rate": 0.01}},
+        "drift": {"baseline": "/tmp/b", "numeric": {"w": [0.0, 16384.0, 32]},
+                  "categorical": ["fmt"]},
+        "pixel_invariant": {"min_psnr": 40.0},
+        "phash_integrity": None,                  # null == all defaults
+        "near_dup_phash": {"max_hamming": 3, "max_pairs": 0,
+                           "strategy": "enumerate"},
+        "future_block": {"anything": True},       # unknown block tolerated
+    }})
+    bad_blocks = [
+        ({"unique": "image_id"}, "unique"),            # not a list
+        ({"referential": [{"column": "c"}]}, "referential/0"),
+        ({"stats": {"w": {"max_nul_rate": 0.1}}}, "unknown rule"),
+        ({"stats": {"w": {"min_distinct": 1.5}}}, "integer"),
+        ({"drift": {"numeric": {}}}, "baseline"),
+        ({"drift": {"baseline": "b", "numeric": {"w": [0, 1]}}},
+         "three numbers"),
+        ({"pixel_invariant": {"min_pnsr": 40}}, "unknown key"),
+        ({"near_dup_phash": {"strategy": "bandid"}}, "banded"),
+        ({"phash_integrity": {"max_hamming": "0"}}, "integer"),
+        ([], "must be an object"),
+    ]
+    for xs, match in bad_blocks:
+        with pytest.raises(SchemaCompileError, match=match):
+            check_schema({"x-spark": xs})
