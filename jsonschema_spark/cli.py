@@ -11,7 +11,14 @@ Usage::
 
     python -m jsonschema_spark SPEC.json TABLE.parquet \
         [--id-cols image_id] [--partition-by fmt] [--out DIR] \
-        [--sample N] [--format plain|json]
+        [--sample N] [--format plain|json] \
+        [--ref-table licenses=DIR.parquet]
+
+A spec carrying an ``x-spark`` block runs the full dataset-check tier
+(uniqueness/referential/stats/drift/pixel/phash — see dataset.py) in the
+same invocation; referential dimension tables are supplied with
+``--ref-table NAME=PATH``.  Exit code 1 on any invalid row OR any
+dataset-check violation.
 """
 
 from __future__ import annotations
@@ -55,6 +62,12 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
                    help="JSON file mapping URIs to schema documents, "
                         "pre-registered for $ref resolution (the "
                         "referencing-Registry analogue)")
+    p.add_argument("--ref-table", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="referential dimension table as NAME=PATH "
+                        "(parquet; repeatable) — required when the "
+                        "spec's x-spark block declares referential "
+                        "checks against NAME")
     return p.parse_args(list(argv))
 
 
@@ -78,21 +91,44 @@ def run(args: argparse.Namespace, spark=None) -> int:
         v = CompiledValidator(
             spec, df, schema_store=store,
             format_checker=getattr(args, "format_checker", False),
-        )  # raises SchemaCompileError early
+        )  # raises SchemaCompileError early (incl. the x-spark block)
         for w in v.warnings:
             print(f"warning: {w}", file=sys.stderr)
         id_cols = [c for c in args.id_cols.split(",") if c]
         part_by = [c for c in args.partition_by.split(",") if c] or None
         manifest = v.manifest(df, part_by)
+        xs = (spec.get("x-spark") or {}) if isinstance(spec, dict) else {}
+        n_ds_viol = 0
+        if xs:
+            # the spec declares dataset-scope checks: run the unified
+            # validate_dataset stream (uniqueness/referential/stats/
+            # drift/pixel/phash beside the row keywords); the manifest
+            # stays row-level per partition
+            from .dataset import validate_dataset
+            tables = {}
+            for item in getattr(args, "ref_table", []):
+                name, _, tpath = item.partition("=")
+                if not name or not tpath:
+                    raise ValueError(f"--ref-table {item!r}: "
+                                     f"expected NAME=PATH")
+                tables[name] = read_table(spark, tpath, "parquet")
+            viol = validate_dataset(
+                df, spec, id_cols, tables=tables or None,
+                schema_store=store,
+                format_checker=getattr(args, "format_checker", False))
+            n_ds_viol = viol.filter(
+                viol.schema_path.startswith("x-spark")).count()
+        else:
+            viol = v.violations(df, id_cols)
         if args.out:
-            (v.violations(df, id_cols).write.mode("overwrite")
+            (viol.write.mode("overwrite")
              .parquet(f"{args.out}/violations"))
             manifest.write.mode("overwrite").parquet(f"{args.out}/manifest")
         rows = manifest.collect()
         total = sum(r["rows"] for r in rows)
         invalid = sum(r["invalid_rows"] for r in rows)
         if not args.out:
-            sample = v.violations(df, id_cols).limit(args.sample).collect()
+            sample = viol.limit(args.sample).collect()
             for r in sample:
                 d = r.asDict()
                 if args.format == "json":
@@ -101,9 +137,10 @@ def run(args: argparse.Namespace, spark=None) -> int:
                     ids = " ".join(f"{c}={d[c]}" for c in id_cols)
                     print(f"{d['json_path']}: {d['message']} "
                           f"[{d['keyword']}] {ids}".rstrip())
+        extra = f", {n_ds_viol} dataset-check violations" if xs else ""
         print(f"{total - invalid}/{total} rows valid "
-              f"({invalid} invalid)", file=sys.stderr)
-        return 0 if invalid == 0 else 1
+              f"({invalid} invalid{extra})", file=sys.stderr)
+        return 0 if invalid == 0 and n_ds_viol == 0 else 1
     finally:
         if own_session:
             spark.stop()

@@ -48,8 +48,12 @@ VIOLATION_COLS = ("keyword", "json_path", "schema_path", "message",
 def validate_dataset(df: DataFrame, schema: dict,
                      id_cols: Sequence[str] = (),
                      tables: Optional[Mapping[str, DataFrame]] = None,
-                     registry: Any = None) -> DataFrame:
-    """Row-level + x-spark dataset checks -> unified violation rows."""
+                     registry: Any = None,
+                     schema_store: Optional[dict] = None,
+                     format_checker: bool = False) -> DataFrame:
+    """Row-level + x-spark dataset checks -> unified violation rows.
+    `schema_store`/`format_checker` forward to the row-level
+    :class:`CompiledValidator` (same semantics as constructing one)."""
     xs = schema.get("x-spark", {}) or {}
     if xs:
         # CompiledValidator only meta-checks the row keywords it is
@@ -58,7 +62,9 @@ def validate_dataset(df: DataFrame, schema: dict,
         from .spec import _check_x_spark
         _check_x_spark(xs, "#/x-spark")
     row_schema = {k: v for k, v in schema.items() if k != "x-spark"}
-    v = CompiledValidator(row_schema, df, registry)
+    v = CompiledValidator(row_schema, df, registry,
+                          schema_store=schema_store,
+                          format_checker=format_checker)
     keep = list(id_cols)
 
     def pad(frame: DataFrame) -> DataFrame:

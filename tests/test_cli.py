@@ -61,3 +61,43 @@ def test_cli_format_checker_and_schema_store(spark, tmp_path):
     assert run(parse_args(base), spark=spark) == 0
     # asserted: the bad email fails
     assert run(parse_args(base + ["--format-checker"]), spark=spark) == 1
+
+
+def test_cli_runs_x_spark_dataset_checks(spark, tmp_path):
+    """A spec carrying an x-spark block runs the dataset tier in the
+    same CLI invocation: uniqueness + referential (dim via --ref-table)
+    + stats violations land in the violations parquet, and any
+    dataset-check violation alone forces exit code 1 even when every
+    row is individually valid."""
+    from jsonschema_spark.sources.images import images_df, licenses_df
+    img_dir = str(tmp_path / "images.parquet")
+    lic_dir = str(tmp_path / "licenses.parquet")
+    images_df(spark, 3_000, with_license=True).write.parquet(img_dir)
+    licenses_df(spark).write.parquet(lic_dir)
+    spec = _spec_file(tmp_path, {
+        "type": "object",          # every row valid at the row level
+        "x-spark": {
+            "unique": ["image_id"],
+            "referential": [{"column": "license_id",
+                             "ref": {"table": "licenses",
+                                     "key": "license_id"}}],
+            "stats": {"caption": {"max_null_rate": 0.0001}},
+        },
+    })
+    out = str(tmp_path / "out")
+    args = parse_args([spec, img_dir, "--id-cols", "image_id",
+                       "--ref-table", f"licenses={lic_dir}",
+                       "--out", out])
+    assert run(args, spark=spark) == 1  # dataset violations only
+    viols = spark.read.parquet(os.path.join(out, "violations"))
+    kinds = {r["keyword"] for r in viols.select("keyword")
+             .distinct().collect()}
+    assert {"uniqueItems:image_id", "referential:license_id",
+            "stats:max_null_rate"} <= kinds
+    # a missing --ref-table surfaces the pointed error
+    args2 = parse_args([spec, img_dir])
+    try:
+        run(args2, spark=spark)
+        assert False, "expected ValueError for missing dim table"
+    except ValueError as e:
+        assert "licenses" in str(e)
