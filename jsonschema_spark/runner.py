@@ -18,6 +18,13 @@ validated snapshot id into lineage).  Strategy:
   completed groups are skipped, half-written groups are overwritten
   (dynamic partition overwrite), so the protocol is idempotent under
   retries.
+
+Scope: the runner validates the ROW-level keywords of its schema (an
+``x-spark`` block is meta-checked but not executed here) — dataset-scope
+checks (uniqueness, referential, drift, ...) are whole-table by nature
+and do not decompose into independently committable partition groups;
+run them via :func:`jsonschema_spark.validate_dataset` (or the CLI)
+over the validated snapshot.
 """
 
 from __future__ import annotations
