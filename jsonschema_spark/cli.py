@@ -68,6 +68,12 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
                         "(parquet; repeatable) — required when the "
                         "spec's x-spark block declares referential "
                         "checks against NAME")
+    p.add_argument("--save-baseline", default=None, metavar="DIR",
+                   help="instead of checking drift, profile THIS table "
+                        "with the spec's x-spark.drift numeric/"
+                        "categorical config and save the baseline "
+                        "snapshot to DIR (the path later runs name as "
+                        'x-spark.drift.baseline)')
     return p.parse_args(list(argv))
 
 
@@ -96,8 +102,26 @@ def run(args: argparse.Namespace, spark=None) -> int:
             print(f"warning: {w}", file=sys.stderr)
         id_cols = [c for c in args.id_cols.split(",") if c]
         part_by = [c for c in args.partition_by.split(",") if c] or None
-        manifest = v.manifest(df, part_by)
         xs = (spec.get("x-spark") or {}) if isinstance(spec, dict) else {}
+        if getattr(args, "save_baseline", None):
+            # profile-only mode: snapshot this table's distributions for
+            # later runs' x-spark.drift.baseline comparisons
+            d = xs.get("drift") or {}
+            numeric = {c: tuple(b) for c, b in
+                       (d.get("numeric") or {}).items()}
+            categorical = d.get("categorical") or ()
+            if not numeric and not categorical:
+                raise ValueError(
+                    "--save-baseline needs the spec's x-spark.drift "
+                    "block to declare numeric and/or categorical "
+                    "columns to profile")
+            from .operators.drift import save_baseline
+            save_baseline(df, args.save_baseline, numeric=numeric,
+                          categorical=categorical)
+            print(f"baseline snapshot written to {args.save_baseline}",
+                  file=sys.stderr)
+            return 0
+        manifest = v.manifest(df, part_by)
         n_ds_viol = 0
         if xs:
             # the spec declares dataset-scope checks: run the unified

@@ -101,3 +101,34 @@ def test_cli_runs_x_spark_dataset_checks(spark, tmp_path):
         assert False, "expected ValueError for missing dim table"
     except ValueError as e:
         assert "licenses" in str(e)
+
+
+def test_cli_save_baseline_then_drift_check(spark, tmp_path):
+    """The full drift lifecycle from the shell: --save-baseline profiles
+    the snapshot with the spec's x-spark.drift config; a later plain run
+    compares against it (same data -> clean; shifted data -> drift
+    violation and exit 1)."""
+    base_dir = str(tmp_path / "base.parquet")
+    shift_dir = str(tmp_path / "shift.parquet")
+    bl_dir = str(tmp_path / "baseline")
+    spark.range(4_000).selectExpr("id", "double(id % 100) as w") \
+        .write.parquet(base_dir)
+    spark.range(4_000).selectExpr("id", "double(id % 100) + 80.0 as w") \
+        .write.parquet(shift_dir)
+    spec = _spec_file(tmp_path, {
+        "type": "object",
+        "x-spark": {"drift": {"baseline": bl_dir,
+                              "numeric": {"w": [0.0, 200.0, 20]},
+                              "max_ks": 0.05}},
+    })
+    args = parse_args([spec, base_dir, "--save-baseline", bl_dir])
+    assert run(args, spark=spark) == 0
+    assert spark.read.parquet(bl_dir).count() > 0
+    # identical distribution: no drift, exit 0
+    assert run(parse_args([spec, base_dir]), spark=spark) == 0
+    # shifted distribution: drift violation, exit 1
+    out = str(tmp_path / "out")
+    assert run(parse_args([spec, shift_dir, "--out", out]),
+               spark=spark) == 1
+    viols = spark.read.parquet(os.path.join(out, "violations"))
+    assert viols.filter(viols.keyword.startswith("drift")).count() > 0
