@@ -10,7 +10,8 @@ dataset-scope checks that have no row-local JSON-Schema analogue::
         "stats": {"caption": {"max_null_rate": 0.01}},
         "drift": {"baseline": "<path>",
                   "numeric": {"w": [0.0, 16384.0, 32]},
-                  "categorical": ["fmt"]},
+                  "categorical": ["fmt"]},     # add "by": "fmt" for
+                                               # per-partition scoring
         "pixel_invariant": {"min_psnr": 40.0},
         "phash_integrity": {"max_hamming": 0},
         "near_dup_phash": {"max_hamming": 3, "max_pairs": 0,
@@ -95,15 +96,58 @@ def validate_dataset(df: DataFrame, schema: dict,
         parts.append(pad(stats_violations(df, xs["stats"])))
 
     if "drift" in xs:
-        from .operators.drift import check_against_baseline
         d = xs["drift"]
-        numeric = {c: tuple(v) for c, v in d.get("numeric", {}).items()}
-        viol = check_against_baseline(df, d["baseline"], numeric=numeric,
-                                      categorical=d.get("categorical", ()),
-                                      max_ks=d.get("max_ks", 0.1),
-                                      max_l1=d.get("max_l1"))
-        if viol is not None:
-            parts.append(pad(viol))
+        numeric = {c: tuple(v) for c, v in (d.get("numeric") or {}).items()}
+        max_ks = d.get("max_ks", 0.1)
+        max_l1 = d.get("max_l1")
+        by = d.get("by")
+        if by:
+            # per-partition mode (north_star: "distribution-drift checks
+            # comparing per-partition histograms/KS statistics against a
+            # baseline snapshot"): one distributed partitioned_drift pass
+            # per numeric column, each tripped partition its own row
+            from .operators.drift import load_baseline, partitioned_drift
+
+            def _drow(kw, col, stat_col, threshold, label):
+                return F.struct(
+                    F.lit(kw).alias("keyword"),
+                    F.lit(f"$.{col}").alias("json_path"),
+                    F.lit(f"x-spark/drift/{col}/{stat_col}")
+                    .alias("schema_path"),
+                    F.concat(F.lit(f"partition {by}="),
+                             F.col("part").cast("string"),
+                             F.lit(f": {label} "),
+                             F.round(stat_col, 4).cast("string"),
+                             F.lit(f" exceeds {threshold}"))
+                    .alias("message"),
+                    F.format_string("%.6f", F.col(stat_col))
+                    .alias("failing_value"))
+
+            for col, (lo, hi, bins) in numeric.items():
+                stats = partitioned_drift(
+                    df, by, col, lo, hi, bins,
+                    load_baseline(df.sparkSession, d["baseline"], col))
+                structs = [F.when(F.col("ks") > max_ks,
+                                  _drow("drift:ks", col, "ks", max_ks,
+                                        "KS statistic"))]
+                if max_l1 is not None:
+                    structs.append(F.when(F.col("l1") > max_l1,
+                                          _drow("drift:l1", col, "l1",
+                                                max_l1, "L1 distance")))
+                v = (stats.select(
+                    F.explode(F.filter(F.array(*structs),
+                                       lambda s: s.isNotNull()))
+                    .alias("_v")).select("_v.*"))
+                parts.append(pad(v))
+        else:
+            from .operators.drift import check_against_baseline
+            viol = check_against_baseline(df, d["baseline"],
+                                          numeric=numeric,
+                                          categorical=d.get("categorical",
+                                                            ()),
+                                          max_ks=max_ks, max_l1=max_l1)
+            if viol is not None:
+                parts.append(pad(viol))
 
     if "pixel_invariant" in xs and "phash_integrity" not in xs:
         from .operators.multimodal import psnr_check

@@ -37,7 +37,7 @@ def _is_number(v: Any) -> bool:
 _X_SPARK_STATS_RULES = frozenset(
     {"max_null_rate", "min", "max", "min_distinct"})
 _X_SPARK_DRIFT_KEYS = frozenset(
-    {"baseline", "numeric", "categorical", "max_ks", "max_l1"})
+    {"baseline", "numeric", "categorical", "max_ks", "max_l1", "by"})
 #: blocks where JSON null means "all defaults", with their known keys
 _X_SPARK_NULLABLE = {"pixel_invariant": frozenset({"min_psnr"}),
                      "phash_integrity": frozenset({"max_hamming"}),
@@ -118,6 +118,14 @@ def _check_x_spark(xs: Any, path: str) -> None:
         for k in ("max_ks", "max_l1"):
             if d.get(k) is not None and not _is_number(d[k]):
                 raise bad(f"/drift/{k}", "must be a number")
+        if "by" in d:
+            if not isinstance(d["by"], str) or not d["by"]:
+                raise bad("/drift/by", "must be a partition column name")
+            if cat:
+                raise bad("/drift/by",
+                          "per-partition drift profiles numeric columns "
+                          "only (categorical histograms have no shared "
+                          "bucket grid); drop `categorical` or `by`")
     for block, keys in _X_SPARK_NULLABLE.items():
         if block not in xs or xs[block] is None:  # null == all defaults
             continue

@@ -70,3 +70,41 @@ def test_partitioned_drift_matches_per_partition_reference(spark):
         vals = {g: getattr(out[g], stat) for g in out}
         assert max(vals, key=vals.get) == "3", (stat, vals)
     assert out["3"].ks > 0.15 and out["0"].ks < 0.05
+
+
+def test_validate_dataset_per_partition_drift(spark, tmp_path):
+    """x-spark.drift with "by": per-partition scoring inside the unified
+    checker — only the shifted partition trips, its violation row names
+    the partition, and the clean partitions stay silent."""
+    from jsonschema_spark.operators.drift import save_baseline
+    from jsonschema_spark import SchemaCompileError, validate_dataset
+    import pytest
+
+    clean = spark.range(8_000).selectExpr(
+        "id", "double(id % 100) as w",
+        "case when id % 2 = 0 then 'png' else 'jpeg' end as fmt")
+    path = str(tmp_path / "bl")
+    save_baseline(clean, path, numeric={"w": (0.0, 200.0, 20)})
+    # shift ONLY the jpeg partition's distribution
+    shifted = spark.range(8_000).selectExpr(
+        "id",
+        "case when id % 2 = 0 then double(id % 100) "
+        "else double(id % 100) + 80.0 end as w",
+        "case when id % 2 = 0 then 'png' else 'jpeg' end as fmt")
+    spec = {"type": "object",
+            "x-spark": {"drift": {"baseline": path, "by": "fmt",
+                                  "numeric": {"w": [0.0, 200.0, 20]},
+                                  "max_ks": 0.05}}}
+    v = validate_dataset(shifted, spec).collect()
+    assert len(v) == 1
+    assert v[0]["keyword"] == "drift:ks"
+    assert "partition fmt=jpeg" in v[0]["message"]
+    assert float(v[0]["failing_value"]) > 0.05
+    # identical data: every partition clean
+    assert validate_dataset(clean, spec).count() == 0
+    # grammar: by + categorical is rejected up front
+    bad = {"type": "object",
+           "x-spark": {"drift": {"baseline": path, "by": "fmt",
+                                 "categorical": ["fmt"]}}}
+    with pytest.raises(SchemaCompileError, match="numeric columns only"):
+        validate_dataset(shifted, bad)
