@@ -438,6 +438,30 @@ def q_drift_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("part"))
 
 
+def q_drift_spec_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-driven per-partition drift: the ``x-spark.drift`` block with
+    ``"by"`` routed through validate_dataset — saves the whole-table
+    o_totalprice histogram as the baseline snapshot, scores every
+    o_orderstatus partition against it (operators/drift.partitioned_drift
+    under the hood), and emits one violation row per tripped
+    (partition, statistic).  The DuckDB oracle reconstructs the SAME
+    violation rows bit-for-bit — window CDFs over the dense grid,
+    identical %.4f/%.6f string rendering — certifying the full
+    spec->violation-row path, not just the statistics."""
+    from jsonschema_spark import validate_dataset
+    from jsonschema_spark.operators.drift import save_baseline
+    o = _t(spark, sf_dir, "orders")
+    bl = "/tmp/spark_graft_drift_bl_" + \
+        _fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    if not os.path.exists(os.path.join(bl, "_SUCCESS")):
+        save_baseline(o, bl, numeric={"o_totalprice": (0.0, 500000.0, 32)})
+    spec = {"x-spark": {"drift": {
+        "baseline": bl, "by": "o_orderstatus",
+        "numeric": {"o_totalprice": [0.0, 500000.0, 32]},
+        "max_ks": 0.005}}}
+    return validate_dataset(o, spec).orderBy("message")
+
+
 def q_formats_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """format keyword (email/uuid/date) over deterministically
     synthesized strings with planted violations."""
@@ -1044,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_orders": q_quantiles_orders,
         "drift_ks_orders": q_drift_ks_orders,
         "drift_partitioned": q_drift_partitioned,
+        "drift_spec_partitioned": q_drift_spec_partitioned,
         "formats_customer": q_formats_customer,
         "text_quality": q_text_quality,
         "embeddings_topk": q_embeddings_topk,
@@ -1423,6 +1448,58 @@ def oracle_sql() -> dict[str, str]:
                                   / ((n_base + 1.0) / (tot_b + 32)))), 6)
                      AS psi
             FROM s GROUP BY part ORDER BY part
+        """,
+        "drift_spec_partitioned": """
+            -- the spec-driven per-partition drift VIOLATION ROWS: same
+            -- dense-grid window-CDF KS as drift_partitioned, then the
+            -- x-spark thresholding + message rendering reproduced
+            -- bit-for-bit (printf %.4f / %.6f == Spark format_string)
+            WITH cur AS (
+              SELECT o_orderstatus AS part,
+                     least(greatest(CAST(floor(o_totalprice / 15625.0)
+                                         AS BIGINT), 0), 31) AS bucket,
+                     count(*) AS n_cur
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+              GROUP BY 1, 2),
+            base AS (
+              SELECT least(greatest(CAST(floor(o_totalprice / 15625.0)
+                                         AS BIGINT), 0), 31) AS bucket,
+                     count(*) AS n_base
+              FROM orders WHERE o_totalprice IS NOT NULL
+              GROUP BY 1),
+            grid AS (
+              SELECT p.part, g.bucket
+              FROM (SELECT DISTINCT part FROM cur) p
+              CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bucket) g),
+            j AS (
+              SELECT grid.part, grid.bucket,
+                     coalesce(cur.n_cur, 0) AS n_cur,
+                     coalesce(base.n_base, 0) AS n_base
+              FROM grid
+              LEFT JOIN base ON base.bucket = grid.bucket
+              LEFT JOIN cur ON cur.part = grid.part
+                           AND cur.bucket = grid.bucket),
+            s AS (
+              SELECT part, bucket,
+                     sum(n_cur) OVER (PARTITION BY part) AS tot_c,
+                     sum(n_base) OVER (PARTITION BY part) AS tot_b,
+                     sum(n_cur) OVER (PARTITION BY part ORDER BY bucket)
+                       AS cum_c,
+                     sum(n_base) OVER (PARTITION BY part ORDER BY bucket)
+                       AS cum_b
+              FROM j),
+            ks AS (
+              SELECT part, max(abs(cum_c * 1.0 / tot_c
+                                   - cum_b * 1.0 / tot_b)) AS ks
+              FROM s GROUP BY part)
+            SELECT 'drift:ks' AS keyword,
+                   '$.o_totalprice' AS json_path,
+                   'x-spark/drift/o_totalprice/ks' AS schema_path,
+                   'partition o_orderstatus=' || part || ': KS statistic '
+                     || printf('%.4f', ks) || ' exceeds 0.005' AS message,
+                   printf('%.6f', ks) AS failing_value
+            FROM ks WHERE ks > 0.005 ORDER BY message
         """,
         "formats_customer": _FORMATS_ORACLE,
         "text_quality": r"""

@@ -117,7 +117,9 @@ def validate_dataset(df: DataFrame, schema: dict,
                     F.concat(F.lit(f"partition {by}="),
                              F.col("part").cast("string"),
                              F.lit(f": {label} "),
-                             F.round(stat_col, 4).cast("string"),
+                             # %.4f, not round().cast: fixed-width
+                             # rendering a SQL oracle reproduces exactly
+                             F.format_string("%.4f", F.col(stat_col)),
                              F.lit(f" exceeds {threshold}"))
                     .alias("message"),
                     F.format_string("%.6f", F.col(stat_col))
