@@ -140,14 +140,21 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 df, spec, id_cols, tables=tables or None,
                 schema_store=store,
                 format_checker=getattr(args, "format_checker", False))
-            n_ds_viol = viol.filter(
-                viol.schema_path.startswith("x-spark")).count()
         else:
             viol = v.violations(df, id_cols)
         if args.out:
+            # write ONCE, then count/sample from the written parquet —
+            # the dataset-tier plan (codec decodes, key shuffles) must
+            # not execute twice
             (viol.write.mode("overwrite")
              .parquet(f"{args.out}/violations"))
             manifest.write.mode("overwrite").parquet(f"{args.out}/manifest")
+            viol = spark.read.parquet(f"{args.out}/violations")
+        elif xs:
+            viol = viol.persist()
+        if xs:
+            n_ds_viol = viol.filter(
+                viol.schema_path.startswith("x-spark")).count()
         rows = manifest.collect()
         total = sum(r["rows"] for r in rows)
         invalid = sum(r["invalid_rows"] for r in rows)
@@ -158,9 +165,12 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 if args.format == "json":
                     print(json.dumps(d, default=str))
                 else:
-                    ids = " ".join(f"{c}={d[c]}" for c in id_cols)
+                    ids = " ".join(f"{c}={d[c]}" for c in id_cols
+                                   if d[c] is not None)
                     print(f"{d['json_path']}: {d['message']} "
                           f"[{d['keyword']}] {ids}".rstrip())
+            if xs:
+                viol.unpersist()
         extra = f", {n_ds_viol} dataset-check violations" if xs else ""
         print(f"{total - invalid}/{total} rows valid "
               f"({invalid} invalid{extra})", file=sys.stderr)

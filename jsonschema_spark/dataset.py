@@ -98,7 +98,9 @@ def validate_dataset(df: DataFrame, schema: dict,
     if "drift" in xs:
         d = xs["drift"]
         numeric = {c: tuple(v) for c, v in (d.get("numeric") or {}).items()}
-        max_ks = d.get("max_ks", 0.1)
+        # `is None`, not dict-default: a present-but-JSON-null key also
+        # means "use the default" (0.0 is a legitimate max_ks)
+        max_ks = 0.1 if d.get("max_ks") is None else d["max_ks"]
         max_l1 = d.get("max_l1")
         by = d.get("by")
         if by:
@@ -126,9 +128,16 @@ def validate_dataset(df: DataFrame, schema: dict,
                     .alias("failing_value"))
 
             for col, (lo, hi, bins) in numeric.items():
-                stats = partitioned_drift(
-                    df, by, col, lo, hi, bins,
-                    load_baseline(df.sparkSession, d["baseline"], col))
+                base = load_baseline(df.sparkSession, d["baseline"], col)
+                if not base.limit(1).count():
+                    # empty baseline would make every CDF term NULL and
+                    # the check a silent pass — misconfiguration, not
+                    # drift; fail loudly (baseline tables are tiny)
+                    raise ValueError(
+                        f"baseline at {d['baseline']!r} has no histogram "
+                        f"for column {col!r} — was it saved with this "
+                        f"column in `numeric`?")
+                stats = partitioned_drift(df, by, col, lo, hi, bins, base)
                 structs = [F.when(F.col("ks") > max_ks,
                                   _drow("drift:ks", col, "ks", max_ks,
                                         "KS statistic"))]
@@ -145,8 +154,8 @@ def validate_dataset(df: DataFrame, schema: dict,
             from .operators.drift import check_against_baseline
             viol = check_against_baseline(df, d["baseline"],
                                           numeric=numeric,
-                                          categorical=d.get("categorical",
-                                                            ()),
+                                          categorical=(d.get("categorical")
+                                                       or ()),
                                           max_ks=max_ks, max_l1=max_l1)
             if viol is not None:
                 parts.append(pad(viol))

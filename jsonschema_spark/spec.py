@@ -92,6 +92,12 @@ def _check_x_spark(xs: Any, path: str) -> None:
                 if k == "min_distinct":
                     if not isinstance(val, int) or isinstance(val, bool):
                         raise bad(f"/stats/{col}/{k}", "must be an integer")
+                elif k in ("min", "max"):
+                    # bounds compare against the column's own ordering —
+                    # strings/dates are as valid as numbers
+                    if not (_is_number(val) or isinstance(val, str)):
+                        raise bad(f"/stats/{col}/{k}",
+                                  "must be a number or string")
                 elif not _is_number(val):
                     raise bad(f"/stats/{col}/{k}", "must be a number")
     if "drift" in xs:
@@ -110,6 +116,13 @@ def _check_x_spark(xs: Any, path: str) -> None:
                     or not all(_is_number(x) for x in bounds)):
                 raise bad(f"/drift/numeric/{col}",
                           "must be [lo, hi, bins] (three numbers)")
+            lo, hi, bins = bounds
+            if (not isinstance(bins, int) or isinstance(bins, bool)
+                    or bins < 1):
+                raise bad(f"/drift/numeric/{col}",
+                          "bins must be a positive integer")
+            if not lo < hi:
+                raise bad(f"/drift/numeric/{col}", "needs lo < hi")
         cat = d.get("categorical") or ()
         if (not isinstance(cat, (list, tuple))
                 or not all(isinstance(c, str) for c in cat)):
@@ -126,6 +139,10 @@ def _check_x_spark(xs: Any, path: str) -> None:
                           "per-partition drift profiles numeric columns "
                           "only (categorical histograms have no shared "
                           "bucket grid); drop `categorical` or `by`")
+            if not num:
+                raise bad("/drift/by", "per-partition drift needs at "
+                          "least one numeric column to profile (the "
+                          "check would otherwise be a silent no-op)")
     for block, keys in _X_SPARK_NULLABLE.items():
         if block not in xs or xs[block] is None:  # null == all defaults
             continue
@@ -261,5 +278,8 @@ def check_schema(schema: Any, path: str = "#",
                     except re.error as e:
                         raise bad(kw, f"invalid regex key {name!r}: {e}")
                 check_schema(sub, f"{path}/{kw}/{name}", extra_types)
-    if "x-spark" in schema:
+    if "x-spark" in schema and path == "#":
+        # root only: validate_dataset reads only the document-root block;
+        # nested x-spark keys stay inert annotations (ignored like any
+        # unknown keyword), so their shape is not this check's business
         _check_x_spark(schema["x-spark"], f"{path}/x-spark")

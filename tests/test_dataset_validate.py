@@ -168,7 +168,21 @@ def test_check_schema_validates_x_spark_block():
         ({"near_dup_phash": {"strategy": "bandid"}}, "banded"),
         ({"phash_integrity": {"max_hamming": "0"}}, "integer"),
         ([], "must be an object"),
+        # review-r4 guards: fractional/zero bins, lo >= hi, by without
+        # numeric columns (silent no-op), string min stays ALLOWED below
+        ({"drift": {"baseline": "b", "numeric": {"w": [0, 200, 20.5]}}},
+         "positive integer"),
+        ({"drift": {"baseline": "b", "numeric": {"w": [0, 200, 0]}}},
+         "positive integer"),
+        ({"drift": {"baseline": "b", "numeric": {"w": [5, 5, 8]}}},
+         "lo < hi"),
+        ({"drift": {"baseline": "b", "by": "fmt"}}, "silent no-op"),
     ]
     for xs, match in bad_blocks:
         with pytest.raises(SchemaCompileError, match=match):
             check_schema({"x-spark": xs})
+    # string min/max bounds compare against the column's own ordering
+    check_schema({"x-spark": {"stats": {"day": {"min": "2024-01-01"}}}})
+    # NESTED x-spark keys are inert annotations (never executed by
+    # validate_dataset) — their shape is not meta-checked
+    check_schema({"properties": {"img": {"x-spark": {"unique": "oops"}}}})

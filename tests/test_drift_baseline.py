@@ -108,3 +108,30 @@ def test_validate_dataset_per_partition_drift(spark, tmp_path):
                                  "categorical": ["fmt"]}}}
     with pytest.raises(SchemaCompileError, match="numeric columns only"):
         validate_dataset(shifted, bad)
+
+
+def test_drift_null_threshold_and_missing_baseline_column(spark, tmp_path):
+    """Review-r4 guards: a present-but-JSON-null max_ks falls back to
+    the 0.1 default in BOTH modes (instead of TypeError / silently
+    disabling the predicate), and a baseline snapshot missing the
+    profiled column raises a pointed error in by-mode instead of a
+    silent pass."""
+    import pytest
+    from jsonschema_spark import validate_dataset
+    from jsonschema_spark.operators.drift import save_baseline
+
+    df = spark.range(2_000).selectExpr(
+        "id", "double(id % 100) as w",
+        "case when id % 2 = 0 then 'png' else 'jpeg' end as fmt")
+    path = str(tmp_path / "bl")
+    save_baseline(df, path, numeric={"w": (0.0, 200.0, 20)})
+    for extra in ({}, {"by": "fmt"}):
+        spec = {"x-spark": {"drift": {"baseline": path,
+                                      "numeric": {"w": [0.0, 200.0, 20]},
+                                      "max_ks": None, "max_l1": None,
+                                      **extra}}}
+        assert validate_dataset(df, spec).count() == 0  # default 0.1, clean
+    bad = {"x-spark": {"drift": {"baseline": path, "by": "fmt",
+                                 "numeric": {"h": [0.0, 200.0, 20]}}}}
+    with pytest.raises(ValueError, match="no histogram for column 'h'"):
+        validate_dataset(df, bad).count()
