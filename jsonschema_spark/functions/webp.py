@@ -244,9 +244,17 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
         if num_symbols == 1:
             return _PrefixCode.trivial(sym0)
         sym1 = br.read(8)
-        lengths = [0] * alphabet_size
         if sym0 >= alphabet_size or sym1 >= alphabet_size:
             raise WebPError("simple-code symbol out of range")
+        # CANONICAL assignment (code 0 -> numerically smaller symbol),
+        # NOT transmission order: the spec's pseudo-code sets
+        # code_lengths[sym0] = code_lengths[sym1] = 1 and builds the
+        # usual canonical table from the lengths, and the system
+        # libwebp agrees — verified empirically with a crafted
+        # DESCENDING pair (sym0=200, sym1=3): libwebp.so.7 decodes
+        # code 0 as 3 (tests/test_webp.py
+        # test_simple_pair_canonical_order*).
+        lengths = [0] * alphabet_size
         lengths[sym0] = 1
         lengths[sym1] = 1
         return _PrefixCode(lengths)

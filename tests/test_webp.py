@@ -119,6 +119,75 @@ def test_malformed_blobs_return_none():
     assert decode_webp(blob[:12] + b"VP8 " + blob[16:]) is None
 
 
+def _craft_descending_simple_stream():
+    """Hand-built 2x1 VP8L stream whose green channel uses the 'simple'
+    2-symbol prefix form with the symbols transmitted in DESCENDING
+    order (sym0=200, sym1=3).  The spec's pseudo-code sets both code
+    lengths to 1 and builds the usual CANONICAL table (code 0 -> the
+    numerically smaller symbol) — and the system libwebp agrees
+    (verified below) — so a transmission-order table would decode the
+    two greens swapped.  libwebp's encoder always emits ascending
+    pairs, so only a crafted stream can pin this down."""
+    import struct
+    bw = _BitWriter()
+    bw.write(1, 14)                # w - 1  -> w = 2
+    bw.write(0, 14)                # h - 1  -> h = 1
+    bw.write(0, 1)                 # no alpha
+    bw.write(0, 3)                 # version
+    bw.write(0, 1)                 # no transforms
+    bw.write(0, 1)                 # no color cache
+    bw.write(0, 1)                 # no meta prefix codes
+    # green: simple, 2 symbols, first 8-bit, DESCENDING (200 then 3)
+    bw.write(1, 1)
+    bw.write(1, 1)
+    bw.write(1, 1)
+    bw.write(200, 8)
+    bw.write(3, 8)
+    # red / blue / alpha: trivial single-symbol codes (0 payload bits)
+    for sym in (7, 9, 255):
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(sym, 8)
+    # distance: trivial single symbol 0 (1-bit symbol form)
+    bw.write(1, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    # payload: pixel 0 green code 0 (-> 200), pixel 1 green code 1 (-> 3)
+    bw.write_code(0, 1)
+    bw.write_code(1, 1)
+    payload = b"\x2f" + bw.getvalue()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_simple_pair_canonical_order():
+    """Simple 2-symbol codes use CANONICAL assignment (code 0 -> the
+    numerically smaller symbol) even when the stream transmits the
+    pair in descending order — pinned against libwebp below."""
+    blob = _craft_descending_simple_stream()
+    dec = decode_webp(blob)
+    assert dec is not None
+    expected = np.array([[[7, 3, 9], [7, 200, 9]]], np.uint8)
+    assert np.array_equal(dec, expected), dec.tolist()
+
+
+@needs_libwebp
+def test_simple_pair_canonical_order_vs_libwebp():
+    """The authoritative check: libwebp.so.7 decodes the descending
+    crafted pair canonically (first pixel green == 3, not 200)."""
+    blob = _craft_descending_simple_stream()
+    ours = decode_webp(blob)
+    theirs = lib_decode(blob)
+    assert theirs is not None
+    assert theirs[0, 0, 1] == 3 and theirs[0, 1, 1] == 200
+    assert np.array_equal(ours, theirs)
+
+
 def test_palette_forced_over_256_colors_raises():
     rng = np.random.default_rng(3)
     img = rng.integers(0, 255, size=(30, 30, 3)).astype(np.uint8)
