@@ -12,7 +12,8 @@ dataset-scope checks that have no row-local JSON-Schema analogue::
                   "numeric": {"w": [0.0, 16384.0, 32]},
                   "categorical": ["fmt"]},     # add "by": "fmt" for
                                                # per-partition scoring
-        "pixel_invariant": {"min_psnr": 40.0},
+        "pixel_invariant": {"min_psnr": 40.0,
+                            "decode": "auto"},   # "stub"|"real"|"auto"
         "phash_integrity": {"max_hamming": 0},
         "near_dup_phash": {"max_hamming": 3, "max_pairs": 0,
                            "strategy": "banded"}
@@ -27,10 +28,13 @@ Physical notes: the row pass is one narrow scan; each uniqueness check is
 one key shuffle; referential checks broadcast small dims; stats is one
 agg; drift compares pre-aggregated histograms; only the pixel-invariant /
 phash-integrity stage is Python (Arrow-batched) and only it reads
-``bytes`` — and when BOTH of those checks are configured they share ONE
-fused real-codec decode pass (stand-alone ``pixel_invariant`` keeps the
-stub-header decode of ``psnr_check``; the fused pass decodes with the
-real codecs, which is what a phash recompute requires anyway).
+``bytes``.  ``pixel_invariant``'s decode tier is an explicit option:
+``"decode": "stub"`` (synthetic-header fast path), ``"real"`` (the
+built-in BMP/PNG/JPEG/WebP codecs), or ``"auto"`` (default) which
+resolves to "real" when ``phash_integrity`` is also configured — the
+recompute needs real pixels anyway, so the two checks then share ONE
+fused decode pass — and "stub" standalone.  Pin "stub" or "real" when
+the verdict must not depend on which other blocks are present.
 """
 
 from __future__ import annotations
@@ -160,11 +164,28 @@ def validate_dataset(df: DataFrame, schema: dict,
             if viol is not None:
                 parts.append(pad(viol))
 
-    if "pixel_invariant" in xs and "phash_integrity" not in xs:
-        from .operators.multimodal import psnr_check
-        parts.append(pad(psnr_check(
-            df, min_psnr=(xs["pixel_invariant"] or {}).get("min_psnr",
-                                                           40.0))))
+    # pixel_invariant decode tier is EXPLICIT ("decode": "stub"|"real"|
+    # "auto"): "auto" (the default) keeps the fusion heuristic — real
+    # codecs when phash_integrity is also configured (its recompute
+    # needs real pixels anyway, so one fused decode serves both),
+    # stub-header decode standalone.  Pinning "stub" or "real" makes
+    # the tier independent of other blocks (an unrelated
+    # phash_integrity addition must not silently flip pixel_invariant
+    # verdicts for payloads the stub accepts but real codecs reject).
+    pix_cfg = (xs["pixel_invariant"] or {}) if "pixel_invariant" in xs \
+        else None
+    pix_tier = None
+    if pix_cfg is not None:
+        pix_tier = pix_cfg.get("decode", "auto")
+        if pix_tier == "auto":
+            pix_tier = "real" if "phash_integrity" in xs else "stub"
+    fuse_pixel = pix_tier == "real" and "phash_integrity" in xs
+
+    if pix_cfg is not None and not fuse_pixel:
+        from .operators.multimodal import psnr_check, psnr_check_real
+        check = psnr_check_real if pix_tier == "real" else psnr_check
+        parts.append(pad(check(df,
+                               min_psnr=pix_cfg.get("min_psnr", 40.0))))
 
     if "phash_integrity" in xs:
         # stored phash must equal (within max_hamming) the perceptual
@@ -176,7 +197,6 @@ def validate_dataset(df: DataFrame, schema: dict,
         from .operators.multimodal import phash_integrity_check
         cfg = xs["phash_integrity"] or {}
         maxh = cfg.get("max_hamming", 0)
-        fuse_pixel = "pixel_invariant" in xs
         chk = phash_integrity_check(
             df, carry=("w", "h") if fuse_pixel else (),
             with_psnr=fuse_pixel)
@@ -197,7 +217,7 @@ def validate_dataset(df: DataFrame, schema: dict,
             F.col("stored_phash").cast("string")))
         structs = [integ_struct]
         if fuse_pixel:
-            min_psnr = (xs["pixel_invariant"] or {}).get("min_psnr", 40.0)
+            min_psnr = pix_cfg.get("min_psnr", 40.0)
             pix_bad = ((~F.col("decode_ok"))
                        | (F.col("psnr") < min_psnr)
                        | (F.col("decoded_w") != F.col("w"))

@@ -332,7 +332,8 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
                        band_bits: int = 16,
                        chunk_size: int = 8192,
                        cache_signatures: bool = True,
-                       strategy: str = "banded") -> DataFrame:
+                       strategy: str = "banded",
+                       approx_n: int = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, blocked by
     `bits/band_bits` bands so at least one band matches exactly when the
     distance is small (pigeonhole).  Band extraction and hamming are
@@ -354,16 +355,20 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
     join to :func:`enumerated_hamming_pairs` — exact 32-bit block keys
     instead of 16-bit bands, removing the 65,536-bucket quadratic
     ceiling at 10^9+ rows for a 33x probe-key expansion (same pair
-    set, asserted in tests)."""
+    set, asserted in tests).  ``strategy="auto"`` picks by row count
+    (``approx_n`` when given, else one count over the signature frame
+    — which also warms the cache) via :func:`resolve_pair_strategy`."""
     sigs = simhash_packed_df(df, id_col, text_col, bits)
     if cache_signatures:
         sigs = sigs.cache()
         _DEDUP_PERSISTED.append(sigs)
+    if strategy == "auto" and approx_n is None:
+        approx_n = sigs.count()
+    strategy = resolve_pair_strategy(strategy, approx_n, max_hamming)
     if strategy == "enumerate":
         return enumerated_hamming_pairs(sigs, bits=bits,
                                         max_hamming=max_hamming,
                                         chunk_size=chunk_size)
-    assert strategy == "banded", f"unknown strategy {strategy!r}"
     return packed_hamming_pairs(sigs, bits=bits, max_hamming=max_hamming,
                                 band_bits=band_bits, chunk_size=chunk_size)
 
@@ -388,8 +393,10 @@ def packed_hamming_pairs(sigs: DataFrame, bits: int = 64,
     is bounded by :func:`chunked_bucket_pairs` chunk salting so no
     task goes quadratic in a hot bucket."""
     n_bands = bits // band_bits
-    if require_full_recall:
-        assert max_hamming < n_bands, (
+    if require_full_recall and max_hamming >= n_bands:
+        # ValueError, not assert: python -O strips asserts, which would
+        # silently lose recall instead of failing the misconfiguration
+        raise ValueError(
             f"pigeonhole broken: hamming {max_hamming} needs > "
             f"{max_hamming} bands, got {n_bands} ({bits} bits / "
             f"{band_bits} band_bits)")
@@ -460,8 +467,13 @@ def enumerated_hamming_pairs(sigs: DataFrame, bits: int = 64,
     :func:`chunked_bucket_pairs` salting as the banded path.
     Requires ``max_hamming <= 3`` (the 2-block <= 1-flip regime;
     larger balls need more blocks) and even ``bits``."""
-    assert max_hamming <= 3, "2-block single-flip enumeration covers h<=3"
-    assert bits % 2 == 0
+    if not 0 <= max_hamming <= 3:
+        # ValueError, not assert (python -O would silently miss pairs)
+        raise ValueError(
+            f"max_hamming={max_hamming}: 2-block single-flip "
+            "enumeration is exact only for 0 <= max_hamming <= 3")
+    if bits % 2:
+        raise ValueError(f"bits={bits} must be even (2 equal blocks)")
     half = bits // 2
     lo_mask = (1 << half) - 1
 
@@ -525,12 +537,36 @@ def enumerated_hamming_pairs(sigs: DataFrame, bits: int = 64,
             .agg(F.min("hamming").alias("hamming")))
 
 
+#: rows beyond which banding's 65,536-bucket/band keyspace starts going
+#: quadratic inside buckets and the enumerate strategy wins (docstrings
+#: of both strategies; the "auto" strategy switches here)
+BANDED_CROSSOVER_ROWS = 100_000_000
+
+
+def resolve_pair_strategy(strategy: str, n_rows, max_hamming: int) -> str:
+    """Resolve ``"auto"`` to a concrete pair strategy so the 10^9+-safe
+    path doesn't depend on the caller reading a docstring: enumerate
+    beyond :data:`BANDED_CROSSOVER_ROWS` (when its ``max_hamming <= 3``
+    precondition holds), banded otherwise.  ``n_rows`` may be an exact
+    count or any approximation of the right magnitude."""
+    if strategy in ("banded", "enumerate"):
+        return strategy
+    if strategy != "auto":
+        raise ValueError(f"unknown strategy {strategy!r}; expected "
+                         '"banded", "enumerate" or "auto"')
+    if max_hamming > 3:
+        return "banded"              # enumerate can't cover the ball
+    return ("enumerate" if n_rows is not None
+            and n_rows > BANDED_CROSSOVER_ROWS else "banded")
+
+
 def phash_near_duplicates(df: DataFrame, id_col: str = "image_id",
                           phash_col: str = "phash",
                           max_hamming: int = 3,
                           band_bits: int = 16,
                           chunk_size: int = 8192,
-                          strategy: str = "banded") -> DataFrame:
+                          strategy: str = "banded",
+                          approx_n: int = None) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash hamming distance
     over the north-star table's ``phash:int64`` column (BASELINE.json
     input_hint; the reference analogue is a uniqueItems-style pairwise
@@ -550,18 +586,23 @@ def phash_near_duplicates(df: DataFrame, id_col: str = "image_id",
       keyspace, no quadratic buckets at any realistic n) for a 33x
       probe-key expansion.  The 10^9+-row strategy.
 
-    Both return identical pair sets (asserted in tests).  Rows with
+    Both return identical pair sets (asserted in tests); pass
+    ``strategy="auto"`` to pick by row count (``approx_n`` when given,
+    else one narrow count over the (id, phash) scan) — enumerate past
+    :data:`BANDED_CROSSOVER_ROWS`, banded below.  Rows with
     NULL phash never pair.  Output ``(id_a, id_b, hamming)``;
     duplicate ids (same id on two rows) contribute their min-hamming
     pair once."""
     sigs = (df.filter(F.col(phash_col).isNotNull())
             .select(F.col(id_col).alias("_id"),
                     F.col(phash_col).cast("long").alias("_sh")))
+    if strategy == "auto" and approx_n is None:
+        approx_n = sigs.count()
+    strategy = resolve_pair_strategy(strategy, approx_n, max_hamming)
     if strategy == "enumerate":
         return enumerated_hamming_pairs(sigs, bits=64,
                                         max_hamming=max_hamming,
                                         chunk_size=chunk_size)
-    assert strategy == "banded", f"unknown strategy {strategy!r}"
     return packed_hamming_pairs(sigs, bits=64, max_hamming=max_hamming,
                                 band_bits=band_bits, chunk_size=chunk_size,
                                 require_full_recall=True)

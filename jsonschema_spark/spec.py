@@ -39,7 +39,7 @@ _X_SPARK_STATS_RULES = frozenset(
 _X_SPARK_DRIFT_KEYS = frozenset(
     {"baseline", "numeric", "categorical", "max_ks", "max_l1", "by"})
 #: blocks where JSON null means "all defaults", with their known keys
-_X_SPARK_NULLABLE = {"pixel_invariant": frozenset({"min_psnr"}),
+_X_SPARK_NULLABLE = {"pixel_invariant": frozenset({"min_psnr", "decode"}),
                      "phash_integrity": frozenset({"max_hamming"}),
                      "near_dup_phash": frozenset({"max_hamming", "max_pairs",
                                                   "strategy"})}
@@ -155,14 +155,32 @@ def _check_x_spark(xs: Any, path: str) -> None:
                                    f"known: {sorted(keys)}")
         for k, val in cfg.items():
             if k == "strategy":
-                if val not in ("banded", "enumerate"):
+                if val not in ("banded", "enumerate", "auto"):
                     raise bad(f"/{block}/strategy",
-                              'must be "banded" or "enumerate"')
+                              'must be "banded", "enumerate" or "auto"')
+            elif k == "decode":
+                if val not in ("stub", "real", "auto"):
+                    raise bad(f"/{block}/decode",
+                              'must be "stub", "real" or "auto"')
             elif k == "min_psnr":
                 if not _is_number(val):
                     raise bad(f"/{block}/{k}", "must be a number")
             elif not isinstance(val, int) or isinstance(val, bool):
                 raise bad(f"/{block}/{k}", "must be an integer")
+            elif k == "max_hamming" and block == "near_dup_phash" \
+                    and not 0 <= val <= 3:
+                # both exact pair strategies cap at 3: enumerate's
+                # 2-block single-flip regime, and banded's pigeonhole
+                # (4 bands of 16 bits) — beyond that recall silently
+                # drops, so reject at compile time (dedup.py enforces
+                # the same bound with ValueError at the operator seam)
+                raise bad(f"/{block}/max_hamming",
+                          "must be 0..3 (the exact-recall regime of "
+                          "both pair strategies)")
+            elif k == "max_hamming" and block == "phash_integrity" \
+                    and not 0 <= val <= 64:
+                raise bad(f"/{block}/max_hamming",
+                          "must be 0..64 (64-bit phash)")
 
 
 def check_schema(schema: Any, path: str = "#",

@@ -132,6 +132,35 @@ def test_validate_dataset_null_check_configs(spark):
     assert any(k == "pixelInvariant" for _, k in got)  # planted damage
 
 
+def test_pixel_invariant_decode_tier_pinning(spark):
+    """pixel_invariant's decode tier is an explicit option: pinning
+    "stub" keeps stub-header verdicts even when phash_integrity is
+    also configured (no silent semantic flip from an unrelated block),
+    and pinning "real" standalone matches the fused real-codec
+    verdicts."""
+    from jsonschema_spark.sources.images import phash_images_df
+
+    def pix(df, xs):
+        v = validate_dataset(df, {"type": "object", "x-spark": xs},
+                             ["image_id"])
+        return sorted(r["image_id"] for r in
+                      v.filter(F.col("keyword") == "pixelInvariant")
+                      .collect())
+
+    stub = images_df(spark, 1_000).cache()
+    base = pix(stub, {"pixel_invariant": {}})
+    # pinned stub: adding phash_integrity no longer flips verdicts
+    assert pix(stub, {"pixel_invariant": {"decode": "stub"},
+                      "phash_integrity": {}}) == base
+    # default "auto" resolves to real when phash_integrity is present:
+    # real codecs reject every synthetic stub payload (documented)
+    assert len(pix(stub, {"pixel_invariant": {},
+                          "phash_integrity": {}})) == 1_000
+    real = phash_images_df(spark, 400).cache()
+    fused = pix(real, {"pixel_invariant": {}, "phash_integrity": {}})
+    assert pix(real, {"pixel_invariant": {"decode": "real"}}) == fused
+
+
 def test_check_schema_validates_x_spark_block():
     """check_schema covers the engine's own extension namespace: config
     mistakes fail driver-side with a pointed SchemaCompileError instead
@@ -177,6 +206,14 @@ def test_check_schema_validates_x_spark_block():
         ({"drift": {"baseline": "b", "numeric": {"w": [5, 5, 8]}}},
          "lo < hi"),
         ({"drift": {"baseline": "b", "by": "fmt"}}, "silent no-op"),
+        # review-r5 guards: near_dup_phash.max_hamming beyond the
+        # exact-recall regime of BOTH pair strategies must fail at
+        # compile time (not an AssertionError deep inside the job —
+        # and not silently lost recall under python -O)
+        ({"near_dup_phash": {"max_hamming": 4}}, "0..3"),
+        ({"near_dup_phash": {"max_hamming": -1}}, "0..3"),
+        ({"phash_integrity": {"max_hamming": 65}}, "0..64"),
+        ({"pixel_invariant": {"decode": "reel"}}, "stub"),
     ]
     for xs, match in bad_blocks:
         with pytest.raises(SchemaCompileError, match=match):

@@ -843,6 +843,61 @@ def test_phash_enumerate_strategy_equals_banded(spark):
     assert n_cluster == 400 * 399 // 2
 
 
+def test_pair_strategy_auto_switches_at_crossover(spark):
+    """strategy="auto" resolves by row count — banded below the
+    documented crossover, enumerate above it (so the 10^9+-safe path
+    doesn't depend on callers reading a docstring) — and both
+    resolutions return the same pair set."""
+    from jsonschema_spark.operators.dedup import (
+        BANDED_CROSSOVER_ROWS, phash_near_duplicates,
+        resolve_pair_strategy)
+    assert resolve_pair_strategy("auto", 10_000, 3) == "banded"
+    assert resolve_pair_strategy(
+        "auto", BANDED_CROSSOVER_ROWS + 1, 3) == "enumerate"
+    # enumerate can't cover hamming > 3: auto stays banded
+    assert resolve_pair_strategy(
+        "auto", BANDED_CROSSOVER_ROWS + 1, 4) == "banded"
+    assert resolve_pair_strategy("enumerate", None, 3) == "enumerate"
+
+    img = images_df(spark, 1200)
+    small = phash_near_duplicates(img, strategy="auto", approx_n=1200)
+    big = phash_near_duplicates(img, strategy="auto",
+                                approx_n=BANDED_CROSSOVER_ROWS * 2)
+    # the switch actually happened: banded plans carry _band keys,
+    # enumerated plans carry _blk block keys
+    assert "_band" in small._jdf.queryExecution().logical().toString()
+    assert "_blk" in big._jdf.queryExecution().logical().toString()
+    assert ({tuple(r) for r in small.collect()}
+            == {tuple(r) for r in big.collect()})
+    # no approx_n hint: auto counts the narrow (id, phash) scan itself
+    counted = phash_near_duplicates(img, strategy="auto")
+    assert "_band" in counted._jdf.queryExecution().logical().toString()
+
+
+def test_pair_strategy_errors_are_typed(spark):
+    """Misconfigurations raise ValueError (pointed, -O-proof), never
+    bare asserts that python -O would strip into silent recall loss."""
+    import pytest
+    from jsonschema_spark.operators.dedup import (
+        enumerated_hamming_pairs, packed_hamming_pairs,
+        phash_near_duplicates, simhash_duplicates)
+    sigs = spark.range(4).selectExpr("CAST(id AS STRING) AS _id",
+                                     "xxhash64(id) AS _sh")
+    with pytest.raises(ValueError, match="max_hamming"):
+        enumerated_hamming_pairs(sigs, max_hamming=4)
+    with pytest.raises(ValueError, match="even"):
+        enumerated_hamming_pairs(sigs, bits=63, max_hamming=3)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        packed_hamming_pairs(sigs, max_hamming=4,
+                             require_full_recall=True)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        phash_near_duplicates(images_df(spark, 10), strategy="bogus")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        simhash_duplicates(spark.createDataFrame(
+            [("a", "x y z")], "id string, text string"),
+            "id", "text", strategy="bogus")
+
+
 def test_enumerated_hamming_core_equals_banded_on_random_codes(spark):
     """Direct core equality: enumerated (bit-flip) and banded pair
     joins return identical (id, id, hamming) sets on random 64-bit
