@@ -49,7 +49,13 @@ def _fingerprint(path: str) -> str:
 #: a codec fix must invalidate the persisted oracle bytes too)
 _GEN_FP = "".join(_fingerprint(os.path.join(_REPO, "jsonschema_spark", *p))
                   for p in (("sources", "images.py"),
-                            ("operators", "multimodal.py")))[:16]
+                            ("operators", "multimodal.py"),
+                            # the codecs determine the persisted BYTES
+                            # (and their decode verdicts): a codec fix
+                            # must invalidate cached oracle corpora
+                            ("functions", "jpeg.py"),
+                            ("functions", "webp.py"),
+                            ("functions", "native_codecs.py")))[:16]
 
 
 

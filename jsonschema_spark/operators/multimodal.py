@@ -326,9 +326,17 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def decode_blob(blob, use_pil: bool = False):
     """Magic-byte codec dispatch shared by every real-decode pass: BMP,
-    PNG, baseline JPEG and WebP-lossless decode with the built-in numpy
-    codecs; anything else tries Pillow when importable.  Returns an
-    (h, w, 3) uint8 array or None on any structural failure."""
+    PNG, baseline JPEG and WebP-lossless; anything else tries Pillow
+    when importable.  Returns an (h, w, 3) uint8 array or None on any
+    structural failure.
+
+    JPEG and WebP dispatch to the NATIVE fast path (libjpeg shim /
+    libwebp via ctypes, functions/native_codecs) when available —
+    same accept/reject envelope and bit-exact (WebP) / PSNR-equivalent
+    (JPEG IDCT rounding) pixels vs the built-in pure-python codecs,
+    which remain the fallback and the cross-certification oracle
+    (differential tests in tests/test_native_codecs.py).  Disable with
+    JSONSCHEMA_SPARK_NATIVE=0."""
     if blob is None:
         return None
     if blob[:2] == b"BM":
@@ -336,11 +344,17 @@ def decode_blob(blob, use_pil: bool = False):
     if blob[:8] == PNG_SIG:
         return decode_png(bytes(blob))
     if blob[:2] == b"\xff\xd8":
+        from ..functions import native_codecs as nc
+        if nc.jpeg_native_available():
+            return nc.decode_jpeg_native(bytes(blob))
         from ..functions.jpeg import decode_jpeg
         return decode_jpeg(bytes(blob))
     if blob[:4] == b"RIFF" and blob[12:16] == b"VP8L":
         # lossless WebP only — lossy VP8/VP8X RIFF payloads fall
         # through to the Pillow path below
+        from ..functions import native_codecs as nc
+        if nc.webp_native_available():
+            return nc.decode_webp_native(bytes(blob))
         from ..functions.webp import decode_webp
         return decode_webp(bytes(blob))
     if use_pil:  # pragma: no cover
