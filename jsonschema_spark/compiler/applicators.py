@@ -326,9 +326,11 @@ def _bind_member(ctx: CompileContext, field: T.StructField,
                  fragment: str) -> CompileContext:
     target = (F.col(field.name) if _row_scope(ctx)
               else ctx.target.getField(field.name))
+    # member bindings reset null_is_absent to the data-model policy
+    # (None = inherit): see CompileContext.absent_policy
     return ctx.child(target=target, dtype=field.dataType,
                      path_fragment=field.name, schema_fragment=fragment,
-                     row_fields=None)
+                     null_is_absent=ctx.absent_policy, row_fields=None)
 
 
 def c_properties(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
@@ -367,6 +369,7 @@ def c_properties(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node
             child_ctx = ctx.child(target=member, dtype=vtype,
                                   path_fragment=name,
                                   schema_fragment=f"properties/{pointer_escape(name)}",
+                                  null_is_absent=ctx.absent_policy,
                                   row_fields=None)
             child = compile_subschema(child_ctx, sub)
             out.checks.extend(child.checks)

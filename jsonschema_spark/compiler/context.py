@@ -65,6 +65,17 @@ class CompileContext:
     #: field binding); False for array elements, where NULL is a present
     #: JSON null instance.
     null_is_absent: bool = True
+    #: Data-model policy for OBJECT-MEMBER bindings: what
+    #: ``null_is_absent`` should reset to when binding a struct field /
+    #: map value, regardless of the current scope's flag.  ``None``
+    #: (default) inherits the current flag — the original behavior,
+    #: right for suite mode where every NULL is a present JSON null.
+    #: Document/table mode sets True so members of structs INSIDE
+    #: ARRAYS go back to NULL==absent after the element scope set
+    #: null_is_absent=False (a null *element* is present; a NULL
+    #: *member* of that element is absent — how field-union struct
+    #: types represent objects with differing key sets).
+    absent_policy: Optional[bool] = None
     #: URI-based reference machinery (compiler/resolver.py) — the
     #: referencing-registry analogue.  base_uri is the current schema
     #: resource's base; dynamic_scope the resources entered so far

@@ -164,11 +164,71 @@ def infer_spark_type(v: Any) -> T.DataType:
     raise Unrepresentable(f"unsupported instance type {type(v).__name__}")
 
 
+def _merge_types(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Least upper bound of two inferred types for DOCUMENT mode:
+    structs merge by field-name union (recursively), arrays merge their
+    element types, Long widens to Double.  Raises Unrepresentable when
+    no lossless union exists (genuinely mixed-kind arrays)."""
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType) or a == b:
+        return a
+    if {type(a), type(b)} == {T.LongType, T.DoubleType}:
+        return T.DoubleType()
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(_merge_types(a.elementType, b.elementType),
+                           containsNull=True)
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        by_name = {f.name: f.dataType for f in a.fields}
+        order = [f.name for f in a.fields]
+        for f in b.fields:
+            if f.name in by_name:
+                by_name[f.name] = _merge_types(by_name[f.name],
+                                               f.dataType)
+            else:
+                by_name[f.name] = f.dataType
+                order.append(f.name)
+        return T.StructType([T.StructField(n, by_name[n], True)
+                             for n in order])
+    raise Unrepresentable("heterogeneous array")
+
+
+def infer_spark_type_document(v: Any) -> T.DataType:
+    """DOCUMENT-mode inference: like :func:`infer_spark_type` but
+    arrays of objects with differing key sets merge to the field-UNION
+    struct — the absent members surface as NULL columns, which is the
+    engine's NATIVE semantics (``null_is_absent=True``).  This is an
+    EXACT representation for any JSON document with no explicit
+    ``null`` members (those stay Unrepresentable: a table cannot hold
+    present-null and absent apart).  Suite mode keeps the strict
+    inference because it runs ``null_is_absent=False``, where a NULL
+    member would read as a present JSON null."""
+    if isinstance(v, list):
+        elem: Optional[T.DataType] = None
+        for e in v:
+            t = infer_spark_type_document(e)
+            elem = t if elem is None else _merge_types(elem, t)
+        return T.ArrayType(elem or T.StringType(), containsNull=True)
+    if isinstance(v, dict):
+        fields = []
+        for k, val in v.items():
+            if val is None:
+                raise Unrepresentable("object member with null value")
+            fields.append(T.StructField(
+                k, infer_spark_type_document(val), True))
+        return T.StructType(fields)
+    return infer_spark_type(v)
+
+
 def _to_row_value(v: Any, dtype: T.DataType) -> Any:
     """Convert the JSON instance to the Python shape createDataFrame
-    expects for `dtype` (dicts -> tuples in field order)."""
+    expects for `dtype` (dicts -> tuples in field order; members the
+    union type carries but the object lacks become NULL — document
+    mode's absent-member representation)."""
+    if v is None:
+        return None
     if isinstance(dtype, T.StructType):
-        return tuple(_to_row_value(v[f.name], f.dataType)
+        return tuple(_to_row_value(v.get(f.name), f.dataType)
                      for f in dtype.fields)
     if isinstance(dtype, T.ArrayType):
         return [_to_row_value(e, dtype.elementType) for e in v]

@@ -129,11 +129,61 @@ def merge_manifest(spark: SparkSession, table: str,
     tmp = f"_manifest_updates_{_uuid.uuid4().hex[:8]}"
     rows_df.createOrReplaceTempView(tmp)
     try:
-        spark.sql(
-            f"MERGE INTO {table} t USING {tmp} s "
-            f"ON t.partition_key = s.partition_key "
-            f"AND t.input_lineage = s.input_lineage "
-            f"WHEN MATCHED THEN UPDATE SET * "
-            f"WHEN NOT MATCHED THEN INSERT *")
+        spark.sql(merge_manifest_sql(table, tmp))
     finally:
         spark.catalog.dropTempView(tmp)
+
+
+#: MERGE key — a retried group replaces its previous commit record for
+#: the same input snapshot; different snapshots (new lineage) coexist
+MERGE_KEYS = ("partition_key", "input_lineage")
+
+
+def merge_manifest_sql(table: str, source: str) -> str:
+    """The exact MERGE statement :func:`merge_manifest` executes —
+    exposed so tests can run the literal text through Spark's SQL
+    parser and so :func:`merge_manifest_local` provably implements the
+    same statement's semantics."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in MERGE_KEYS)
+    return (f"MERGE INTO {table} t USING {source} s "
+            f"ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *")
+
+
+def merge_manifest_local(spark: SparkSession, path: str,
+                         rows_df: DataFrame) -> None:
+    """Local catalog stand-in for :func:`merge_manifest`: the same
+    MERGE semantics (matched on :data:`MERGE_KEYS` -> the update
+    replaces the target row; not matched -> insert) executed as a
+    left-anti join + union over a parquet-backed manifest directory,
+    because no open v2 catalog in this sandbox executes MERGE INTO
+    (Iceberg jar absent; DuckDB < 1.4).
+
+    NOT transactional: the read-rewrite is a single atomic directory
+    swap locally but has no optimistic-concurrency story — Iceberg's
+    snapshot commit (the jar-gated real path) is what makes concurrent
+    retries safe on a cluster.  Used by tests to execute the MERGE
+    semantics end-to-end (double-commit idempotency, lineage
+    coexistence) and usable as a jarless dev fallback."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    cols = rows_df.columns
+    if os.path.isdir(path) and any(
+            f.endswith(".parquet") or f == "_SUCCESS"
+            for f in os.listdir(path)):
+        cur = spark.read.parquet(path)
+        kept = cur.join(rows_df.select(*MERGE_KEYS).distinct(),
+                        on=list(MERGE_KEYS), how="left_anti")
+        merged = kept.select(*cols).unionByName(rows_df)
+    else:
+        merged = rows_df
+    tmp = f"{path}__merge_{_uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{_uuid.uuid4().hex[:8]}"
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)

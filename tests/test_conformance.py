@@ -86,3 +86,64 @@ def test_vocabulary_tables_are_era_aware():
         _registry_for_draft("draft2020-12"),
         {"$schema": "https://json-schema.org/draft/2020-12/schema"}, res12)
     assert reg12.get("unevaluatedProperties") is not None
+
+
+def test_document_mode_union_structs_and_absent_policy(spark):
+    """DOCUMENT mode (issue232 mirror, tools/run_issue232.py): arrays
+    of objects with differing key sets infer to the field-UNION struct
+    and, with absent_policy=True, a NULL member INSIDE an array element
+    is absent again (the element scope alone is null_is_absent=False).
+    Verdict parity asserted against the installed jsonschema on both
+    polarities."""
+    import jsonschema
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.compiler.context import CompileContext
+    from jsonschema_spark.compiler.registry import compile_subschema
+    from jsonschema_spark.conformance import (_registry_for_draft,
+                                              _to_row_value, base_resolver,
+                                              infer_spark_type_document)
+
+    schema = {
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "properties": {"tags": {"type": "array", "items": {
+            "type": "object",
+            "required": ["name"],
+            "properties": {"name": {"type": "string"},
+                           "desc": {"type": "string"}},
+            "additionalProperties": False}}}}
+    good = {"tags": [{"name": "a", "desc": "x"}, {"name": "b"}]}
+    bad = {"tags": [{"name": "a"}, {"desc": "orphan"}]}   # missing name
+    ref = jsonschema.Draft4Validator(schema)
+    assert ref.is_valid(good) and not ref.is_valid(bad)
+
+    dtype = infer_spark_type_document(good)
+    names = [f.name for f in dtype["tags"].dataType.elementType.fields]
+    assert sorted(names) == ["desc", "name"]      # field union
+
+    resolver = base_resolver("draft4")
+    verdicts = []
+    for inst in (good, bad):
+        row_t = T.StructType([T.StructField("value", dtype, True)])
+        df = spark.createDataFrame([(_to_row_value(inst, dtype),)], row_t)
+        res = resolver.child()
+        root_uri = res.add_root(schema)
+        ctx = CompileContext(
+            registry=_registry_for_draft("draft4"),
+            target=F.col("value"), dtype=dtype, root_schema=schema,
+            null_is_absent=True, absent_policy=True,
+            resolver=res, base_uri=root_uri, dynamic_scope=(root_uri,))
+        node = compile_subschema(ctx, schema)
+        verdicts.append(bool(df.select(
+            F.coalesce(node.ok, F.lit(False)).alias("ok")).first()["ok"]))
+    assert verdicts == [True, False]
+
+    # explicit nulls stay out of the document data model
+    import pytest as _pytest
+    from jsonschema_spark.conformance import Unrepresentable
+    with _pytest.raises(Unrepresentable):
+        infer_spark_type_document({"a": None})
+    # genuinely mixed-kind arrays still refuse
+    with _pytest.raises(Unrepresentable):
+        infer_spark_type_document([1, "x"])

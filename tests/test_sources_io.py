@@ -170,3 +170,45 @@ def test_run_iceberg_requires_runtime(spark, tmp_path):
                         {"required": ["image_id"]}, "fmt")
     with _pytest.raises(RuntimeError):
         run.run_iceberg("lake.db.images", ["image_id"])
+
+
+def test_merge_manifest_sql_parses_and_local_standin_executes(spark,
+                                                              tmp_path):
+    """VERDICT-r4 #5: execute the MERGE semantics, not just the string.
+    (a) The EXACT merge_manifest SQL text goes through Spark's real SQL
+    parser (sessionState.sqlParser — syntax-certain even without a v2
+    catalog to run it against); (b) merge_manifest_local executes the
+    same statement's semantics on a parquet stand-in: double commit of
+    the same (partition_key, input_lineage) keys converges to ONE row
+    set with the later values, while a different lineage COEXISTS."""
+    from jsonschema_spark.runner import MANIFEST_SCHEMA
+    from jsonschema_spark.sources.iceberg import (merge_manifest_local,
+                                                  merge_manifest_sql)
+
+    sql = merge_manifest_sql("lake.db.manifest", "updates")
+    # the real parser: raises ParseException on bad SQL, returns a
+    # MergeIntoTable logical plan node for the genuine statement
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    assert "MergeIntoTable" in plan.getClass().getSimpleName()
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+
+    path = str(tmp_path / "manifest")
+
+    def rows(run_id, passed, lineage):
+        return spark.createDataFrame(
+            [(k, run_id, 10, 0 if passed else 3, 0, passed, 1.0, 2.0,
+              lineage) for k in ("png", "bmp")], MANIFEST_SCHEMA)
+
+    merge_manifest_local(spark, path, rows("r1", False, "snap7"))
+    # retry with the same keys: REPLACES (idempotent), never appends
+    merge_manifest_local(spark, path, rows("r2", True, "snap7"))
+    got = spark.read.parquet(path)
+    assert got.count() == 2
+    assert got.filter("run_id = 'r2' AND passed").count() == 2
+    # a new snapshot's records coexist (resume is snapshot-scoped)
+    merge_manifest_local(spark, path, rows("r3", True, "snap8"))
+    got = spark.read.parquet(path)
+    assert got.count() == 4
+    assert (got.groupBy("partition_key", "input_lineage").count()
+            .filter("count > 1").count() == 0)
