@@ -788,7 +788,7 @@ def test_packed_hamming_pigeonhole_guard(spark):
     (simhash) may trade recall deliberately and must not."""
     from jsonschema_spark.operators.dedup import packed_hamming_pairs
     sigs = spark.createDataFrame([("a", 1)], "_id string, _sh long")
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="pigeonhole"):
         packed_hamming_pairs(sigs, bits=64, max_hamming=4, band_bits=16,
                              require_full_recall=True)
     # permissive mode builds the plan without complaint
