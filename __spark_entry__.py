@@ -270,6 +270,53 @@ def q_docs_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("dup_count") > 1))
 
 
+def _dup_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of exact content-fingerprint pairs (star edges per group)
+    and word-3-gram Jaccard >= 0.6 pairs — the pair stream the cluster
+    queries close transitively.  Star edges are CC-equivalent to the
+    oracle's cliques (same components) and O(group) instead of
+    O(group^2)."""
+    from jsonschema_spark.operators.dedup import ngram_jaccard_pairs
+    from jsonschema_spark.operators.text import content_fingerprint
+    d = _t(spark, sf_dir, "documents")
+    jac = (ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.6)
+           .select("id_a", "id_b"))
+    keyed = (d.filter(F.col("text").isNotNull())
+             .select(content_fingerprint(F.col("text")).alias("k"),
+                     "doc_id"))
+    ex = (keyed.groupBy("k")
+          .agg(F.min("doc_id").alias("id_a"),
+               F.collect_list("doc_id").alias("_ids"))
+          .filter(F.size("_ids") > 1)
+          .select("id_a", F.explode("_ids").alias("id_b"))
+          .filter(F.col("id_a") != F.col("id_b")))
+    return jac.union(ex)
+
+
+def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup pair stream into clusters
+    (large-star/small-star connected components; cluster_id = min member
+    id) — the step between pair emission and survivor election."""
+    from jsonschema_spark.operators.clusters import duplicate_clusters
+    pairs = _dup_pair_edges(spark, sf_dir)
+    return (duplicate_clusters(pairs)
+            .select(F.col("id").alias("doc_id"), "cluster_id"))
+
+
+def q_docs_dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop manifest of cluster-resolved dedup: every non-survivor row,
+    with the survivor elected per cluster as the LONGEST text (ties ->
+    smallest doc_id) via the min_by aggregation path (no window — a
+    mega-cluster partially aggregates map-side)."""
+    from jsonschema_spark.operators.clusters import resolve_duplicates
+    d = _t(spark, sf_dir, "documents")
+    pairs = _dup_pair_edges(spark, sf_dir)
+    out = resolve_duplicates(d, pairs, "doc_id",
+                             prefer=-F.length("text"))
+    return (out.filter(~F.col("is_canonical"))
+            .select("doc_id", "cluster_id"))
+
+
 def q_embeddings_max_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search baseline: per-vector max cosine to any other."""
     from jsonschema_spark.operators.similarity import max_cosine_per_vector
@@ -1059,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_vs_exact": q_minhash_vs_exact,
         "simhash_vs_exact": q_simhash_vs_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_dedup_dropped": q_docs_dedup_dropped,
         "images_validation": q_images_validation,
         "phash_near_dups": q_phash_near_dups,
         "phash_integrity": q_phash_integrity,
@@ -1150,6 +1199,47 @@ _COMPOSITION_CHECKS = [
      f"{_IF_OK} AND o_totalprice IS NOT NULL AND o_totalprice > 400000"),
     ("required", "$", f"NOT {_IF_OK} AND o_custkey IS NULL"),
 ]
+
+# Shared CTE prefix for the dup-cluster oracles: near-dup pairs (exact
+# content-fingerprint cliques UNION word-3-gram Jaccard >= 0.6) closed
+# transitively by a recursive min-label reach — `reach` holds every
+# (node, label) with label < node reachable, so min(label) per node is
+# the component min, exactly what large-star/small-star converges to.
+_DUP_CLUSTER_CTE = r"""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, greatest(len(ws)-2, 1)))
+                           AS i
+                FROM w)),
+    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM g a JOIN g b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    jac AS (SELECT id_a, id_b FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6),
+    keyed AS (SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(
+                         string_split_regex(lower(trim(text)), '\W+'))),
+                         ' ')) AS k
+              FROM documents WHERE text IS NOT NULL),
+    expairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM keyed a JOIN keyed b
+                  ON a.k = b.k AND a.doc_id < b.doc_id),
+    pairs AS (SELECT * FROM jac UNION SELECT * FROM expairs),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s AS id, s AS comp FROM edges
+              UNION
+              SELECT e.d AS id, r.comp
+              FROM reach r JOIN edges e ON e.s = r.id
+              WHERE r.comp < e.d)
+"""
 
 _COMPOSITION_ORACLE = " UNION ALL ".join(
     f"SELECT '{kw}' AS keyword, '{jp}' AS json_path, count(*) AS n "
@@ -1618,6 +1708,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+        """,
+        "docs_dup_clusters": _DUP_CLUSTER_CTE + """
+            SELECT id AS doc_id, min(comp) AS cluster_id
+            FROM reach GROUP BY id
+        """,
+        "docs_dedup_dropped": _DUP_CLUSTER_CTE + """,
+            cc AS (SELECT id, min(comp) AS cluster_id
+                   FROM reach GROUP BY id),
+            mem AS (SELECT c.id AS doc_id, c.cluster_id,
+                           len(d.text) AS L
+                    FROM cc c JOIN documents d ON d.doc_id = c.id)
+            SELECT doc_id, cluster_id FROM (
+                SELECT doc_id, cluster_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY L DESC, doc_id) AS rn
+                FROM mem)
+            WHERE rn > 1
         """,
         "dynamic_ref_orders": """
             SELECT 'maximum' AS keyword,
