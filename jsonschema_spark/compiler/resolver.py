@@ -54,11 +54,39 @@ def join_uri(base: str, ref: str) -> str:
     return joined
 
 
-class Resolver:
-    """Compile-time schema registry + reference resolver."""
+def urlopen_retrieve(uri: str) -> Any:
+    """Opt-in network retriever for :class:`Resolver` — fetch `uri` with
+    urllib and parse JSON, the analogue of the reference's
+    ``RefResolver.resolve_remote`` urlopen path
+    (/root/reference/jsonschema/validators.py:108-133, 1182-1233).
 
-    def __init__(self, draft: str = "draft2020-12"):
+    NEVER used implicitly: pass ``retrieve=urlopen_retrieve`` explicitly
+    to opt into network access at compile time (resolution is
+    driver-side only — executors never fetch).  Production callers
+    should prefer ``schema_store`` pre-registration, which keeps schema
+    compilation hermetic and reproducible."""
+    import json
+    from urllib.request import urlopen
+    with urlopen(uri) as resp:  # noqa: S310 - explicit user opt-in
+        return json.loads(resp.read().decode("utf-8"))
+
+
+class Resolver:
+    """Compile-time schema registry + reference resolver.
+
+    `retrieve`, when given, is called with the absolute URI of any
+    ``$ref`` target that is not already registered; whatever document it
+    returns is indexed (under that URI *and* its own ``$id``, per-resource
+    draft rules applied) and resolution proceeds — the analogue of
+    ``referencing.Registry(retrieve=...)``.  It runs on the driver during
+    compile only, is consulted at most once per URI (the result is
+    cached in ``documents``), and any exception it raises is wrapped in
+    :class:`SchemaCompileError` (the reference maps retrieval failures
+    to ``_RefResolutionError`` the same way)."""
+
+    def __init__(self, draft: str = "draft2020-12", retrieve=None):
         self.draft = draft
+        self.retrieve = retrieve
         self.documents: dict[str, Any] = {}
         self.anchors: dict[tuple[str, str], Any] = {}
         self.dynamic_anchors: dict[tuple[str, str], Any] = {}
@@ -69,7 +97,7 @@ class Resolver:
     def child(self) -> "Resolver":
         """Shallow-copied resolver sharing nothing mutable with self —
         cheap per-case forks on top of a pre-indexed remote registry."""
-        out = Resolver(self.draft)
+        out = Resolver(self.draft, retrieve=self.retrieve)
         out.documents = dict(self.documents)
         out.anchors = dict(self.anchors)
         out.dynamic_anchors = dict(self.dynamic_anchors)
@@ -184,6 +212,15 @@ class Resolver:
         target = join_uri(base, ref)
         uri, frag = urldefrag(target)
         doc = self.documents.get(uri)
+        if doc is None and uri and self.retrieve is not None:
+            try:
+                fetched = self.retrieve(uri)
+            except Exception as e:
+                raise SchemaCompileError(
+                    f"$ref {ref!r}: retrieve({uri!r}) failed: {e}") from e
+            if fetched is not None:
+                self.add_document(uri, fetched)
+                doc = self.documents.get(uri)
         if doc is None:
             raise SchemaCompileError(
                 f"unresolvable $ref {ref!r} (base {base!r} -> {uri!r}: "

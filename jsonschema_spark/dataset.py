@@ -55,9 +55,10 @@ def validate_dataset(df: DataFrame, schema: dict,
                      tables: Optional[Mapping[str, DataFrame]] = None,
                      registry: Any = None,
                      schema_store: Optional[dict] = None,
-                     format_checker: bool = False) -> DataFrame:
+                     format_checker: bool = False,
+                     retrieve=None) -> DataFrame:
     """Row-level + x-spark dataset checks -> unified violation rows.
-    `schema_store`/`format_checker` forward to the row-level
+    `schema_store`/`format_checker`/`retrieve` forward to the row-level
     :class:`CompiledValidator` (same semantics as constructing one)."""
     xs = schema.get("x-spark", {}) or {}
     if xs:
@@ -69,7 +70,8 @@ def validate_dataset(df: DataFrame, schema: dict,
     row_schema = {k: v for k, v in schema.items() if k != "x-spark"}
     v = CompiledValidator(row_schema, df, registry,
                           schema_store=schema_store,
-                          format_checker=format_checker)
+                          format_checker=format_checker,
+                          retrieve=retrieve)
     keep = list(id_cols)
 
     def pad(frame: DataFrame) -> DataFrame:

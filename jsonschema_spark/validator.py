@@ -36,10 +36,17 @@ class CompiledValidator:
     def __init__(self, schema: Any, df: DataFrame,
                  registry: Optional[KeywordRegistry] = None,
                  schema_store: Optional[dict] = None,
-                 format_checker: bool = False):
+                 format_checker: bool = False,
+                 retrieve=None):
         """`schema_store` pre-registers external documents by URI — the
         analogue of passing a populated ``referencing.Registry`` to the
         reference's validator (validators.py:1070-1095).
+        `retrieve` is a driver-side ``Callable[[uri], schema]`` consulted
+        for $ref targets absent from the store (the
+        ``referencing.Registry(retrieve=...)`` /
+        ``RefResolver.resolve_remote`` analogue, validators.py:108-133);
+        pass :func:`jsonschema_spark.compiler.resolver.urlopen_retrieve`
+        to opt into HTTP(S) fetching explicitly — never implicit.
         `format_checker=True` opts into format assertion, mirroring
         ``Draft202012Validator(schema, format_checker=...)``
         (_keywords.py:223-228); the default is annotation-only like the
@@ -62,7 +69,7 @@ class CompiledValidator:
         # using the legacy location-independent identifier {"id": "#x"}
         # resolves through Resolver's draft<=7 rules, not 2020-12
         # (validator_for -> resolver wiring, validators.py:1335-1410)
-        resolver = Resolver(draft_of(schema))
+        resolver = Resolver(draft_of(schema), retrieve=retrieve)
         for uri, doc in (schema_store or {}).items():
             resolver.add_document(uri, doc)
         root_uri = resolver.add_root(schema)

@@ -330,3 +330,68 @@ def test_empty_composition_lists(spark):
     for kw in ("anyOf", "oneOf", "allOf"):
         with pytest.raises(SchemaCompileError, match="non-empty"):
             CompiledValidator({"properties": {"x": {kw: []}}}, df)
+
+
+def test_retrieve_hook_fetches_and_caches(spark):
+    """Resolver(retrieve=) — the referencing.Registry(retrieve=...) /
+    RefResolver.resolve_remote analogue: called once per unregistered
+    absolute URI, result indexed under both the retrieval URI and its
+    own $id, transitive $refs inside retrieved documents retrieved in
+    turn."""
+    from jsonschema_spark import CompiledValidator
+
+    calls = []
+    docs = {
+        "https://example.test/range": {
+            "$id": "https://example.test/range",
+            "properties": {"n": {"$ref": "limits#pos"}},
+        },
+        "https://example.test/limits": {
+            "$anchor_holder": None,  # unknown keyword: data, not schema
+            "$defs": {"pos": {"$anchor": "pos", "minimum": 10}},
+        },
+    }
+
+    def retrieve(uri):
+        calls.append(uri)
+        return docs[uri]
+
+    schema = {
+        "properties": {
+            "a": {"$ref": "https://example.test/range"},
+            "b": {"$ref": "https://example.test/range"},
+        },
+    }
+    df = spark.createDataFrame(
+        [(1, (5,), (50,)), (2, (50,), (5,))],
+        "id int, a struct<n:int>, b struct<n:int>")
+    v = CompiledValidator(schema, df, retrieve=retrieve)
+    flags = [r["valid"] for r in
+             v.with_valid(df).orderBy("id").select("valid").collect()]
+    assert flags == [False, False]
+    ok = spark.createDataFrame([(1, (50,), (50,))],
+                               "id int, a struct<n:int>, b struct<n:int>")
+    assert v.with_valid(ok).head()["valid"] is True
+    # each URI retrieved exactly once despite two $refs + anchor hops
+    assert sorted(calls) == ["https://example.test/limits",
+                             "https://example.test/range"]
+
+
+def test_retrieve_hook_errors(spark):
+    from jsonschema_spark import CompiledValidator
+    from jsonschema_spark.compiler.registry import SchemaCompileError
+
+    df = spark.createDataFrame([(1,)], "n int")
+
+    def boom(uri):
+        raise KeyError(uri)
+
+    with pytest.raises(SchemaCompileError, match="retrieve.*failed"):
+        CompiledValidator({"$ref": "https://missing.test/x"}, df,
+                          retrieve=boom)
+    with pytest.raises(SchemaCompileError, match="unresolvable"):
+        CompiledValidator({"$ref": "https://missing.test/x"}, df,
+                          retrieve=lambda uri: None)
+    # no hook at all: unchanged behavior
+    with pytest.raises(SchemaCompileError, match="unresolvable"):
+        CompiledValidator({"$ref": "https://missing.test/x"}, df)
