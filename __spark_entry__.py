@@ -317,6 +317,30 @@ def q_docs_dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "cluster_id"))
 
 
+def q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (hash-of-key, not rand():
+    retry-safe, growth-stable, reproducible bit-for-bit in any engine —
+    the DuckDB oracle recomputes the identical md5-prefix uniform)."""
+    from jsonschema_spark.operators.sampling import split_assign
+    d = _t(spark, sf_dir, "documents")
+    return (split_assign(d, "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1},
+                         salt="r5")
+            .select("doc_id", "split"))
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (rebalance: keep 25% of en,
+    half of fr, all of zh, drop unlisted strata) — one codegen'd scan
+    filter, no shuffle, row-for-row reproducible."""
+    from jsonschema_spark.operators.sampling import deterministic_sample
+    d = _t(spark, sf_dir, "documents")
+    return (deterministic_sample(d, "doc_id",
+                                 {"en": 0.25, "fr": 0.5, "zh": 1.0},
+                                 strata_col="lang", salt="r5")
+            .select("doc_id", "lang"))
+
+
 def q_embeddings_max_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search baseline: per-vector max cosine to any other."""
     from jsonschema_spark.operators.similarity import max_cosine_per_vector
@@ -1108,6 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dedup_dropped": q_docs_dedup_dropped,
+        "docs_split": q_docs_split,
+        "docs_stratified_sample": q_docs_stratified_sample,
         "images_validation": q_images_validation,
         "phash_near_dups": q_phash_near_dups,
         "phash_integrity": q_phash_integrity,
@@ -1712,6 +1738,28 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_clusters": _DUP_CLUSTER_CTE + """
             SELECT id AS doc_id, min(comp) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "docs_split": """
+            WITH u AS (SELECT doc_id,
+                              CAST(('0x' || substr(md5(
+                                  CAST(doc_id AS VARCHAR) || '|r5'), 1, 8))
+                                   AS BIGINT) / 4294967296.0 AS u
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
+        """,
+        "docs_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(
+                      CAST(doc_id AS VARCHAR) || '|r5'), 1, 8))
+                       AS BIGINT) / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 0.25
+                              WHEN 'fr' THEN 0.5
+                              WHEN 'zh' THEN 1.0
+                              ELSE 0.0 END
         """,
         "docs_dedup_dropped": _DUP_CLUSTER_CTE + """,
             cc AS (SELECT id, min(comp) AS cluster_id
