@@ -66,10 +66,38 @@ def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _local_components(spark, rows, id_type) -> DataFrame:
+    """Driver-side union-find over a collected (bounded) edge list —
+    exact same labeling as the distributed fixpoint (component = min
+    member id), returned as a DataFrame."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    mins: dict = {}
+    roots = {x: find(x) for x in parent}
+    for x, r in roots.items():
+        mins[r] = min(mins.get(r, x), x)
+    out = [(x, mins[r]) for x, r in roots.items()]
+    return spark.createDataFrame(out,
+                                 f"id {id_type}, component {id_type}")
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
                          max_iterations: int = 25,
-                         reliable_checkpoint: bool = False) -> DataFrame:
+                         reliable_checkpoint: bool = False,
+                         small_graph_threshold: int = 2_000_000
+                         ) -> DataFrame:
     """(id, component) for every node in `edges`; ``component`` is the
     smallest node id reachable from ``id`` (so the component min labels
     itself).  Ids may be any orderable type (long, string).
@@ -90,12 +118,33 @@ def connected_components(edges: DataFrame, src: str = "src",
     ``max_iterations`` is a safety bound (25 covers n < 2^25 adversarial
     graphs; raise for more); hitting it raises rather than returning a
     silently-unconverged labeling.
+
+    **Small-graph fast path**: when the distinct edge count (known from
+    the convergence signature's first pass — no extra job) is at most
+    ``small_graph_threshold``, the edges are collected and labeled with
+    a driver-side union-find — identical output, one job instead of ~4
+    per round.  Near-dup pair streams are usually tiny relative to the
+    corpus (the pairs, not the documents, form the graph), so this is
+    the common case even at 10^12 rows scanned; the default 2M edges is
+    ~32 MB on the driver.  Pass ``small_graph_threshold=0`` to force
+    the distributed path.
     """
-    e = _canonical(edges, src, dst)
+    # Materialize the canonical edges before iterating: the input is
+    # often the tail of an expensive pair pipeline (LSH joins, posting
+    # lists), and each round references the previous frame twice (the
+    # symmetrize union) — without truncation the pair pipeline would
+    # recompute 2x per round.
+    e = _truncate_lineage(_canonical(edges, src, dst),
+                          reliable_checkpoint)
     sig = _signature(e)
     if sig[0] == 0:
         return e.select(F.col("src").alias("id"),
                         F.col("dst").alias("component"))
+    if sig[0] <= small_graph_threshold:
+        id_type = e.schema["src"].dataType.simpleString()
+        return _local_components(e.sparkSession,
+                                 e.select("src", "dst").collect(),
+                                 id_type)
     for _ in range(max_iterations):
         # --- large-star ------------------------------------------------
         sym = e.union(e.select(F.col("dst").alias("src"),

@@ -58,10 +58,15 @@ def _expected(edges):
     return uf.components()
 
 
-def test_cc_chain(spark):
+PATHS = [{"small_graph_threshold": 0},   # distributed large-star/small-star
+         {}]                              # driver union-find fast path
+
+
+@pytest.mark.parametrize("kw", PATHS)
+def test_cc_chain(spark, kw):
     # Diameter-n chain: the shape that defeats O(diameter) propagation.
     edges = [(i, i + 1) for i in range(60)]
-    assert _spark_cc(spark, edges) == _expected(edges)
+    assert _spark_cc(spark, edges, **kw) == _expected(edges)
 
 
 def test_cc_chain_reversed_and_shuffled(spark):
@@ -71,27 +76,31 @@ def test_cc_chain_reversed_and_shuffled(spark):
     assert _spark_cc(spark, edges) == _expected(edges)
 
 
-def test_cc_random_graphs(spark):
+@pytest.mark.parametrize("kw", PATHS)
+def test_cc_random_graphs(spark, kw):
     rng = random.Random(1234)
     for trial in range(4):
         n = 120
         edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
         edges = [e for e in edges if e[0] != e[1]]
-        assert _spark_cc(spark, edges) == _expected(edges), f"trial {trial}"
+        assert _spark_cc(spark, edges, **kw) == _expected(edges), \
+            f"trial {trial}"
 
 
-def test_cc_cliques_and_singletons(spark):
+@pytest.mark.parametrize("kw", PATHS)
+def test_cc_cliques_and_singletons(spark, kw):
     edges = ([(a, b) for a in range(5) for b in range(a + 1, 5)]
              + [(100, 101)] + [(200, 201), (201, 202), (200, 202)])
-    assert _spark_cc(spark, edges) == _expected(edges)
+    assert _spark_cc(spark, edges, **kw) == _expected(edges)
 
 
 def test_cc_string_ids(spark):
     df = spark.createDataFrame(
         [("b", "c"), ("a", "b"), ("x", "y")], "src string, dst string")
-    got = {r["id"]: r["component"] for r in
-           connected_components(df).collect()}
-    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    for kw in PATHS:
+        got = {r["id"]: r["component"] for r in
+               connected_components(df, **kw).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_cc_empty(spark):
@@ -109,7 +118,8 @@ def test_cc_nonconvergence_guard(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(20)],
                                "src long, dst long")
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(df, max_iterations=1)
+        connected_components(df, max_iterations=1,
+                             small_graph_threshold=0)
 
 
 def test_duplicate_clusters_columns(spark):
