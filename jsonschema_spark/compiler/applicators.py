@@ -10,6 +10,7 @@ Catalyst evaluates vectorized — no short-circuiting needed
 from __future__ import annotations
 
 import re as _re
+from dataclasses import replace as _dc_replace
 from typing import Any, Optional
 
 from pyspark.sql import Column
@@ -232,10 +233,96 @@ def _resolve_for_tracking(ctx: CompileContext, schema: dict,
     return node
 
 
+def _rebase_sp(sp: Optional[str], p0: str, p1: str) -> Optional[str]:
+    """Re-prefix a schema path recorded under call-site prefix `p0` for
+    a memo replay at call-site prefix `p1`.  Returns None when `sp`
+    doesn't descend from `p0` (entry is then not reusable)."""
+    if sp is None:
+        return None
+    if sp == p0:
+        return p1
+    if p0:
+        if not sp.startswith(p0 + "/"):
+            return None
+        tail = sp[len(p0) + 1:]
+    else:
+        tail = sp
+    return f"{p1}/{tail}" if p1 else tail
+
+
+def _memo_store(ctx: CompileContext, mkey: tuple, child: Node,
+                n_ann: int, n_warn: int) -> None:
+    """Snapshot a completed referent compile.  Clones every Check /
+    AnnotationUnit NOW: callers mutate the returned originals in place
+    (guard-wrapping and type_match in compile_subschema, pred rewrites
+    in _with_context / c_if), and those mutations must not leak into
+    the memo."""
+    p0 = ctx.schema_path
+    for chk in child.checks + child.context:
+        if _rebase_sp(chk.schema_path, p0, p0) is None or (
+                chk.context_of is not None
+                and _rebase_sp(chk.context_of, p0, p0) is None):
+            return  # schema path escapes the call-site prefix: skip
+    ann = ctx.annotations[n_ann:]
+    if any(_rebase_sp(a.schema_path, p0, p0) is None for a in ann):
+        return
+    ctx.ref_memo[mkey] = (
+        p0,
+        [_dc_replace(c) for c in child.checks],
+        [_dc_replace(c) for c in child.context],
+        list(child._extra_ok),
+        [_dc_replace(a) for a in ann],
+        list(ctx.warnings[n_warn:]),
+    )
+
+
+def _memo_replay(ctx: CompileContext, entry: tuple) -> Node:
+    """Rebuild a Node from a memo snapshot, rebasing every recorded
+    schema path from the stored call-site prefix to this one.  Fresh
+    Check clones each time — see _memo_store."""
+    p0, checks, context, extra_ok, ann, warns = entry
+    p1 = ctx.schema_path
+    out = Node()
+    for chk in checks:
+        out.checks.append(_dc_replace(
+            chk, schema_path=_rebase_sp(chk.schema_path, p0, p1),
+            context_of=_rebase_sp(chk.context_of, p0, p1)))
+    for chk in context:
+        out.context.append(_dc_replace(
+            chk, schema_path=_rebase_sp(chk.schema_path, p0, p1),
+            context_of=_rebase_sp(chk.context_of, p0, p1)))
+    out._extra_ok.extend(extra_ok)
+    for a in ann:
+        ctx.annotations.append(_dc_replace(
+            a, schema_path=_rebase_sp(a.schema_path, p0, p1)))
+    for w in warns:
+        head, sep, tail = w.partition(": ")
+        if sep:
+            # ctx.warn renders an empty schema path as '<root>'
+            moved = _rebase_sp("" if head == "<root>" else head, p0, p1)
+            if moved is not None:
+                ctx.warnings.append(f"{moved or '<root>'}{sep}{tail}")
+                continue
+        ctx.warnings.append(w)
+    return out
+
+
 def _compile_referent(ctx: CompileContext, referent: Any, rbase: str,
                       ref: str) -> Optional[Node]:
     """Shared tail of $ref/$dynamicRef/$recursiveRef: loop detection,
-    resource-scope bookkeeping, then compile-time inlining."""
+    resource-scope bookkeeping, then compile-time inlining.
+
+    Expansions are memoized per root compile: the compiled Columns
+    depend only on (referent identity, bound expression, dtype,
+    NULL policy, resource base, dynamic scope), and the bound
+    expression is identified by its unresolved-plan string — so a
+    second occurrence of the same key replays the first compile's
+    snapshot with schema paths rebased to the new call site.  Real
+    corpora hit this hard: the issue232 Swagger meta-schema compile
+    re-expands 38% of its $refs verbatim.  Entries are stored only on
+    completed compiles, so infinite-recursion detection (`ref_stack`)
+    is unaffected — a schema that recurses without consuming instance
+    depth still raises before anything is memoized."""
     key = (id(referent), ctx.json_path)
     if ctx.statically_absent:
         # the bound instance is statically absent: every value check is
@@ -252,6 +339,26 @@ def _compile_referent(ctx: CompileContext, referent: Any, rbase: str,
     if len(ctx.ref_stack) >= ctx.max_ref_depth:
         raise SchemaCompileError(
             f"$ref {ref!r} exceeded max inline depth {ctx.max_ref_depth}")
+    mkey = None
+    if ctx.target is not None and ctx.dtype is not None \
+            and not ctx.statically_absent:
+        # statically-absent scopes are excluded: their depth-8 recursion
+        # cutoff depends on the incoming ref_stack, which is not keyed.
+        # str(target) pins the exact bound expression: lambda variables
+        # carry globally unique names (x_1, x_2, ...), so an entry whose
+        # Columns reference a lambda variable can only ever hit inside
+        # that same lambda body, while closed expressions (field chains)
+        # hit across every route that binds the same column — and a
+        # hypothetically wrong reuse of an open expression fails the
+        # analyzer loudly (unresolved x_N), never silently.
+        mkey = (id(referent), ctx.json_path, str(ctx.target),
+                ctx.dtype.simpleString(), ctx.null_is_absent,
+                ctx.absent_policy, ctx.base_uri, ctx.dynamic_scope,
+                id(ctx.registry))
+        hit = ctx.ref_memo.get(mkey)
+        if hit is not None:
+            return _memo_replay(ctx, hit)
+    n_ann, n_warn = len(ctx.annotations), len(ctx.warnings)
     child_ctx = ctx.child()
     child_ctx.ref_stack = ctx.ref_stack | {key}
     # indexed referents rebase inside compile_subschema (which also
@@ -265,6 +372,8 @@ def _compile_referent(ctx: CompileContext, referent: Any, rbase: str,
         if rbase != ctx.base_uri:
             child_ctx.dynamic_scope = ctx.dynamic_scope + (rbase,)
     child = compile_subschema(child_ctx, referent)
+    if mkey is not None:
+        _memo_store(ctx, mkey, child, n_ann, n_warn)
     # $ref does not prefix the schema path (validators.py:392-393)
     out = Node()
     out.checks.extend(child.checks)

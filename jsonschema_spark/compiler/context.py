@@ -93,6 +93,12 @@ class CompileContext:
     #: this scope is cut off as a pass, not an error.
     statically_absent: bool = False
     max_ref_depth: int = 64
+    #: compile-time $ref expansion memo, shared down the tree (like
+    #: `warnings`) and scoped to one root compile.  Keyed by
+    #: (referent identity, json_path, target expression string, dtype,
+    #: binding flags, resource base, dynamic scope) — everything the
+    #: compiled Columns can depend on.  See applicators._compile_referent.
+    ref_memo: dict = field(default_factory=dict)
     warnings: list[str] = field(default_factory=list)
     #: AnnotationUnit rows collected during compile (annotation keywords
     #: like readOnly/title/default with their locations + applicability

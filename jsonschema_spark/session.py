@@ -39,6 +39,15 @@ def get_spark(app: str = "jsonschema_spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # call-site capture for DataFrame debugging costs ~4 extra py4j
+        # round trips on EVERY Column operation (getActiveSession +
+        # conf.get + origin set/clear) — measured 20%+ of wall-clock on
+        # expression-heavy schema compiles (593k send_commands on the
+        # issue232 Swagger compile).  The engine compiles schemas into
+        # thousands of Column ops per job, so turn it off; compile
+        # errors surface through SchemaCompileError with schema paths,
+        # not DataFrame call sites.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
