@@ -208,9 +208,16 @@ def resolve_duplicates(df: DataFrame, pairs: DataFrame, id_col: str,
     as ``min_by`` over a groupBy (map-side partial aggregation), NOT a
     window: a degenerate mega-cluster (think 10^9 copies of boilerplate)
     partially aggregates on the map side instead of routing through one
-    window task.  The survivor frame (one row per cluster) joins back on
-    ``cluster_id``; at scale enable AQE so the one skewed cluster key is
-    split automatically.
+    window task.
+
+    Scale shape: election runs ONLY over rows that appear in a pair (the
+    inner join with the cluster labeling) — a row in no pair is trivially
+    its own survivor, so the 10^12-row singleton majority never enters
+    the groupBy.  The corpus itself is touched by exactly two joins
+    against small frames (the id->cluster labeling and the one-row-per-
+    cluster survivor frame), both broadcast-convertible by AQE at
+    runtime when they fit, sort-merge with skew-split otherwise — the
+    full table is never shuffled on ``cluster_id``.
 
     Downstream: ``.filter("is_canonical")`` is the deduplicated corpus;
     ``.filter(~F.col("is_canonical"))`` is the drop manifest.
@@ -223,10 +230,13 @@ def resolve_duplicates(df: DataFrame, pairs: DataFrame, id_col: str,
            )
     key = F.struct((prefer if prefer is not None else F.lit(0)).alias("p"),
                    F.col(id_col).alias("i"))
-    survivors = (out.groupBy("cluster_id")
+    survivors = (df.join(cc, id_col, "inner")   # pair members only
+                 .groupBy("cluster_id")
                  .agg(F.min_by(F.col(id_col), key).alias("_survivor")))
-    return (out.join(survivors, "cluster_id")
-            .withColumn("is_canonical", F.col(id_col) == F.col("_survivor"))
+    return (out.join(survivors, "cluster_id", "left")
+            .withColumn("is_canonical",
+                        F.col("_survivor").isNull()
+                        | (F.col(id_col) == F.col("_survivor")))
             .drop("_survivor"))
 
 

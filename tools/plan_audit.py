@@ -214,6 +214,81 @@ def main() -> None:
         "of table size",
         partitioned_drift(img, "fmt", "w", 0.0, 4096.0, 16, base_hist)))
 
+    # 16. deterministic split: pure codegen scan predicate, no shuffle
+    from jsonschema_spark.operators.sampling import (deterministic_sample,
+                                                     split_assign)
+    cases.append((
+        "split_assign",
+        "hash-keyed train/val/test assignment: membership is a pure "
+        "function of md5(key||salt) evaluated inside the scan's "
+        "codegen — zero exchanges, zero python nodes, no count/sort "
+        "job; `bytes` pruned; composes with partition pruning (the "
+        "rand()-free property that makes task retries and corpus "
+        "growth unable to move rows between splits)",
+        split_assign(img.select("image_id", "w"), "image_id",
+                     {"train": 0.98, "val": 0.01, "test": 0.01})))
+
+    # 17. stratified sample: same zero-shuffle property with per-stratum
+    # rates
+    cases.append((
+        "deterministic_sample",
+        "per-stratum deterministic sampling (rebalance): the stratum "
+        "rate lookup is a codegen'd CASE, the keep predicate a hash "
+        "comparison — still zero exchanges, the whole filter evaluated "
+        "inside the scan's single codegen stage (a computed-hash "
+        "predicate cannot be a parquet-level PushedFilter, but the "
+        "scan projects only the key/strata columns, so row-group "
+        "pruning on real partition columns still composes)",
+        deterministic_sample(img.select("image_id", "fmt", "w"),
+                             "image_id",
+                             {"bmp": 0.5, "png": 0.25,
+                              "jpeg": 0.25, "webp": 1.0},
+                             strata_col="fmt")))
+
+    # 18. connected components (distributed path): every shuffle in a
+    # round carries only 2-column id pairs; the returned labeling is
+    # one groupBy over the converged star edges (lineage truncated, so
+    # the audit sees the final frame, not the per-round history)
+    from jsonschema_spark.operators.clusters import connected_components
+    chain = spark.range(2_000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    cases.append((
+        "connected_components",
+        "large-star/small-star transitive closure on an adversarial "
+        "2,000-node chain, distributed path forced "
+        "(small_graph_threshold=0): converges in O(log n) alternating "
+        "rounds — each round two groupBy shuffles + two joins carrying "
+        "ONLY (id, id) pairs, never documents; lineage is truncated "
+        "per round (localCheckpoint) so plan depth stays constant; the "
+        "audited final labeling is one exchange over the star edges",
+        connected_components(chain, "id_a", "id_b",
+                             small_graph_threshold=0)))
+
+    # 19. survivor election: min_by groupBy (map-side partial), not a
+    # window — a mega-cluster cannot serialize through one task
+    from jsonschema_spark.operators.clusters import resolve_duplicates
+    doc_pairs = docs.select(
+        F.col("doc_id").cast("string").alias("id_a"),
+        F.concat(F.col("doc_id").cast("string"),
+                 F.lit("_v2")).alias("id_b"))
+    cases.append((
+        "resolve_duplicates",
+        "survivor election per duplicate cluster: min_by/struct-min "
+        "aggregation (partial map-side combine) instead of a "
+        "row_number window, so a boilerplate mega-cluster partially "
+        "aggregates in parallel — and the groupBy input is the INNER "
+        "join with the cluster labeling, so only pair members enter "
+        "the election (the singleton majority of a 10^12-row corpus "
+        "never shuffles on cluster_id); the corpus itself is touched "
+        "only by two joins against small frames, AQE-convertible to "
+        "broadcast at runtime",
+        resolve_duplicates(
+            docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        "text").union(
+                docs.select(F.concat(F.col("doc_id").cast("string"),
+                                     F.lit("_v2")), "text")),
+            doc_pairs, "doc_id", prefer=-F.length("text"))))
+
     lines = [
         "# PLANS.md — physical-plan audit",
         "",
