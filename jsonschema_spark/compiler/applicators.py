@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 from .context import CompileContext, pointer_escape
 from .node import Check, Node
 from .registry import (KeywordRegistry, SchemaCompileError, compile_subschema,
-                       make_check, stringify)
+                       fmt_message, make_check, stringify)
 
 STRING = T.StringType()
 
@@ -78,8 +78,8 @@ def c_any_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
     for o in oks:
         pred = pred | o
     node = make_check(ctx, "anyOf", pred,
-                      F.format_string("%s is not valid under any of the "
-                                      "given schemas", stringify(ctx)))
+                      fmt_message(ctx, "%s is not valid under any of the "
+                                      "given schemas"))
     return _with_context(ctx, node, "anyOf", children, pred)
 
 
@@ -91,8 +91,8 @@ def c_one_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
     oks = [c.ok for c in children]
     n = sum((o.cast("int") for o in oks), F.lit(0))
     node = make_check(ctx, "oneOf", n == 1,
-                      F.format_string("%s is not valid under exactly one of "
-                                      "the given schemas", stringify(ctx)))
+                      fmt_message(ctx, "%s is not valid under exactly one of "
+                                      "the given schemas"))
     # context (branch errors) attaches ONLY when NO branch matched —
     # the reference's too-many-matches error ("valid under each of")
     # carries no context (_keywords.py:360-373), so best_match must not
@@ -108,8 +108,8 @@ def c_not(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
     """`not` (_keywords.py:376-379)."""
     child = compile_subschema(ctx.child(schema_fragment="not"), value)
     return make_check(ctx, "not", ~child.ok,
-                      F.format_string("%s should not be valid under the "
-                                      "given schema", stringify(ctx)))
+                      fmt_message(ctx, "%s should not be valid under the "
+                                      "given schema"))
 
 
 def c_if(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
@@ -694,8 +694,8 @@ def c_items(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
     ok = F.forall(rest, lambda x: _element_ok(ctx, value, x,
                                               ctx.dtype.elementType, "items"))
     return make_check(ctx, "items", ok,
-                      F.format_string("%s has items failing the items "
-                                      "subschema", stringify(ctx)))
+                      fmt_message(ctx, "%s has items failing the items "
+                                      "subschema"))
 
 
 def c_contains(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
@@ -710,13 +710,13 @@ def c_contains(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
                                               "contains")))
     out = Node()
     node = make_check(ctx, "contains", n >= min_c,
-                      F.format_string("%s does not contain enough matching "
-                                      "items", stringify(ctx)))
+                      fmt_message(ctx, "%s does not contain enough matching "
+                                      "items"))
     out.checks.extend(node.checks)
     if max_c is not None:
         node = make_check(ctx, "maxContains", n <= max_c,
-                          F.format_string("%s contains too many matching "
-                                          "items", stringify(ctx)))
+                          fmt_message(ctx, "%s contains too many matching "
+                                          "items"))
         out.checks.extend(node.checks)
     return out
 

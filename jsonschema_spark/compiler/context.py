@@ -99,6 +99,16 @@ class CompileContext:
     #: binding flags, resource base, dynamic scope) — everything the
     #: compiled Columns can depend on.  See applicators._compile_referent.
     ref_memo: dict = field(default_factory=dict)
+    #: per-root-compile Column cache for target-derived helper
+    #: expressions that every keyword check rebuilds identically
+    #: (stringified failing value, the NULL-absent guard, common
+    #: literals).  Each py4j Column construction is a JVM round trip
+    #: (~0.1ms); a node with five keyword checks otherwise pays it five
+    #: times over for byte-identical expressions.  Keyed on
+    #: (id(target), op) with the target Column pinned in the value so
+    #: CPython cannot recycle the id while the cache lives; shared down
+    #: the tree by `child()`'s `replace` like `ref_memo`/`warnings`.
+    expr_cache: dict = field(default_factory=dict)
     warnings: list[str] = field(default_factory=list)
     #: AnnotationUnit rows collected during compile (annotation keywords
     #: like readOnly/title/default with their locations + applicability

@@ -18,8 +18,8 @@ from pyspark.sql import types as T
 
 from .context import CompileContext
 from .node import Node
-from .registry import (KeywordRegistry, SchemaCompileError, make_check,
-                       stringify)
+from .registry import (KeywordRegistry, SchemaCompileError, cached_expr,
+                       cached_lit, fmt_message, make_check, stringify)
 from ..functions.regex import compile_pattern_predicate
 from ..functions.formats import format_predicate
 
@@ -50,25 +50,28 @@ def _type_pred_for(ctx: CompileContext, t: str) -> Optional[Column]:
     if t == "any":
         return None
     if t == "null":
-        return c.isNull()
+        return cached_expr(ctx, "isnull", c.isNull)
     if t == "string":
-        return None if ctx.is_string() else F.lit(False)
+        return None if ctx.is_string() else cached_lit(ctx, False)
     if t == "boolean":
-        return None if ctx.is_boolean() else F.lit(False)
+        return None if ctx.is_boolean() else cached_lit(ctx, False)
     if t == "integer":
         if ctx.is_integral():
             return None
         if ctx.is_numeric():  # float/double/decimal: zero fractional part
             # modulo stays in the double domain (floor() returns BIGINT
             # and overflows beyond int64 — 1e308 IS a draft6+ integer)
-            return (c.cast("double") % F.lit(1.0)) == 0.0
-        return F.lit(False)
+            return cached_expr(
+                ctx, "int_valued",
+                lambda: (c.cast("double") % F.lit(1.0)) == 0.0)
+        return cached_lit(ctx, False)
     if t == "number":
-        return None if ctx.is_numeric() else F.lit(False)
+        return None if ctx.is_numeric() else cached_lit(ctx, False)
     if t == "array":
-        return None if ctx.is_array() else F.lit(False)
+        return None if ctx.is_array() else cached_lit(ctx, False)
     if t == "object":
-        return None if (ctx.is_struct() or ctx.is_map()) else F.lit(False)
+        return None if (ctx.is_struct() or ctx.is_map()) \
+            else cached_lit(ctx, False)
     raise SchemaCompileError(f"unknown type {t!r}")
 
 
@@ -91,17 +94,17 @@ def c_type(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
         # is the binding guard's job (absent) or fails for array elements.
         if not ctx.null_is_absent and "null" not in types:
             return make_check(
-                ctx, "type", ctx.target.isNotNull(),
-                F.lit(f"None is not of type {_fmt_types(types)}"))
+                ctx, "type",
+                cached_expr(ctx, "isnotnull", ctx.target.isNotNull),
+                cached_lit(ctx,
+                           f"None is not of type {_fmt_types(types)}"))
         return None
     pred = preds[0]
     for p in preds[1:]:
         pred = pred | p
     if not ctx.null_is_absent and "null" not in types:
-        pred = ctx.target.isNotNull() & pred
-    msg = F.format_string(
-        "%s is not of type " + _fmt_types(types).replace("%", "%%"),
-        stringify(ctx))
+        pred = cached_expr(ctx, "isnotnull", ctx.target.isNotNull) & pred
+    msg = fmt_message(ctx, "%s is not of type " + _fmt_types(types).replace("%", "%%"))
     if all(_is_static_false(p) for p in preds):
         ctx.warn(f"type {types} can never match Spark type "
                  f"{ctx.dtype.simpleString() if ctx.dtype else '?'}")
@@ -112,8 +115,16 @@ def _fmt_types(types: list[str]) -> str:
     return ", ".join(f"'{t}'" for t in types)
 
 
+_STATIC_FALSE_STR: Optional[str] = None
+
+
 def _is_static_false(p: Optional[Column]) -> bool:
-    return p is not None and str(p) == str(F.lit(False))
+    if p is None:
+        return False
+    global _STATIC_FALSE_STR
+    if _STATIC_FALSE_STR is None:
+        _STATIC_FALSE_STR = str(F.lit(False))
+    return str(p) == _STATIC_FALSE_STR
 
 
 # ------------------------------------------------------------ enum/const --
@@ -233,8 +244,7 @@ def c_enum(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
             pred = eqs[0]
             for e in eqs[1:]:
                 pred = pred | e
-    msg = F.format_string("%s is not one of the permitted values",
-                          stringify(ctx))
+    msg = fmt_message(ctx, "%s is not one of the permitted values")
     return make_check(ctx, "enum", pred, msg)
 
 
@@ -245,8 +255,7 @@ def c_const(ctx: CompileContext, value: Any, schema: dict) -> Optional[Node]:
         return None
     eq = _literal_eq(ctx, value)
     pred = eq if eq is not None else F.lit(False)
-    msg = F.format_string("%s was expected to equal the const value",
-                          stringify(ctx))
+    msg = fmt_message(ctx, "%s was expected to equal the const value")
     return make_check(ctx, "const", pred, msg)
 
 
@@ -259,7 +268,7 @@ def _numeric_kw(ctx: CompileContext, keyword: str, value: Any,
     if not isinstance(value, (int, float)) or isinstance(value, bool):
         raise SchemaCompileError(f"{keyword} value must be a number")
     pred = op(ctx.target, F.lit(value))
-    msg = F.format_string(f"%s violates {keyword} {value}", stringify(ctx))
+    msg = fmt_message(ctx, f"%s violates {keyword} {value}")
     return make_check(ctx, keyword, pred, msg)
 
 
@@ -311,7 +320,7 @@ def c_multiple_of(ctx: CompileContext, value: Any, schema: dict) -> Optional[Nod
         # (tests/test_property_differential.py, 0/612k disagreements)
         pred = ((q % F.lit(1.0)) == 0.0) \
             | ((c.cast("double") % F.lit(float(value))) == 0.0)
-    msg = F.format_string(f"%s is not a multiple of {value}", stringify(ctx))
+    msg = fmt_message(ctx, f"%s is not a multiple of {value}")
     return make_check(ctx, "multipleOf", pred, msg)
 
 
@@ -322,7 +331,7 @@ def c_min_length(ctx: CompileContext, value, schema) -> Optional[Node]:
     if _row_scope(ctx) or not ctx.is_string():
         return None
     return make_check(ctx, "minLength", F.length(ctx.target) >= int(value),
-                      F.format_string("%s is too short", stringify(ctx)))
+                      fmt_message(ctx, "%s is too short"))
 
 
 def c_max_length(ctx: CompileContext, value, schema) -> Optional[Node]:
@@ -330,7 +339,7 @@ def c_max_length(ctx: CompileContext, value, schema) -> Optional[Node]:
     if _row_scope(ctx) or not ctx.is_string():
         return None
     return make_check(ctx, "maxLength", F.length(ctx.target) <= int(value),
-                      F.format_string("%s is too long", stringify(ctx)))
+                      fmt_message(ctx, "%s is too long"))
 
 
 def c_pattern(ctx: CompileContext, value, schema) -> Optional[Node]:
@@ -344,9 +353,7 @@ def c_pattern(ctx: CompileContext, value, schema) -> Optional[Node]:
         return None
     pred = compile_pattern_predicate(ctx.target, value, warn=ctx.warn)
     return make_check(ctx, "pattern",
-                      pred, F.format_string(
-                          "%s does not match " + value.replace("%", "%%"),
-                          stringify(ctx)))
+                      pred, fmt_message(ctx, "%s does not match " + value.replace("%", "%%")))
 
 
 def c_format(ctx: CompileContext, value, schema) -> Optional[Node]:
@@ -367,8 +374,7 @@ def c_format(ctx: CompileContext, value, schema) -> Optional[Node]:
     if pred is None:
         return None
     return make_check(ctx, "format", pred,
-                      F.format_string("%s is not a " + str(value).replace("%", "%%"),
-                                      stringify(ctx)))
+                      fmt_message(ctx, "%s is not a " + str(value).replace("%", "%%")))
 
 
 # ------------------------------------------------------- object keywords --
@@ -468,7 +474,7 @@ def c_min_items(ctx, value, schema) -> Optional[Node]:
     if _row_scope(ctx) or not ctx.is_array():
         return None
     return make_check(ctx, "minItems", F.size(ctx.target) >= int(value),
-                      F.format_string("%s is too short", stringify(ctx)))
+                      fmt_message(ctx, "%s is too short"))
 
 
 def c_max_items(ctx, value, schema) -> Optional[Node]:
@@ -476,7 +482,7 @@ def c_max_items(ctx, value, schema) -> Optional[Node]:
     if _row_scope(ctx) or not ctx.is_array():
         return None
     return make_check(ctx, "maxItems", F.size(ctx.target) <= int(value),
-                      F.format_string("%s is too long", stringify(ctx)))
+                      fmt_message(ctx, "%s is too long"))
 
 
 def c_unique_items(ctx: CompileContext, value, schema) -> Optional[Node]:
@@ -490,8 +496,7 @@ def c_unique_items(ctx: CompileContext, value, schema) -> Optional[Node]:
     c = ctx.target
     pred = F.size(c) == F.size(F.array_distinct(c))
     return make_check(ctx, "uniqueItems", pred,
-                      F.format_string("%s has non-unique elements",
-                                      stringify(ctx)))
+                      fmt_message(ctx, "%s has non-unique elements"))
 
 
 def register_all(reg: KeywordRegistry) -> None:

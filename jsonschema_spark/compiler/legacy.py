@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from .context import CompileContext
 from .node import Node
 from .registry import (KeywordRegistry, SchemaCompileError, compile_subschema,
-                       make_check, stringify)
+                       fmt_message, make_check, stringify)
 from . import applicators, keywords
 
 
@@ -48,8 +48,7 @@ def c_items_legacy(ctx: CompileContext, value: Any,
                   lambda x: applicators._element_ok(
                       ctx, value, x, ctx.dtype.elementType, "items"))
     n = make_check(ctx, "items", ok,
-                   F.format_string("%s has items failing the subschema",
-                                   stringify(ctx)))
+                   fmt_message(ctx, "%s has items failing the subschema"))
     out.checks.extend(n.checks)
     return out
 
@@ -139,8 +138,7 @@ def c_type_draft4(ctx: CompileContext, value: Any,
         if not rest:
             return make_check(
                 ctx, "type", F.lit(False),
-                F.format_string("%s is not of type 'integer'",
-                                stringify(ctx)))
+                fmt_message(ctx, "%s is not of type 'integer'"))
         return keywords.c_type(ctx, rest, schema)
     return keywords.c_type(ctx, value, schema)
 
@@ -184,8 +182,7 @@ def c_type_draft3(ctx: CompileContext, value: Any,
     for p in preds[1:]:
         pred = pred | p
     return make_check(ctx, "type", pred,
-                      F.format_string("%s is not of the permitted types",
-                                      stringify(ctx)))
+                      fmt_message(ctx, "%s is not of the permitted types"))
 
 
 def c_disallow(ctx: CompileContext, value: Any,
@@ -208,8 +205,7 @@ def c_disallow(ctx: CompileContext, value: Any,
     for p in preds[1:]:
         pred = pred | p
     return make_check(ctx, "disallow", ~pred,
-                      F.format_string("%s matches a disallowed type",
-                                      stringify(ctx)))
+                      fmt_message(ctx, "%s matches a disallowed type"))
 
 
 def c_extends(ctx: CompileContext, value: Any,
@@ -260,8 +256,7 @@ def c_format_draft3(ctx: CompileContext, value: Any,
         pred = ctx.target.rlike(
             r"\A([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)\z")
         return make_check(ctx, "format", pred,
-                          F.format_string("%s is not a time",
-                                          stringify(ctx)))
+                          fmt_message(ctx, "%s is not a time"))
     return keywords.c_format(ctx, value, schema)
 
 
@@ -300,8 +295,7 @@ def c_content_encoding_draft7(ctx: CompileContext, value: Any,
         return None
     pred = F.try_to_binary(ctx.target, F.lit("base64")).isNotNull()
     return make_check(ctx, "contentEncoding", pred,
-                      F.format_string("%s is not valid base64",
-                                      stringify(ctx)))
+                      fmt_message(ctx, "%s is not valid base64"))
 
 
 def c_content_media_type_draft7(ctx: CompileContext, value: Any,
@@ -316,8 +310,7 @@ def c_content_media_type_draft7(ctx: CompileContext, value: Any,
         target = F.try_to_binary(ctx.target, F.lit("base64")).cast("string")
     pred = F.try_parse_json(target).isNotNull()
     return make_check(ctx, "contentMediaType", pred,
-                      F.format_string("%s is not valid application/json",
-                                      stringify(ctx)))
+                      fmt_message(ctx, "%s is not valid application/json"))
 
 
 def draft7_registry() -> KeywordRegistry:

@@ -102,15 +102,60 @@ class KeywordRegistry:
         return set(self._compilers)
 
 
+def cached_expr(ctx: CompileContext, op: str, build) -> Column:
+    """Per-root-compile cache for target-derived helper Columns (see
+    ``CompileContext.expr_cache``).  ``op`` names the derivation; the
+    built Column depends only on (target, op).  The target is pinned in
+    the cache value so its ``id()`` cannot be recycled mid-compile."""
+    cache = getattr(ctx, "expr_cache", None)
+    if cache is None:
+        return build()
+    key = (id(ctx.target), op)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit[1]
+    col = build()
+    cache[key] = (ctx.target, col)
+    return col
+
+
+def cached_lit(ctx: CompileContext, value) -> Column:
+    """Per-root-compile cache for common literal Columns (False/True/
+    small ints appear hundreds of times per compile, one JVM round trip
+    each)."""
+    cache = getattr(ctx, "expr_cache", None)
+    if cache is None:
+        return F.lit(value)
+    key = ("lit", type(value).__name__, value)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit[1]
+    col = F.lit(value)
+    cache[key] = (None, col)
+    return col
+
+
+def fmt_message(ctx: CompileContext, template: str) -> Column:
+    """Cached ``F.format_string(template, stringify(ctx))`` — the
+    standard one-value violation message.  The same bound target gets
+    the identical message Column for the identical template (the dtype
+    class rides in the key because stringify's rendering branch depends
+    on it)."""
+    return cached_expr(
+        ctx, f"fmt:{type(ctx.dtype).__name__}:{template}",
+        lambda: F.format_string(template, stringify(ctx)))
+
+
 def stringify(ctx: CompileContext) -> Column:
     """Stringified failing value for the violation row."""
     if ctx.target is None:
         return F.lit(None).cast("string")
     if ctx.is_array() or ctx.is_struct() or ctx.is_map():
-        return F.to_json(ctx.target)
+        return cached_expr(ctx, "str_json", lambda: F.to_json(ctx.target))
     if ctx.is_binary():
-        return F.base64(ctx.target)
-    return ctx.target.cast("string")
+        return cached_expr(ctx, "str_b64", lambda: F.base64(ctx.target))
+    return cached_expr(ctx, "str_cast",
+                       lambda: ctx.target.cast("string"))
 
 
 def guard(ctx: CompileContext, pred: Column) -> Column:
@@ -122,7 +167,7 @@ def guard(ctx: CompileContext, pred: Column) -> Column:
     """
     if ctx.target is None or not getattr(ctx, "null_is_absent", True):
         return pred
-    return ctx.target.isNull() | pred
+    return cached_expr(ctx, "isnull", lambda: ctx.target.isNull()) | pred
 
 
 def type_match_column(ctx: CompileContext, schema: Any) -> Column:
@@ -135,11 +180,17 @@ def type_match_column(ctx: CompileContext, schema: Any) -> Column:
     surface because their checks are guard-passed."""
     expected = schema.get("type") if isinstance(schema, dict) else None
     if not isinstance(expected, (str, list)):
-        return F.lit(False)
+        return cached_lit(ctx, False)
     types = [expected] if isinstance(expected, str) else expected
     if ctx.target is None:  # row scope: the instance is an object
-        return F.lit(any(t in ("object", "any")
-                         for t in types if isinstance(t, str)))
+        return cached_lit(ctx, any(t in ("object", "any")
+                                   for t in types if isinstance(t, str)))
+    return cached_expr(
+        ctx, f"tm:{types!r}:{type(ctx.dtype).__name__}",
+        lambda: _type_match_build(ctx, types))
+
+
+def _type_match_build(ctx: CompileContext, types: list) -> Column:
     from .keywords import _type_pred_for
     disj: Optional[Column] = None
     static = False
@@ -156,12 +207,17 @@ def type_match_column(ctx: CompileContext, schema: Any) -> Column:
             disj = p if disj is None else (disj | p)
     base: Optional[Column] = None
     if static:
-        base = ctx.target.isNotNull()
+        base = cached_expr(ctx, "isnotnull", ctx.target.isNotNull)
     if disj is not None:
         base = disj if base is None else (base | disj)
     if base is None:
-        return F.lit(False)
-    return F.coalesce(base, F.lit(False))
+        return cached_lit(ctx, False)
+    if disj is None and static:
+        # pure isNotNull can't be NULL — coalesce would be a no-op
+        return cached_expr(
+            ctx, "type_match_nn",
+            lambda: F.coalesce(base, F.lit(False)))
+    return F.coalesce(base, cached_lit(ctx, False))
 
 
 def compile_subschema(ctx: CompileContext, schema: Any) -> Node:
