@@ -395,3 +395,56 @@ def test_retrieve_hook_errors(spark):
     # no hook at all: unchanged behavior
     with pytest.raises(SchemaCompileError, match="unresolvable"):
         CompiledValidator({"$ref": "https://missing.test/x"}, df)
+
+
+def test_expr_cache_reuses_identical_helper_columns(spark):
+    """The per-root-compile expression cache must hand back the SAME
+    Column object for the same (target, derivation) — and must NOT
+    collide across targets or dtypes (a collision would attach one
+    column's rendering to another's violation rows)."""
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.compiler.context import CompileContext
+    from jsonschema_spark.compiler.registry import (cached_expr, cached_lit,
+                                                    default_registry,
+                                                    fmt_message, stringify)
+
+    a, b = F.col("a"), F.col("b")
+    ctx = CompileContext(registry=default_registry(), target=a,
+                         dtype=T.StringType())
+    # same target + same derivation -> identical object (one py4j build)
+    assert stringify(ctx) is stringify(ctx)
+    assert fmt_message(ctx, "%s is bad") is fmt_message(ctx, "%s is bad")
+    assert cached_lit(ctx, False) is cached_lit(ctx, False)
+    # different template / literal -> different columns
+    assert fmt_message(ctx, "%s is bad") is not fmt_message(ctx, "%s worse")
+    assert cached_lit(ctx, False) is not cached_lit(ctx, True)
+    assert cached_lit(ctx, False) is not cached_lit(ctx, 0)  # bool != int
+    # child() shares the cache; a child bound to ANOTHER target must
+    # not see the first target's entries
+    child = ctx.child(target=b, dtype=T.IntegerType())
+    assert child.expr_cache is ctx.expr_cache
+    assert str(stringify(child)) != str(stringify(ctx))
+    # dtype class rides in the fmt key: same target, array dtype ->
+    # to_json rendering, not the string cast
+    arr_ctx = ctx.child(dtype=T.ArrayType(T.StringType()))
+    assert str(fmt_message(arr_ctx, "%s is bad")) \
+        != str(fmt_message(ctx, "%s is bad"))
+    # cached targets are pinned: building many short-lived targets
+    # cannot produce a stale id()-collision hit
+    seen = set()
+    for i in range(50):
+        c = ctx.child(target=F.col(f"x{i}"))
+        col = cached_expr(c, "isnull", c.target.isNull)
+        assert str(col) not in seen
+        seen.add(str(col))
+
+
+def test_expr_cache_does_not_leak_across_compiles(spark):
+    """Two root compiles get independent caches (a fresh
+    CompileContext starts empty) — nothing persists process-wide."""
+    df = spark.createDataFrame([(1, "x")], "n int, s string")
+    spec = {"properties": {"n": {"minimum": 0}, "s": {"minLength": 1}}}
+    v1 = CompiledValidator(spec, df)
+    v2 = CompiledValidator(spec, df)
+    assert v1.counts(df) == v2.counts(df) == (1, 0)
