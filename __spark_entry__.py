@@ -341,6 +341,33 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang"))
 
 
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition block (Rae et al. 2021 Table A1): top
+    2/3/4-gram and duplicate 5..10-gram character fractions, computed
+    with the ZERO-SHUFFLE sorted-run fold (operators/repetition.py) —
+    the oracle re-derives every fraction via explode + GROUP BY."""
+    from jsonschema_spark.operators.repetition import repetition_signals
+    d = _t(spark, sf_dir, "documents")
+    return repetition_signals(d, "doc_id", "text",
+                              top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10))
+
+
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C shape): score every
+    non-src0 document's distinct word-4-gram overlap against the src0
+    'benchmark' corpus.  Ref side: distinct grams, broadcast; train
+    side: one narrow explode + broadcast join + per-doc count.  The
+    production path joins on xxhash64(gram) (8-byte keys at 10^12
+    rows; hash==string parity pinned in tests/test_repetition.py) —
+    the oracle-compared query uses the exact string join."""
+    from jsonschema_spark.operators.contamination import ngram_contamination
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    return ngram_contamination(train, ref, "doc_id", "text", n=4,
+                               on_hash=False)
+
+
 def q_embeddings_max_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search baseline: per-vector max cosine to any other."""
     from jsonschema_spark.operators.similarity import max_cosine_per_vector
@@ -1134,6 +1161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_dropped": q_docs_dedup_dropped,
         "docs_split": q_docs_split,
         "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_repetition": q_docs_repetition,
+        "docs_contamination": q_docs_contamination,
         "images_validation": q_images_validation,
         "phash_near_dups": q_phash_near_dups,
         "phash_integrity": q_phash_integrity,
@@ -1271,6 +1300,58 @@ _COMPOSITION_ORACLE = " UNION ALL ".join(
     f"SELECT '{kw}' AS keyword, '{jp}' AS json_path, count(*) AS n "
     f"FROM orders WHERE {cond} HAVING count(*) > 0"
     for kw, jp, cond in _COMPOSITION_CHECKS)
+
+# Gopher repetition block oracle: explode + GROUP BY re-derivation of
+# the zero-shuffle fold in operators/repetition.py.  Metric contract
+# documented there; tie-break = max(struct(count, gram)) both sides.
+_REPETITION_NS = (2, 3, 4, 5, 6, 7, 8, 9, 10)
+_REPETITION_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    chars AS (
+      SELECT doc_id, ws,
+             greatest(coalesce(list_sum(list_transform(ws,
+                 w -> length(w))), 0), 1) AS char_base
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id, char_base, n,
+             array_to_string(ws[i:i+n-1], ' ') AS g
+      FROM chars, (VALUES """ + ", ".join(
+    f"({n})" for n in _REPETITION_NS) + r""") t(n),
+           LATERAL (SELECT unnest(range(1, greatest(len(ws) + 1, 1)))) r(i)
+      WHERE i <= len(ws) - n + 1
+    ),
+    counted AS (
+      SELECT doc_id, char_base, n, g, count(*) AS cnt,
+             length(g) - (n - 1) AS gchars
+      FROM grams GROUP BY ALL
+    ),
+    per_doc AS (
+      SELECT doc_id, n,
+             round(max(struct_pack(c := cnt, g := g)).c
+                   * (length(max(struct_pack(c := cnt, g := g)).g) - (n - 1))
+                   / char_base, 6) AS top_frac,
+             round(least(coalesce(sum(CASE WHEN cnt >= 2
+                                           THEN cnt * gchars END), 0)
+                         / char_base, 1.0), 6) AS dup_frac
+      FROM counted GROUP BY doc_id, char_base, n
+    )
+    SELECT d.doc_id,
+""" + ",\n".join(
+    f"           coalesce(max(CASE WHEN n = {n} THEN top_frac END), 0.0)"
+    f" AS top_{n}gram_char_frac"
+    for n in (2, 3, 4)) + ",\n" + ",\n".join(
+    f"           coalesce(max(CASE WHEN n = {n} THEN dup_frac END), 0.0)"
+    f" AS dup_{n}gram_char_frac"
+    for n in (5, 6, 7, 8, 9, 10)) + """
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    GROUP BY d.doc_id
+"""
 
 _ARRAY_KW_CHECKS = [
     ("minItems", "len(q) < 2"),
@@ -1760,6 +1841,39 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'fr' THEN 0.5
                               WHEN 'zh' THEN 1.0
                               ELSE 0.0 END
+        """,
+        "docs_repetition": _REPETITION_ORACLE,
+        "docs_contamination": """
+            WITH base AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                 '\\s+'), w -> w <> '') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, source,
+                     array_to_string(ws[i:i+3], ' ') AS g
+              FROM base,
+                   LATERAL (SELECT unnest(range(1, greatest(len(ws) + 1, 1))))
+                     r(i)
+              WHERE i <= len(ws) - 4 + 1
+            ),
+            ref AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+            SELECT b.doc_id,
+                   CAST(count(g.g) AS BIGINT) AS n_grams,
+                   CAST(count(CASE WHEN g.g IN (SELECT g FROM ref)
+                                   THEN 1 END) AS BIGINT) AS n_hit,
+                   CASE WHEN count(g.g) > 0
+                        THEN round(count(CASE WHEN g.g IN (SELECT g FROM ref)
+                                              THEN 1 END)
+                                   / CAST(count(g.g) AS DOUBLE), 6)
+                        ELSE 0.0 END AS contaminated_frac,
+                   count(CASE WHEN g.g IN (SELECT g FROM ref) THEN 1 END) > 0
+                     AS contaminated
+            FROM base b
+            LEFT JOIN grams g ON b.doc_id = g.doc_id AND g.source <> 'src0'
+            WHERE b.source <> 'src0'
+            GROUP BY b.doc_id
         """,
         "docs_dedup_dropped": _DUP_CLUSTER_CTE + """,
             cc AS (SELECT id, min(comp) AS cluster_id

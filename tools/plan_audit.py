@@ -289,6 +289,34 @@ def main() -> None:
                                      F.lit("_v2")), "text")),
             doc_pairs, "doc_id", prefer=-F.length("text"))))
 
+    # 20. repetition signals: ZERO shuffle — per-doc n-gram histograms
+    # fold in-row (array_sort + aggregate HOF), never exploded
+    from jsonschema_spark.operators.repetition import repetition_signals
+    cases.append((
+        "repetition_signals",
+        "Gopher repetition block (top 2/3/4-gram + dup 5..10-gram char "
+        "fractions): the n-gram histogram per document is a sorted-run "
+        "fold inside one projection — ZERO exchanges, zero python "
+        "nodes, text column read once; the explode+groupBy "
+        "formulation this replaces would shuffle ~9x the corpus text",
+        repetition_signals(docs, "doc_id", "text",
+                           top_ns=(2, 3, 4), dup_ns=(5, 10))))
+
+    # 21. decontamination: ref grams distinct+broadcast; train side one
+    # narrow explode into a broadcast join, partial-agg on doc_id
+    from jsonschema_spark.operators.contamination import ngram_contamination
+    cases.append((
+        "ngram_contamination",
+        "benchmark decontamination at corpus scale: the benchmark side "
+        "aggregates to DISTINCT 8-byte gram hashes and BROADCASTS; the "
+        "train side pays one Generate + BroadcastHashJoin + "
+        "partial-agg groupBy on its own id — no shuffle ever carries "
+        "document text",
+        ngram_contamination(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"),
+            "doc_id", "text", n=4, on_hash=True)))
+
     lines = [
         "# PLANS.md — physical-plan audit",
         "",
