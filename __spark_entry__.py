@@ -368,6 +368,31 @@ def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                                on_hash=False)
 
 
+def q_docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/C4-style PII pass over deterministically PLANTED PII (the
+    synthetic corpus contains none — same pattern as formats_customer's
+    synthesized emails): docs at doc_id%7/%11/%13 get an email / phone /
+    IPv4 appended, then pii_profile counts and redacts.  Zero-shuffle
+    codegen'd projection; the oracle runs the IDENTICAL regex strings."""
+    from jsonschema_spark.operators.pii import pii_profile
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com now"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" call +1 555 0100")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.lit(" from 192.168.0."),
+                            (F.col("doc_id") % 256).cast("string")))
+             .otherwise(F.lit(""))).alias("text"))
+    return pii_profile(planted, "doc_id", "text")
+
+
 def q_embeddings_max_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search baseline: per-vector max cosine to any other."""
     from jsonschema_spark.operators.similarity import max_cosine_per_vector
@@ -1163,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_repetition": q_docs_repetition,
         "docs_contamination": q_docs_contamination,
+        "docs_pii": q_docs_pii,
         "images_validation": q_images_validation,
         "phash_near_dups": q_phash_near_dups,
         "phash_integrity": q_phash_integrity,
@@ -1300,6 +1326,48 @@ _COMPOSITION_ORACLE = " UNION ALL ".join(
     f"SELECT '{kw}' AS keyword, '{jp}' AS json_path, count(*) AS n "
     f"FROM orders WHERE {cond} HAVING count(*) > 0"
     for kw, jp, cond in _COMPOSITION_CHECKS)
+
+# PII oracle: the IDENTICAL regex strings the operator uses (imported,
+# not copied), counted via regexp_extract_all and redacted via chained
+# global regexp_replace over the same planted-PII text.
+def _pii_oracle() -> str:
+    from jsonschema_spark.operators.pii import PII_PATTERNS, PII_TOKENS
+
+    def q(rx: str) -> str:
+        return "'" + rx.replace("'", "''") + "'"
+
+    planted = """
+        WITH planted AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                              || '@example.com now' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' call +1 555 0100' ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0
+                         THEN ' from 192.168.0.'
+                              || CAST(doc_id % 256 AS VARCHAR)
+                         ELSE '' END AS text
+          FROM documents)
+    """
+    counts = ",\n".join(
+        f"           CAST(coalesce(len(regexp_extract_all(text, {q(rx)})),"
+        f" 0) AS BIGINT) AS n_{name}"
+        for name, rx in PII_PATTERNS.items())
+    total = " + ".join(
+        f"coalesce(len(regexp_extract_all(text, {q(rx)})), 0)"
+        for rx in PII_PATTERNS.values())
+    redacted = "text"
+    for name, rx in PII_PATTERNS.items():
+        redacted = (f"regexp_replace({redacted}, {q(rx)}, "
+                    f"'{PII_TOKENS[name]}', 'g')")
+    return (planted
+            + "        SELECT doc_id,\n" + counts + ",\n"
+            + f"           CAST({total} AS BIGINT) AS n_pii,\n"
+            + f"           {redacted} AS redacted\n"
+            + "        FROM planted")
+
 
 # Gopher repetition block oracle: explode + GROUP BY re-derivation of
 # the zero-shuffle fold in operators/repetition.py.  Metric contract
@@ -1843,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END
         """,
         "docs_repetition": _REPETITION_ORACLE,
+        "docs_pii": _pii_oracle(),
         "docs_contamination": """
             WITH base AS (
               SELECT doc_id, source,

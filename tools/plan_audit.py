@@ -317,6 +317,15 @@ def main() -> None:
             docs.filter(F.col("source") == "src0"),
             "doc_id", "text", n=4, on_hash=True)))
 
+    # 22. PII profile: zero-shuffle regexp projection
+    from jsonschema_spark.operators.pii import pii_profile
+    cases.append((
+        "pii_profile",
+        "PII counts + redaction (email/phone/IPv4): pure regexp_count/"
+        "regexp_replace — zero exchanges, zero python nodes, one "
+        "codegen'd projection over (id, text)",
+        pii_profile(docs, "doc_id", "text")))
+
     lines = [
         "# PLANS.md — physical-plan audit",
         "",
