@@ -16,7 +16,14 @@ dataset-scope checks that have no row-local JSON-Schema analogue::
                             "decode": "auto"},   # "stub"|"real"|"auto"
         "phash_integrity": {"max_hamming": 0},
         "near_dup_phash": {"max_hamming": 3, "max_pairs": 0,
-                           "strategy": "banded"}
+                           "strategy": "banded"},
+        "repetition": {"column": "text",          # Gopher Table A1
+                       "max_top": {"2": 0.20},    # n -> max char frac
+                       "max_dup": {"5": 0.15}},   # omit both: defaults
+        "pii": {"column": "text", "max_hits": 0},
+        "contamination": {"column": "text", "ref_table": "benchmark",
+                          "ref_column": "text", "n": 13,
+                          "max_frac": 0.0, "on_hash": true}
     }
 
 ``validate_dataset`` compiles the row-level keywords through the normal
@@ -263,6 +270,101 @@ def validate_dataset(df: DataFrame, schema: dict,
                                   f"{maxp})")).alias("message"),
                    F.col("_n").cast("string").alias("failing_value")))
         parts.append(pad(agg))
+
+    if "repetition" in xs:
+        # Gopher-style repetition thresholds as per-row violations
+        # (operators/repetition.py: zero-shuffle sorted-run fold)
+        from .operators.repetition import (dup_ngram_char_frac,
+                                           top_ngram_char_frac)
+        cfg = xs["repetition"] or {}
+        col = cfg.get("column", "text")
+        max_top = {int(k): float(v)
+                   for k, v in (cfg.get("max_top") or {}).items()}
+        max_dup = {int(k): float(v)
+                   for k, v in (cfg.get("max_dup") or {}).items()}
+        if not max_top and not max_dup:    # Gopher Table A1 defaults
+            max_top = {2: 0.20, 3: 0.18, 4: 0.16}
+            max_dup = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11,
+                       10: 0.10}
+        t = F.col(col)
+
+        def _rrow(kind, n, lim, frac):
+            return F.when(frac > lim, F.struct(
+                F.lit(f"repetition:{kind}{n}").alias("keyword"),
+                F.lit(f"$.{col}").alias("json_path"),
+                F.lit(f"x-spark/repetition/{kind}_{n}gram")
+                 .alias("schema_path"),
+                F.concat(F.lit(f"{kind} {n}-gram char fraction "),
+                         F.format_string("%.6f", frac),
+                         F.lit(f" exceeds {lim}")).alias("message"),
+                F.format_string("%.6f", frac).alias("failing_value")))
+
+        structs = [_rrow("top", n, lim, top_ngram_char_frac(t, n))
+                   for n, lim in sorted(max_top.items())]
+        structs += [_rrow("dup", n, lim, dup_ngram_char_frac(t, n))
+                    for n, lim in sorted(max_dup.items())]
+        viol = (df.select(
+            *keep,
+            F.explode(F.filter(F.array(*structs),
+                               lambda s: s.isNotNull())).alias("_v"))
+            .select(*keep, "_v.*"))
+        parts.append(pad(viol))
+
+    if "pii" in xs:
+        # PII budget per row (operators/pii.py: zero-shuffle regexps)
+        from .operators.pii import PII_PATTERNS, pii_counts
+        cfg = xs["pii"] or {}
+        col = cfg.get("column", "text")
+        max_hits = cfg.get("max_hits", 0)
+        c = pii_counts(F.col(col))
+        total = sum((c.getField(f"n_{n}") for n in PII_PATTERNS),
+                    F.lit(0).cast("long"))
+        viol = (df.select(*keep, total.alias("_n"))
+                .filter(F.col("_n") > max_hits)
+                .select(
+                    *keep,
+                    F.lit("pii").alias("keyword"),
+                    F.lit(f"$.{col}").alias("json_path"),
+                    F.lit("x-spark/pii").alias("schema_path"),
+                    F.concat(F.col("_n").cast("string"),
+                             F.lit(f" PII matches exceed allowed "
+                                   f"{max_hits}")).alias("message"),
+                    F.col("_n").cast("string").alias("failing_value")))
+        parts.append(pad(viol))
+
+    if "contamination" in xs:
+        # benchmark decontamination as per-row violations
+        # (operators/contamination.py: broadcast gram join)
+        from .operators.contamination import ngram_contamination
+        cfg = xs["contamination"]
+        ref_name = cfg["ref_table"]
+        if tables is None or ref_name not in tables:
+            raise ValueError(f"x-spark contamination check needs table "
+                             f"{ref_name!r} in `tables`")
+        if not keep:
+            raise ValueError("x-spark contamination check needs id_cols "
+                             "(violations are reported per document id)")
+        col = cfg.get("column", "text")
+        max_frac = cfg.get("max_frac", 0.0)
+        sc = ngram_contamination(
+            df, tables[ref_name], id_col=keep[0], text_col=col,
+            ref_text_col=cfg.get("ref_column", col),
+            n=cfg.get("n", 13), on_hash=cfg.get("on_hash", True))
+        viol = (sc.filter(F.col("contaminated_frac") > max_frac)
+                .select(
+                    F.col(keep[0]),
+                    F.lit("contamination").alias("keyword"),
+                    F.lit(f"$.{col}").alias("json_path"),
+                    F.lit("x-spark/contamination").alias("schema_path"),
+                    F.concat(F.col("n_hit").cast("string"),
+                             F.lit(" of "),
+                             F.col("n_grams").cast("string"),
+                             F.lit(f" {cfg.get('n', 13)}-grams appear in "
+                                   f"{ref_name} (allowed frac "
+                                   f"{max_frac})")).alias("message"),
+                    F.format_string("%.6f", F.col("contaminated_frac"))
+                     .alias("failing_value")))
+        parts.append(pad(viol))
 
     out = parts[0].select(*keep, *VIOLATION_COLS)
     for p in parts[1:]:

@@ -143,6 +143,73 @@ def _check_x_spark(xs: Any, path: str) -> None:
                 raise bad("/drift/by", "per-partition drift needs at "
                           "least one numeric column to profile (the "
                           "check would otherwise be a silent no-op)")
+    if "repetition" in xs and xs["repetition"] is not None:
+        r = xs["repetition"]
+        if not isinstance(r, dict):
+            raise bad("/repetition", "must be an object or null")
+        unknown = set(r) - {"column", "max_top", "max_dup"}
+        if unknown:
+            raise bad("/repetition", f"unknown key(s) {sorted(unknown)}; "
+                                     "known: ['column', 'max_dup', "
+                                     "'max_top']")
+        if "column" in r and not (isinstance(r["column"], str)
+                                  and r["column"]):
+            raise bad("/repetition/column", "must be a column name")
+        for fam in ("max_top", "max_dup"):
+            m = r.get(fam)
+            if m is None:
+                continue
+            if not isinstance(m, dict):
+                raise bad(f"/repetition/{fam}",
+                          'must map n (as a JSON string, e.g. "2") to a '
+                          "max fraction")
+            for k, val in m.items():
+                if not (isinstance(k, str) and k.isdigit() and int(k) >= 2):
+                    raise bad(f"/repetition/{fam}/{k}",
+                              "n must be an integer string >= 2")
+                if not _is_number(val) or not 0 <= val <= 1:
+                    raise bad(f"/repetition/{fam}/{k}",
+                              "max fraction must be a number in [0, 1]")
+    if "pii" in xs and xs["pii"] is not None:
+        p = xs["pii"]
+        if not isinstance(p, dict):
+            raise bad("/pii", "must be an object or null")
+        unknown = set(p) - {"column", "max_hits"}
+        if unknown:
+            raise bad("/pii", f"unknown key(s) {sorted(unknown)}; known: "
+                              "['column', 'max_hits']")
+        if "column" in p and not (isinstance(p["column"], str)
+                                  and p["column"]):
+            raise bad("/pii/column", "must be a column name")
+        mh = p.get("max_hits")
+        if mh is not None and (not isinstance(mh, int)
+                               or isinstance(mh, bool) or mh < 0):
+            raise bad("/pii/max_hits", "must be a non-negative integer")
+    if "contamination" in xs:
+        c = xs["contamination"]
+        if not isinstance(c, dict) or not isinstance(c.get("ref_table"),
+                                                     str):
+            raise bad("/contamination",
+                      'must be an object with a "ref_table" name')
+        unknown = set(c) - {"column", "ref_table", "ref_column", "n",
+                            "max_frac", "on_hash"}
+        if unknown:
+            raise bad("/contamination",
+                      f"unknown key(s) {sorted(unknown)}; known: "
+                      "['column', 'max_frac', 'n', 'on_hash', "
+                      "'ref_column', 'ref_table']")
+        for k in ("column", "ref_column"):
+            if k in c and not (isinstance(c[k], str) and c[k]):
+                raise bad(f"/contamination/{k}", "must be a column name")
+        if "n" in c and (not isinstance(c["n"], int)
+                         or isinstance(c["n"], bool) or c["n"] < 1):
+            raise bad("/contamination/n", "must be a positive integer")
+        mf = c.get("max_frac")
+        if mf is not None and (not _is_number(mf) or not 0 <= mf <= 1):
+            raise bad("/contamination/max_frac",
+                      "must be a number in [0, 1]")
+        if "on_hash" in c and not isinstance(c["on_hash"], bool):
+            raise bad("/contamination/on_hash", "must be a boolean")
     for block, keys in _X_SPARK_NULLABLE.items():
         if block not in xs or xs[block] is None:  # null == all defaults
             continue

@@ -223,3 +223,80 @@ def test_check_schema_validates_x_spark_block():
     # NESTED x-spark keys are inert annotations (never executed by
     # validate_dataset) — their shape is not meta-checked
     check_schema({"properties": {"img": {"x-spark": {"unique": "oops"}}}})
+
+
+def test_validate_dataset_text_curation_blocks(spark):
+    """The round-5 text-curation tiers as x-spark blocks: repetition
+    thresholds, PII budget, and benchmark contamination each emit
+    per-row violations alongside the row keywords."""
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam spam spam"),   # repetition
+         (2, "write to me at someone@example.org please today ok"),  # pii
+         (3, "the quick brown fox jumps over the lazy dog stream"),
+         (4, " ".join(f"w{i} v{i}" for i in range(40)))],  # clean, long
+        "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(0, "quick brown fox jumps over")], "bid int, text string")
+    spec = {
+        "properties": {"text": {"type": "string", "minLength": 1}},
+        "x-spark": {
+            "repetition": {"column": "text", "max_top": {"2": 0.5}},
+            "pii": None,                          # null == all defaults
+            "contamination": {"column": "text", "ref_table": "bench",
+                              "n": 3, "max_frac": 0.0},
+        },
+    }
+    v = validate_dataset(docs, spec, ["doc_id"],
+                         tables={"bench": bench}).cache()
+    by_kw = {(r["doc_id"], r["keyword"]) for r in v.collect()}
+    assert (1, "repetition:top2") in by_kw
+    assert (2, "pii") in by_kw
+    assert (3, "contamination") in by_kw
+    # the clean doc trips nothing
+    assert not any(d == 4 for d, _ in by_kw)
+    # each planted doc trips ONLY its own tier
+    assert not any(k == "pii" and d != 2 for d, k in by_kw)
+    assert not any(k == "contamination" and d != 3 for d, k in by_kw)
+    v.unpersist()
+
+
+def test_validate_dataset_contamination_requires_table_and_ids(spark):
+    import pytest
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    spec = {"x-spark": {"contamination": {"ref_table": "bench"}}}
+    with pytest.raises(ValueError, match="bench"):
+        validate_dataset(docs, spec, ["doc_id"], tables={})
+    with pytest.raises(ValueError, match="id_cols"):
+        validate_dataset(docs, spec, [], tables={"bench": docs})
+
+
+def test_check_schema_validates_text_curation_blocks():
+    import pytest
+    from jsonschema_spark import SchemaCompileError, check_schema
+
+    check_schema({"x-spark": {
+        "repetition": {"column": "text", "max_top": {"2": 0.2},
+                       "max_dup": {"5": 0.15}},
+        "pii": {"column": "text", "max_hits": 2},
+        "contamination": {"column": "text", "ref_table": "bench",
+                          "ref_column": "caption", "n": 13,
+                          "max_frac": 0.05, "on_hash": False},
+    }})
+    check_schema({"x-spark": {"repetition": None, "pii": None}})
+    bad = [
+        ({"repetition": {"max_top": {"one": 0.2}}}, "integer string"),
+        ({"repetition": {"max_top": {"1": 0.2}}}, ">= 2"),
+        ({"repetition": {"max_top": {"2": 1.5}}}, r"\[0, 1\]"),
+        ({"repetition": {"maxtop": {}}}, "unknown key"),
+        ({"pii": {"max_hits": -1}}, "non-negative"),
+        ({"pii": {"collumn": "text"}}, "unknown key"),
+        ({"contamination": {"column": "text"}}, "ref_table"),
+        ({"contamination": {"ref_table": "b", "n": 0}}, "positive"),
+        ({"contamination": {"ref_table": "b", "max_frac": 2}},
+         r"\[0, 1\]"),
+        ({"contamination": {"ref_table": "b", "on_hash": "yes"}},
+         "boolean"),
+    ]
+    for xs, match in bad:
+        with pytest.raises(SchemaCompileError, match=match):
+            check_schema({"x-spark": xs})
