@@ -1126,6 +1126,74 @@ def q_phash_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("hamming") == 0).cast("long")).alias("verified_ok"))
 
 
+ALIGN_ORACLE_PATH = f"/tmp/spark_graft_align_oracle_{_GEN_FP}"
+
+
+def q_images_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-tier image quality (operators/quality.py via the
+    x-spark `image_quality` block): aspect-ratio band, pixel-count
+    band, absolute payload-size floor and bytes-per-pixel ceiling over
+    the persisted north-star table — all pure codegen'd Columns on one
+    narrow scan (no UDF, no shuffle, `bytes` read only for its
+    length).  Thresholds are exact-binary doubles (0.015625 = 2^-6,
+    0.0625 = 2^-4) so the DuckDB oracle's comparisons can never split
+    a rounding hair with Spark's."""
+    from jsonschema_spark import validate_dataset
+    from jsonschema_spark.sources.images import images_df, licenses_df
+    if not os.path.exists(os.path.join(IMAGES_ORACLE_PATH, "_SUCCESS")):
+        (images_df(spark, 20_000, with_license=True)
+         .write.mode("overwrite").parquet(IMAGES_ORACLE_PATH))
+    img = spark.read.parquet(IMAGES_ORACLE_PATH)
+    spec = {
+        "type": "object",
+        "x-spark": {
+            "image_quality": {
+                "min_aspect": 0.015625, "max_aspect": 64.0,
+                "min_pixels": 1024, "max_pixels": 16_777_216,
+                "min_bytes": 16,
+                "max_bytes_per_pixel": 0.0625,
+            },
+        },
+    }
+    allv = validate_dataset(img, spec, ["image_id"],
+                            tables={"licenses": licenses_df(spark)})
+    return (allv.groupBy("keyword")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("keyword"))
+
+
+def q_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-image embedding alignment (the CLIP-score seam,
+    operators/quality.py via the x-spark `alignment` block): cosine
+    between paired `array<float>` embeddings as one codegen'd
+    zip_with/aggregate expression — no UDF, no shuffle.  Planted
+    defects (sources/images.aligned_embeddings_df): NULL and zero-norm
+    embeddings -> alignment:missing, negated embeddings (cosine ~ -1)
+    -> alignment:cosine.  The DuckDB oracle recomputes every cosine
+    with its own list_cosine_similarity and thresholds identically —
+    certifying the vectorized cosine math end-to-end, not just the
+    planted pattern (aligned pairs sit near +1 and flipped near -1, so
+    the 0.5 threshold is insensitive to engine float-summation
+    order)."""
+    from jsonschema_spark import validate_dataset
+    from jsonschema_spark.sources.images import aligned_embeddings_df
+    if not os.path.exists(os.path.join(ALIGN_ORACLE_PATH, "_SUCCESS")):
+        (aligned_embeddings_df(spark, 20_000)
+         .write.mode("overwrite").parquet(ALIGN_ORACLE_PATH))
+    pairs = spark.read.parquet(ALIGN_ORACLE_PATH)
+    spec = {
+        "type": "object",
+        "x-spark": {
+            "alignment": {"image_col": "img", "text_col": "txt",
+                          "min_cosine": 0.5},
+        },
+    }
+    allv = validate_dataset(pairs, spec, ["pair_id"])
+    return (allv.groupBy("keyword")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("keyword"))
+
+
 VIDEOS_ORACLE_PATH = f"/tmp/spark_graft_videos_oracle_{_GEN_FP}"
 
 
@@ -1213,6 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standard_output": q_standard_output,
         "embeddings_ann_ivf": q_embeddings_ann_ivf,
         "embeddings_ann_recall": q_embeddings_ann_recall,
+        "images_quality": q_images_quality,
+        "caption_alignment": q_caption_alignment,
     }
 
 
@@ -2377,6 +2447,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT message, count(*) AS n FROM cls
             WHERE message IS NOT NULL
             GROUP BY message ORDER BY message
+        """,
+        "images_quality": f"""
+            -- same thresholds, same skip rules as the Spark block:
+            -- geometry checks need w > 0 AND h > 0 (non-positive dims
+            -- are the row keywords' finding); byte checks need a
+            -- non-NULL payload.  Thresholds are exact-binary doubles
+            -- (2^-6, 2^-3) so float comparison order cannot differ.
+            WITH t AS (SELECT *, octet_length(bytes) AS olen FROM
+                       read_parquet('{IMAGES_ORACLE_PATH}/*.parquet')),
+            counts(keyword, n) AS (
+              SELECT 'imageQuality:aspect', count(*) FROM t
+                WHERE w > 0 AND h > 0
+                  AND (w / h < 0.015625 OR w / h > 64.0)
+              UNION ALL
+              SELECT 'imageQuality:pixels', count(*) FROM t
+                WHERE w > 0 AND h > 0
+                  AND (w * h < 1024 OR w * h > 16777216)
+              UNION ALL
+              SELECT 'imageQuality:bytes', count(*) FROM t
+                WHERE olen IS NOT NULL AND olen < 16
+              UNION ALL
+              SELECT 'imageQuality:bytesPerPixel', count(*) FROM t
+                WHERE w > 0 AND h > 0 AND olen IS NOT NULL
+                  AND olen / (w * h) > 0.0625)
+            SELECT keyword, CAST(n AS BIGINT) AS n FROM counts
+            WHERE n > 0 ORDER BY keyword
+        """,
+        "caption_alignment": f"""
+            -- recompute every cosine independently: DuckDB's own
+            -- list_cosine_similarity vs the engine's zip_with/aggregate
+            -- expression.  Unscorable rows (NULL / zero-norm) are
+            -- classified FIRST, exactly like alignment_violations.
+            WITH t AS (SELECT * FROM
+                       read_parquet('{ALIGN_ORACLE_PATH}/*.parquet')),
+            nrm AS (
+              -- manual double-precision cosine: list_transform /
+              -- list_sum / list_zip are NULL-list-safe where
+              -- list_dot_product and list_cosine_similarity raise
+              -- (DuckDB evaluates them eagerly across the chunk even
+              -- under a guarding CASE), and summing in DOUBLE in
+              -- element order is exactly the engine's aggregate fold
+              SELECT pair_id,
+                list_sum(list_transform(img,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ni,
+                list_sum(list_transform(txt,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nt,
+                list_sum(list_transform(list_zip(img, txt),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                  AS dot
+              FROM t),
+            s AS (
+              SELECT pair_id,
+                (ni IS NULL OR nt IS NULL OR ni = 0 OR nt = 0)
+                  AS missing,
+                dot / (sqrt(ni) * sqrt(nt)) AS cos
+              FROM nrm),
+            counts(keyword, n) AS (
+              SELECT 'alignment:missing', count(*) FROM s WHERE missing
+              UNION ALL
+              SELECT 'alignment:cosine', count(*) FROM s
+                WHERE NOT missing AND cos < 0.5)
+            SELECT keyword, CAST(n AS BIGINT) AS n FROM counts
+            WHERE n > 0 ORDER BY keyword
         """,
     }
 

@@ -23,7 +23,11 @@ dataset-scope checks that have no row-local JSON-Schema analogue::
         "pii": {"column": "text", "max_hits": 0},
         "contamination": {"column": "text", "ref_table": "benchmark",
                           "ref_column": "text", "n": 13,
-                          "max_frac": 0.0, "on_hash": true}
+                          "max_frac": 0.0, "on_hash": true},
+        "image_quality": {"min_aspect": 0.05, "max_aspect": 20.0,
+                          "min_pixels": 1024, "min_bytes": 16},
+        "alignment": {"image_col": "img_vec", "text_col": "txt_vec",
+                      "min_cosine": 0.5}
     }
 
 ``validate_dataset`` compiles the row-level keywords through the normal
@@ -331,6 +335,20 @@ def validate_dataset(df: DataFrame, schema: dict,
                                    f"{max_hits}")).alias("message"),
                     F.col("_n").cast("string").alias("failing_value")))
         parts.append(pad(viol))
+
+    if "image_quality" in xs:
+        # metadata-tier image quality (operators/quality.py): aspect /
+        # pixel-count / payload-size bands, pure Columns on the same
+        # narrow scan as the row keywords — zero extra passes
+        from .operators.quality import image_quality_violations
+        parts.append(pad(image_quality_violations(df, xs["image_quality"],
+                                                  keep)))
+
+    if "alignment" in xs:
+        # caption-image embedding alignment (CLIP-score seam): one
+        # codegen'd zip_with/aggregate cosine per row, no shuffle
+        from .operators.quality import alignment_violations
+        parts.append(pad(alignment_violations(df, xs["alignment"], keep)))
 
     if "contamination" in xs:
         # benchmark decontamination as per-row violations

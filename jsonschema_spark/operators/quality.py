@@ -1,0 +1,203 @@
+"""Image-metadata quality + caption-image alignment checks.
+
+Two dataset checks a 10^12-row image+caption curation pipeline runs
+constantly (LAION/DataComp-style filters), both pure native Column
+expressions — no UDFs, no shuffle, one narrow projection each:
+
+- :func:`image_quality_violations` — **metadata tier**: aspect-ratio
+  bounds, pixel-count bounds, absolute payload-size bounds and a
+  bytes-per-pixel anomaly band, all computed from the stored
+  ``(w, h, bytes)`` columns.  Rows whose dimensions are non-positive or
+  NULL are skipped for the geometry checks (those already fail the
+  row-level ``minimum``/``required`` keywords — double-reporting the
+  same defect under two keywords would double-count in manifests).
+- :func:`alignment_violations` — the CLIP-score seam: cosine between a
+  per-row image embedding and caption embedding (``zip_with`` +
+  ``aggregate``, JVM codegen'd), flagged when below ``min_cosine``.
+  A missing / zero-norm vector on either side is its own violation
+  (``alignment:missing``) — a row that *cannot* be scored must not
+  silently pass a threshold check.  A production deployment swaps the
+  stored embeddings for real CLIP encoder output; the check itself is
+  encoder-agnostic.
+
+Reference analogue: these extend the same violation-row contract as
+jsonschema's ValidationError stream (reference
+jsonschema/exceptions.py:28 `ValidationError`) to dataset-scope image
+checks the reference has no analogue for (SURVEY.md brief mandate).
+
+Float-formatting note: messages embed dimensions as integers
+(``"20000x16"``), never formatted ratios — Java's ``format_string``
+rounds half-up while C printf rounds half-even, and w/h ratios with
+power-of-two denominators land exactly on 5-tails (1/32 = 0.03125), so
+a formatted ratio could hash-mismatch a SQL oracle.  Cosines are
+formatted to 6 places only in messages, never compared.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_VIOL = ("keyword", "json_path", "schema_path", "message", "failing_value")
+
+
+def _vrow(keyword: str, json_path: str, schema_path: str,
+          message: Column, failing: Column) -> Column:
+    return F.struct(F.lit(keyword).alias("keyword"),
+                    F.lit(json_path).alias("json_path"),
+                    F.lit(schema_path).alias("schema_path"),
+                    message.alias("message"),
+                    failing.alias("failing_value"))
+
+
+def _explode_structs(df: DataFrame, structs: Sequence[Column],
+                     id_cols: Sequence[str]) -> DataFrame:
+    """One projection emits every violation type (same single-subtree
+    pattern as dataset.py's fused decode projection)."""
+    return (df.select(
+        *id_cols,
+        F.explode(F.filter(F.array(*structs),
+                           lambda s: s.isNotNull())).alias("_v"))
+        .select(*id_cols, "_v.*"))
+
+
+def image_quality_violations(df: DataFrame, cfg: dict,
+                             id_cols: Sequence[str] = ()) -> DataFrame:
+    """Metadata-tier image quality -> per-row violation rows.
+
+    ``cfg`` keys (all optional, at least one required — enforced by
+    spec._check_x_spark):
+
+    - ``min_aspect`` / ``max_aspect``: bounds on w/h (floats).  Only
+      rows with w > 0 AND h > 0 are evaluated.
+    - ``min_pixels`` / ``max_pixels``: bounds on w*h.
+    - ``min_bytes`` / ``max_bytes``: bounds on the payload's absolute
+      octet length (catches truncated / absurdly padded files).
+    - ``min_bytes_per_pixel`` / ``max_bytes_per_pixel``: bounds on
+      octet_length(bytes) / (w*h) — the compression-anomaly band (a
+      4096x4096 "jpeg" of 300 bytes is not a photograph).
+    - ``w_col`` / ``h_col`` / ``bytes_col``: column names (default
+      ``w`` / ``h`` / ``bytes``).
+
+    Everything is a codegen'd Column over the narrow (w, h,
+    length(bytes)) projection — at 10^12 rows this rides the same scan
+    as the row keywords; ``bytes`` itself is never shipped anywhere
+    (only its length is read, which parquet can answer from page
+    metadata without decompressing the value... in practice the column
+    is read, but never shuffled)."""
+    w = F.col(cfg.get("w_col", "w")).cast("double")
+    h = F.col(cfg.get("h_col", "h")).cast("double")
+    blen = F.length(F.col(cfg.get("bytes_col", "bytes"))).cast("double")
+    geom_ok = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
+    aspect = w / h
+    pixels = w * h
+    bpp = blen / pixels
+    dims = F.concat(F.coalesce(w.cast("long").cast("string"), F.lit("?")),
+                    F.lit("x"),
+                    F.coalesce(h.cast("long").cast("string"), F.lit("?")))
+
+    structs = []
+    lo, hi = cfg.get("min_aspect"), cfg.get("max_aspect")
+    if lo is not None or hi is not None:
+        bad = F.lit(False)
+        if lo is not None:
+            bad = bad | (aspect < lo)
+        if hi is not None:
+            bad = bad | (aspect > hi)
+        structs.append(F.when(geom_ok & bad, _vrow(
+            "imageQuality:aspect", "$.w", "x-spark/image_quality/aspect",
+            F.concat(F.lit("aspect ratio of "), dims,
+                     F.lit(f" outside [{lo}, {hi}]")),
+            dims)))
+    lo, hi = cfg.get("min_pixels"), cfg.get("max_pixels")
+    if lo is not None or hi is not None:
+        bad = F.lit(False)
+        if lo is not None:
+            bad = bad | (pixels < lo)
+        if hi is not None:
+            bad = bad | (pixels > hi)
+        structs.append(F.when(geom_ok & bad, _vrow(
+            "imageQuality:pixels", "$.w", "x-spark/image_quality/pixels",
+            F.concat(F.lit("pixel count of "), dims,
+                     F.lit(f" outside [{lo}, {hi}]")),
+            pixels.cast("long").cast("string"))))
+    lo, hi = cfg.get("min_bytes"), cfg.get("max_bytes")
+    if lo is not None or hi is not None:
+        bad = F.lit(False)
+        if lo is not None:
+            bad = bad | (blen < lo)
+        if hi is not None:
+            bad = bad | (blen > hi)
+        structs.append(F.when(blen.isNotNull() & bad, _vrow(
+            "imageQuality:bytes", "$.bytes", "x-spark/image_quality/bytes",
+            F.concat(F.lit("payload of "), blen.cast("long").cast("string"),
+                     F.lit(f" bytes outside [{lo}, {hi}]")),
+            blen.cast("long").cast("string"))))
+    lo, hi = (cfg.get("min_bytes_per_pixel"),
+              cfg.get("max_bytes_per_pixel"))
+    if lo is not None or hi is not None:
+        bad = F.lit(False)
+        if lo is not None:
+            bad = bad | (bpp < lo)
+        if hi is not None:
+            bad = bad | (bpp > hi)
+        structs.append(F.when(geom_ok & blen.isNotNull() & bad, _vrow(
+            "imageQuality:bytesPerPixel", "$.bytes",
+            "x-spark/image_quality/bytes_per_pixel",
+            F.concat(F.lit("payload bytes "),
+                     blen.cast("long").cast("string"),
+                     F.lit(" for "), dims,
+                     F.lit(f" pixels outside ratio [{lo}, {hi}]")),
+            blen.cast("long").cast("string"))))
+    if not structs:           # spec meta-check rejects this upstream
+        raise ValueError("image_quality needs at least one threshold")
+    return _explode_structs(df, structs, id_cols)
+
+
+def cosine_columns(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array columns as one codegen'd
+    expression (cast to double first — float32 accumulation drifts).
+    NULL if either side is NULL or zero-norm."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when(a.isNotNull() & b.isNotNull() & (na > 0) & (nb > 0),
+                  dot / (na * nb))
+
+
+def alignment_violations(df: DataFrame, cfg: dict,
+                         id_cols: Sequence[str] = ()) -> DataFrame:
+    """Caption-image embedding alignment (CLIP-score seam) -> per-row
+    violation rows.
+
+    ``cfg``: ``image_col`` / ``text_col`` (required: the two
+    ``array<float>`` embedding columns), ``min_cosine`` (default 0.5).
+
+    Two violation kinds:
+
+    - ``alignment:cosine`` — the pair scored below ``min_cosine``.
+    - ``alignment:missing`` — either embedding NULL or zero-norm; an
+      unscorable row must surface, not silently pass.
+    """
+    img_c, txt_c = cfg["image_col"], cfg["text_col"]
+    min_cos = cfg.get("min_cosine", 0.5)
+    cos = cosine_columns(F.col(img_c), F.col(txt_c))
+    structs = [
+        F.when(cos.isNull(), _vrow(
+            "alignment:missing", f"$.{txt_c}", "x-spark/alignment",
+            F.lit("image or caption embedding missing or zero-norm — "
+                  "pair cannot be scored"),
+            F.lit(None).cast("string"))),
+        F.when(cos < min_cos, _vrow(
+            "alignment:cosine", f"$.{txt_c}", "x-spark/alignment",
+            F.concat(F.lit("caption-image cosine "),
+                     F.format_string("%.6f", cos),
+                     F.lit(f" below {min_cos}")),
+            F.format_string("%.6f", cos))),
+    ]
+    return _explode_structs(df, structs, id_cols)

@@ -553,3 +553,56 @@ def audio_df(spark: SparkSession, n_rows: int = 1_000,
     return base.mapInPandas(
         gen, schema="id long, audio_id string, bytes binary, "
                     "n_samples int, sample_rate int, caption string")
+
+
+# planted alignment rates (aligned_embeddings_df)
+ALIGN_NULL_MOD = 53      # ~1.9% NULL caption embedding
+ALIGN_ZERO_MOD = 97      # ~1% zero-norm image embedding
+ALIGN_FLIP_MOD = 41      # ~2.4% misaligned (negated) caption embedding
+
+
+def aligned_embeddings_df(spark: SparkSession, n_rows: int = 20_000,
+                          dim: int = 16,
+                          partitions: int | None = None) -> DataFrame:
+    """Synthetic caption-image embedding pairs for the ``alignment``
+    check (the CLIP-score seam): ``(pair_id string, img array<float>,
+    txt array<float>)`` — fully vectorized native generation (xxhash64
+    component hashes, no UDFs), same linear-scaling contract as
+    :func:`images_df`.
+
+    Planted defects (when-chain priority: null > zero > flipped):
+
+    - id % 53 == 3: ``txt`` NULL                 -> alignment:missing
+    - id % 97 == 7: ``txt`` all-zero (zero norm) -> alignment:missing
+    - id % 41 == 5: ``txt`` = -img + noise       -> cosine ~ -1
+    - else:         ``txt`` =  img + noise (|noise_j| <= 0.1, so the
+      cosine sits near +1 — far from any sane threshold, keeping the
+      count comparison insensitive to float-summation order between
+      engines)."""
+    parts = partitions or max(8, n_rows // 250_000)
+    df = spark.range(0, n_rows, 1, parts)
+    idc = F.col("id")
+
+    def comp(salt_base: int, sign: Column | None = None):
+        def one(j: Column) -> Column:
+            base = ((F.pmod(F.xxhash64(idc, j, F.lit(SEED)),
+                            F.lit(2001)) - 1000) / 1000.0)
+            noise = ((F.pmod(F.xxhash64(idc, j + 100, F.lit(salt_base)),
+                             F.lit(201)) - 100) / 1000.0)
+            if sign is None:
+                return base.cast("float")
+            return (sign * base + noise).cast("float")
+        return one
+
+    seq = F.sequence(F.lit(1), F.lit(dim))
+    img = F.transform(seq, comp(0))
+    txt_ok = F.transform(seq, comp(77, F.lit(1.0)))
+    txt_flip = F.transform(seq, comp(77, F.lit(-1.0)))
+    zeros = F.transform(seq, lambda j: F.lit(0.0).cast("float"))
+    txt = (F.when(idc % ALIGN_NULL_MOD == 3,
+                  F.lit(None).cast("array<float>"))
+           .when(idc % ALIGN_ZERO_MOD == 7, zeros)
+           .when(idc % ALIGN_FLIP_MOD == 5, txt_flip)
+           .otherwise(txt_ok))
+    return df.select(F.format_string("pair_%012x", idc).alias("pair_id"),
+                     img.alias("img"), txt.alias("txt"))

@@ -43,6 +43,13 @@ _X_SPARK_NULLABLE = {"pixel_invariant": frozenset({"min_psnr", "decode"}),
                      "phash_integrity": frozenset({"max_hamming"}),
                      "near_dup_phash": frozenset({"max_hamming", "max_pairs",
                                                   "strategy"})}
+#: image_quality threshold keys (operators/quality.py) — the block also
+#: admits w_col/h_col/bytes_col column-name overrides
+_X_SPARK_IMGQ_THRESHOLDS = frozenset(
+    {"min_aspect", "max_aspect", "min_pixels", "max_pixels",
+     "min_bytes", "max_bytes", "min_bytes_per_pixel",
+     "max_bytes_per_pixel"})
+_X_SPARK_IMGQ_COLS = frozenset({"w_col", "h_col", "bytes_col"})
 
 
 def _check_x_spark(xs: Any, path: str) -> None:
@@ -210,6 +217,52 @@ def _check_x_spark(xs: Any, path: str) -> None:
                       "must be a number in [0, 1]")
         if "on_hash" in c and not isinstance(c["on_hash"], bool):
             raise bad("/contamination/on_hash", "must be a boolean")
+    if "image_quality" in xs:
+        q = xs["image_quality"]
+        if not isinstance(q, dict):
+            raise bad("/image_quality", "must be an object")
+        unknown = set(q) - _X_SPARK_IMGQ_THRESHOLDS - _X_SPARK_IMGQ_COLS
+        if unknown:
+            raise bad("/image_quality",
+                      f"unknown key(s) {sorted(unknown)}; known: "
+                      f"{sorted(_X_SPARK_IMGQ_THRESHOLDS)} + "
+                      f"{sorted(_X_SPARK_IMGQ_COLS)}")
+        if not set(q) & _X_SPARK_IMGQ_THRESHOLDS:
+            raise bad("/image_quality",
+                      "needs at least one threshold key (the check "
+                      "would otherwise be a silent no-op)")
+        for k, val in q.items():
+            if k in _X_SPARK_IMGQ_COLS:
+                if not (isinstance(val, str) and val):
+                    raise bad(f"/image_quality/{k}",
+                              "must be a column name")
+            elif not _is_number(val):
+                raise bad(f"/image_quality/{k}", "must be a number")
+        for lo_k, hi_k in (("min_aspect", "max_aspect"),
+                           ("min_pixels", "max_pixels"),
+                           ("min_bytes", "max_bytes"),
+                           ("min_bytes_per_pixel",
+                            "max_bytes_per_pixel")):
+            if (lo_k in q and hi_k in q and not q[lo_k] <= q[hi_k]):
+                raise bad(f"/image_quality/{lo_k}",
+                          f"must be <= {hi_k}")
+    if "alignment" in xs:
+        a = xs["alignment"]
+        if not isinstance(a, dict):
+            raise bad("/alignment", "must be an object")
+        unknown = set(a) - {"image_col", "text_col", "min_cosine"}
+        if unknown:
+            raise bad("/alignment",
+                      f"unknown key(s) {sorted(unknown)}; known: "
+                      "['image_col', 'min_cosine', 'text_col']")
+        for k in ("image_col", "text_col"):
+            if not (isinstance(a.get(k), str) and a.get(k)):
+                raise bad(f"/alignment/{k}",
+                          "must be an embedding column name")
+        mc = a.get("min_cosine")
+        if mc is not None and (not _is_number(mc) or not -1 <= mc <= 1):
+            raise bad("/alignment/min_cosine",
+                      "must be a number in [-1, 1]")
     for block, keys in _X_SPARK_NULLABLE.items():
         if block not in xs or xs[block] is None:  # null == all defaults
             continue
