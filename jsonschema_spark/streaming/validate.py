@@ -51,6 +51,43 @@ def with_valid_stream(stream_df: DataFrame, schema: Any,
     return CompiledValidator(schema, stream_df).with_valid(stream_df, col)
 
 
+#: x-spark blocks that are pure per-row projections — append-mode safe
+#: with zero streaming state.  Dataset-scope blocks (unique /
+#: referential / stats / drift / near_dup_phash / contamination — the
+#: last aggregates grams back per doc, an unwatermarked streaming
+#: groupBy) need bounded state or a full-table view and are rejected
+#: with a pointed error instead of failing inside the stream planner.
+STREAM_SAFE_BLOCKS = frozenset(
+    {"repetition", "pii", "image_quality", "alignment"})
+
+
+def validate_dataset_stream(stream_df: DataFrame, schema: Any,
+                            id_cols: Sequence[str] = ()) -> DataFrame:
+    """``validate_dataset`` for streams: row-level keywords PLUS the
+    per-row x-spark checks (repetition / pii / image_quality /
+    alignment), one unified violation-rows stream.
+
+    Every supported block compiles to pure Column expressions, so the
+    result is a narrow append-safe projection — the same compiled plan
+    serves batch and streaming (asserted by the stream==batch parity
+    test).  Blocks that need dataset state raise ValueError listing
+    themselves; run those on the materialized table (batch
+    ``validate_dataset``) or via ``windowed_manifest`` /
+    ``drift_stream`` for their windowed streaming analogues."""
+    xs = (schema.get("x-spark", {}) or {}) if isinstance(schema, dict) \
+        else {}
+    unsupported = sorted(set(xs) - STREAM_SAFE_BLOCKS)
+    if unsupported:
+        raise ValueError(
+            f"x-spark block(s) {unsupported} need dataset-scope state "
+            f"and cannot run append-mode on a stream; stream-safe "
+            f"blocks: {sorted(STREAM_SAFE_BLOCKS)}.  Run the rest via "
+            f"batch validate_dataset / windowed_manifest / "
+            f"drift_stream.")
+    from ..dataset import validate_dataset
+    return validate_dataset(stream_df, schema, id_cols)
+
+
 def windowed_manifest(stream_df: DataFrame, schema: Any, ts_col: str,
                       window: str = "1 minute",
                       watermark: str = "10 minutes",

@@ -225,3 +225,52 @@ def test_streaming_drift_matches_batch_per_window(spark, events_stream,
         assert r.n_rows == e.n_rows
         for stat in ("ks", "l1", "chi2", "psi"):
             assert abs(getattr(r, stat) - getattr(e, stat)) < 1e-9, (w, stat)
+
+
+def test_validate_dataset_stream_matches_batch(spark, tmp_path):
+    """The per-row x-spark tier (image_quality + alignment here) runs
+    append-mode on a stream and agrees row-for-row with the batch
+    validate_dataset over the same files."""
+    from jsonschema_spark import validate_dataset
+    from jsonschema_spark.sources.images import images_df
+    from jsonschema_spark.streaming import validate_dataset_stream
+
+    src = str(tmp_path / "img_src")
+    images_df(spark, 2_000).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    spec = {
+        "type": "object",
+        "properties": {"fmt": {"enum": ["jpeg", "png", "webp"]}},
+        "x-spark": {
+            "image_quality": {"min_aspect": 0.015625, "max_aspect": 64.0,
+                              "min_bytes": 16},
+        },
+    }
+    out = str(tmp_path / "dsviols")
+    q = (validate_dataset_stream(stream, spec, ["image_id"])
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "dsckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    _drain(q)
+    got = {tuple(r) for r in spark.read.parquet(out)
+           .select("image_id", "keyword").collect()}
+    want = {tuple(r) for r in validate_dataset(batch, spec, ["image_id"])
+            .select("image_id", "keyword").collect()}
+    assert got == want
+    assert any(k == "imageQuality:aspect" for _, k in got)
+    assert any(k == "enum" for _, k in got)
+
+
+def test_validate_dataset_stream_rejects_stateful_blocks(spark, tmp_path):
+    from jsonschema_spark.streaming import validate_dataset_stream
+    src = str(tmp_path / "ev_src")
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    spec = {"type": "object",
+            "x-spark": {"unique": ["event_id"],
+                        "pii": {"column": "event_type"}}}
+    with pytest.raises(ValueError, match=r"\['unique'\]"):
+        validate_dataset_stream(stream, spec, ["event_id"])
