@@ -98,6 +98,11 @@ def image_quality_violations(df: DataFrame, cfg: dict,
                     F.lit("x"),
                     F.coalesce(h.cast("long").cast("string"), F.lit("?")))
 
+    def _band_text(lo, hi):
+        if lo is not None and hi is not None:
+            return f"outside [{lo}, {hi}]"
+        return f"below {lo}" if lo is not None else f"above {hi}"
+
     structs = []
     lo, hi = cfg.get("min_aspect"), cfg.get("max_aspect")
     if lo is not None or hi is not None:
@@ -109,7 +114,7 @@ def image_quality_violations(df: DataFrame, cfg: dict,
         structs.append(F.when(geom_ok & bad, _vrow(
             "imageQuality:aspect", "$.w", "x-spark/image_quality/aspect",
             F.concat(F.lit("aspect ratio of "), dims,
-                     F.lit(f" outside [{lo}, {hi}]")),
+                     F.lit(f" {_band_text(lo, hi)}")),
             dims)))
     lo, hi = cfg.get("min_pixels"), cfg.get("max_pixels")
     if lo is not None or hi is not None:
@@ -121,7 +126,7 @@ def image_quality_violations(df: DataFrame, cfg: dict,
         structs.append(F.when(geom_ok & bad, _vrow(
             "imageQuality:pixels", "$.w", "x-spark/image_quality/pixels",
             F.concat(F.lit("pixel count of "), dims,
-                     F.lit(f" outside [{lo}, {hi}]")),
+                     F.lit(f" {_band_text(lo, hi)}")),
             pixels.cast("long").cast("string"))))
     lo, hi = cfg.get("min_bytes"), cfg.get("max_bytes")
     if lo is not None or hi is not None:
@@ -133,7 +138,7 @@ def image_quality_violations(df: DataFrame, cfg: dict,
         structs.append(F.when(blen.isNotNull() & bad, _vrow(
             "imageQuality:bytes", "$.bytes", "x-spark/image_quality/bytes",
             F.concat(F.lit("payload of "), blen.cast("long").cast("string"),
-                     F.lit(f" bytes outside [{lo}, {hi}]")),
+                     F.lit(f" bytes {_band_text(lo, hi)}")),
             blen.cast("long").cast("string"))))
     lo, hi = (cfg.get("min_bytes_per_pixel"),
               cfg.get("max_bytes_per_pixel"))
@@ -149,7 +154,7 @@ def image_quality_violations(df: DataFrame, cfg: dict,
             F.concat(F.lit("payload bytes "),
                      blen.cast("long").cast("string"),
                      F.lit(" for "), dims,
-                     F.lit(f" pixels outside ratio [{lo}, {hi}]")),
+                     F.lit(f" pixels, ratio {_band_text(lo, hi)}")),
             blen.cast("long").cast("string"))))
     if not structs:           # spec meta-check rejects this upstream
         raise ValueError("image_quality needs at least one threshold")
