@@ -1194,6 +1194,40 @@ def q_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("keyword"))
 
 
+LUMA_ORACLE_PATH = f"/tmp/spark_graft_luma_oracle_{_GEN_FP}"
+
+
+def q_images_luma_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECODED-tier image quality (x-spark `image_quality_decoded`
+    block): real-codec decode -> full-resolution Rec.601 luma mean +
+    std, thresholded as brightness band [20, 235] and contrast floor 2
+    (operators/quality.luma_quality_structs over
+    multimodal.decode_luma_stats).  The planted corpus
+    (sources/images.luma_images_df) lands every class by id arithmetic
+    — truncated payloads are SKIPPED (the pixel-invariant's finding),
+    solid-gray trips contrast, dark/bright trip the band — and the
+    DuckDB oracle recounts the classes from the same id rules
+    (structural certification; the luma math itself is pinned against
+    numpy in tests/test_quality.py)."""
+    from jsonschema_spark import validate_dataset
+    from jsonschema_spark.sources.images import luma_images_df
+    if not os.path.exists(os.path.join(LUMA_ORACLE_PATH, "_SUCCESS")):
+        (luma_images_df(spark, 2_000)
+         .write.mode("overwrite").parquet(LUMA_ORACLE_PATH))
+    img = spark.read.parquet(LUMA_ORACLE_PATH)
+    spec = {
+        "type": "object",
+        "x-spark": {
+            "image_quality_decoded": {"min_luma": 20, "max_luma": 235,
+                                      "min_contrast": 2},
+        },
+    }
+    allv = validate_dataset(img, spec, ["image_id"])
+    return (allv.groupBy("keyword")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("keyword"))
+
+
 VIDEOS_ORACLE_PATH = f"/tmp/spark_graft_videos_oracle_{_GEN_FP}"
 
 
@@ -1283,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_ann_recall": q_embeddings_ann_recall,
         "images_quality": q_images_quality,
         "caption_alignment": q_caption_alignment,
+        "images_luma_quality": q_images_luma_quality,
     }
 
 
@@ -2508,6 +2543,26 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'alignment:cosine', count(*) FROM s
                 WHERE NOT missing AND cos < 0.5)
+            SELECT keyword, CAST(n AS BIGINT) AS n FROM counts
+            WHERE n > 0 ORDER BY keyword
+        """,
+        "images_luma_quality": f"""
+            -- structural oracle: the decoded-luma classes are planted
+            -- by id arithmetic (luma_images_df; priority trunc >
+            -- solid > dark > bright), so the class counts are
+            -- recomputable without decoding — over the SAME persisted
+            -- ids the engine decoded.  Truncated rows decode-fail and
+            -- are skipped by the quality check (the pixel-invariant's
+            -- finding).
+            WITH t AS (SELECT id FROM
+                       read_parquet('{LUMA_ORACLE_PATH}/*.parquet')),
+            counts(keyword, n) AS (
+              SELECT 'lumaQuality:contrast', count(*) FROM t
+                WHERE id % 251 != 0 AND id % 97 = 0
+              UNION ALL
+              SELECT 'lumaQuality:brightness', count(*) FROM t
+                WHERE id % 251 != 0 AND id % 97 != 0
+                  AND (id % 89 = 0 OR id % 83 = 0))
             SELECT keyword, CAST(n AS BIGINT) AS n FROM counts
             WHERE n > 0 ORDER BY keyword
         """,

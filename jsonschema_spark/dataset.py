@@ -26,6 +26,8 @@ dataset-scope checks that have no row-local JSON-Schema analogue::
                           "max_frac": 0.0, "on_hash": true},
         "image_quality": {"min_aspect": 0.05, "max_aspect": 20.0,
                           "min_pixels": 1024, "min_bytes": 16},
+        "image_quality_decoded": {"min_luma": 20, "max_luma": 235,
+                                  "min_contrast": 2},  # real-decode tier
         "alignment": {"image_col": "img_vec", "text_col": "txt_vec",
                       "min_cosine": 0.5}
     }
@@ -200,19 +202,23 @@ def validate_dataset(df: DataFrame, schema: dict,
         parts.append(pad(check(df,
                                min_psnr=pix_cfg.get("min_psnr", 40.0))))
 
+    fuse_luma = ("image_quality_decoded" in xs
+                 and "phash_integrity" in xs)
+
     if "phash_integrity" in xs:
         # stored phash must equal (within max_hamming) the perceptual
         # hash recomputed from decoded pixels; undecodable rows are the
-        # pixel_invariant's finding, not a phash mismatch.  When BOTH
-        # checks are configured, ONE fused real-decode pass feeds both
-        # violation streams — decoding bytes is the expensive stage
-        # and must not run twice.
+        # pixel_invariant's finding, not a phash mismatch.  When the
+        # pixel-invariant and/or decoded-tier quality checks are also
+        # configured, ONE fused real-decode pass feeds every violation
+        # stream — decoding bytes is the expensive stage and must not
+        # run twice.
         from .operators.multimodal import phash_integrity_check
         cfg = xs["phash_integrity"] or {}
         maxh = cfg.get("max_hamming", 0)
         chk = phash_integrity_check(
             df, carry=("w", "h") if fuse_pixel else (),
-            with_psnr=fuse_pixel)
+            with_psnr=fuse_pixel, with_luma=fuse_luma)
 
         def _vrow(keyword, json_path, schema_path, message, failing):
             return F.struct(F.lit(keyword).alias("keyword"),
@@ -241,12 +247,30 @@ def validate_dataset(df: DataFrame, schema: dict,
                                "invariant (psnr="),
                          F.round("psnr", 2).cast("string"), F.lit(")")),
                 F.col("psnr").cast("string"))))
+        if fuse_luma:
+            from .operators.quality import luma_quality_structs
+            structs += luma_quality_structs(
+                xs["image_quality_decoded"])
         # ONE projection over the single decode subtree emits every
         # violation type — a union of per-type filters would reference
         # (and re-execute) the mapInPandas decode once per branch
         bad = (chk.select(
             "image_id",
             F.explode(F.filter(F.array(*structs),
+                               lambda s: s.isNotNull())).alias("_v"))
+            .select("image_id", "_v.*"))
+        parts.append(pad(bad))
+
+    if "image_quality_decoded" in xs and not fuse_luma:
+        # decoded-tier quality standalone: its own real-decode pass
+        # (no phash-integrity subtree to ride)
+        from .operators.multimodal import decode_luma_stats
+        from .operators.quality import luma_quality_structs
+        st = decode_luma_stats(df)
+        lstructs = luma_quality_structs(xs["image_quality_decoded"])
+        bad = (st.select(
+            "image_id",
+            F.explode(F.filter(F.array(*lstructs),
                                lambda s: s.isNotNull())).alias("_v"))
             .select("image_id", "_v.*"))
         parts.append(pad(bad))

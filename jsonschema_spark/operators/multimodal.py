@@ -497,8 +497,62 @@ def dct_phash_batch(imgs) -> list:
     return [int(v) for v in (bits * _BIT_WEIGHTS).sum(axis=1)]
 
 
+def luma_stats(px: np.ndarray) -> tuple:
+    """Decoded-tier quality metrics: full-resolution Rec.601 luma mean
+    and population std (contrast).  Double math over the whole frame —
+    the documented contract the planted-corpus oracle and the numpy
+    unit tests both pin."""
+    luma = (px[..., 0] * 0.299 + px[..., 1] * 0.587
+            + px[..., 2] * 0.114)
+    return float(luma.mean()), float(luma.std())
+
+
+def _batch_luma(pxs, ok_idx) -> tuple:
+    means = [float("nan")] * len(pxs)
+    stds = [float("nan")] * len(pxs)
+    for i in ok_idx:
+        m, s = luma_stats(pxs[i])
+        means[i], stds[i] = m, s
+    return means, stds
+
+
+def decode_luma_stats(df: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Standalone decoded-tier luma stats: one mapInPandas pass (real
+    codecs) -> (image_id, fmt, decode_ok, luma_mean, luma_std[, carry]).
+    Used by the `image_quality_decoded` block when no phash-integrity
+    pass exists to fuse with (dataset.py fuses into
+    :func:`phash_integrity_check`'s decode otherwise — decoding is the
+    expensive stage and must not run twice).  Undecodable rows carry
+    NaN stats and decode_ok=False; they are the pixel-invariant's
+    finding, not a quality violation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_pil = _codec_available()
+        for pdf in batches:
+            pxs = [decode_blob(b, use_pil=use_pil) for b in pdf["bytes"]]
+            ok_idx = [i for i, p in enumerate(pxs) if p is not None]
+            means, stds = _batch_luma(pxs, ok_idx)
+            res = pd.DataFrame({
+                "image_id": list(pdf["image_id"]),
+                "fmt": list(pdf["fmt"]),
+                "decode_ok": [p is not None for p in pxs],
+                "luma_mean": means,
+                "luma_std": stds,
+            })
+            for c in carry:
+                res[c] = list(pdf[c])
+            yield res
+
+    extra = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in carry)
+    return df.select("image_id", "fmt", "bytes", *carry).mapInPandas(
+        run, schema="image_id string, fmt string, decode_ok boolean, "
+                    "luma_mean double, luma_std double" + extra)
+
+
 def phash_integrity_check(df: DataFrame, carry: tuple = (),
-                          with_psnr: bool = False) -> DataFrame:
+                          with_psnr: bool = False,
+                          with_luma: bool = False) -> DataFrame:
     """Verify the stored ``phash`` column against the perceptual hash
     RECOMPUTED from decoded pixels — the cross-column integrity check
     that ties the codec tier to the table's phash metadata (a corrupt
@@ -515,7 +569,10 @@ def phash_integrity_check(df: DataFrame, carry: tuple = (),
     ``with_psnr=True`` additionally emits (psnr, decoded_w, decoded_h)
     from the SAME decode — the fused one-scan path when both the pixel
     invariant and phash integrity are configured (decoding is the
-    expensive stage; it must not run twice).
+    expensive stage; it must not run twice).  ``with_luma=True``
+    likewise rides (luma_mean, luma_std) for the decoded-tier
+    image-quality block on the same pixels (NaN when undecodable —
+    callers gate on decode_ok).
 
     The stored phash travels into Arrow as a STRING: pandas coerces an
     int64 column containing any NULL to float64, which silently loses
@@ -537,6 +594,8 @@ def phash_integrity_check(df: DataFrame, carry: tuple = (),
             # native
             pxs = [decode_blob(b, use_pil=use_pil) for b in pdf["bytes"]]
             ok_idx = [i for i, p in enumerate(pxs) if p is not None]
+            if with_luma:
+                lmeans, lstds = _batch_luma(pxs, ok_idx)
             comps: list = [None] * len(pxs)
             for i, hsh in zip(ok_idx,
                               dct_phash_batch([pxs[i] for i in ok_idx])):
@@ -573,12 +632,17 @@ def phash_integrity_check(df: DataFrame, carry: tuple = (),
             # truncating 63-bit values — force nullable Int64
             for c in ("stored_phash", "computed_phash", "hamming"):
                 res[c] = pd.array(out[c], dtype="Int64")
+            if with_luma:
+                res["luma_mean"] = lmeans
+                res["luma_std"] = lstds
             for c in carry:
                 res[c] = list(pdf[c])
             yield res
 
     extra = "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in carry)
+    if with_luma:
+        extra = ", luma_mean double, luma_std double" + extra
     if with_psnr:
         extra = ", psnr double, decoded_w int, decoded_h int" + extra
     return df.select(

@@ -161,6 +161,50 @@ def image_quality_violations(df: DataFrame, cfg: dict,
     return _explode_structs(df, structs, id_cols)
 
 
+def luma_quality_structs(cfg: dict) -> list:
+    """Violation structs for the DECODED-tier image-quality block
+    (``image_quality_decoded``: min_luma / max_luma mean-brightness
+    band, min_contrast luma-std floor) over any frame carrying
+    ``(decode_ok, luma_mean, luma_std)`` — shared by the standalone
+    decode pass and the phash-integrity-fused pass in dataset.py, so
+    both plans emit identical rows.  Gated on ``decode_ok``:
+    undecodable rows are the pixel-invariant's finding (and their NaN
+    stats would otherwise compare as greater-than-everything under
+    Spark's NaN ordering)."""
+    ok = F.col("decode_ok")
+    mean, std = F.col("luma_mean"), F.col("luma_std")
+    structs = []
+    lo, hi = cfg.get("min_luma"), cfg.get("max_luma")
+    if lo is not None or hi is not None:
+        bad = F.lit(False)
+        if lo is not None:
+            bad = bad | (mean < lo)
+        if hi is not None:
+            bad = bad | (mean > hi)
+        band = (f"outside [{lo}, {hi}]" if lo is not None
+                and hi is not None
+                else (f"below {lo}" if lo is not None else f"above {hi}"))
+        structs.append(F.when(ok & bad, _vrow(
+            "lumaQuality:brightness", "$.bytes",
+            "x-spark/image_quality_decoded/luma",
+            F.concat(F.lit("decoded mean luma "),
+                     F.format_string("%.2f", mean), F.lit(f" {band}")),
+            F.format_string("%.4f", mean))))
+    mc = cfg.get("min_contrast")
+    if mc is not None:
+        structs.append(F.when(ok & (std < mc), _vrow(
+            "lumaQuality:contrast", "$.bytes",
+            "x-spark/image_quality_decoded/contrast",
+            F.concat(F.lit("decoded luma std "),
+                     F.format_string("%.2f", std),
+                     F.lit(f" below {mc} (flat/solid image)")),
+            F.format_string("%.4f", std))))
+    if not structs:           # spec meta-check rejects this upstream
+        raise ValueError("image_quality_decoded needs at least one "
+                         "threshold")
+    return structs
+
+
 def cosine_columns(a: Column, b: Column) -> Column:
     """Cosine similarity between two array columns as one codegen'd
     expression (cast to double first — float32 accumulation drifts).

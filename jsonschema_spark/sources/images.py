@@ -606,3 +606,63 @@ def aligned_embeddings_df(spark: SparkSession, n_rows: int = 20_000,
            .otherwise(txt_ok))
     return df.select(F.format_string("pair_%012x", idc).alias("pair_id"),
                      img.alias("img"), txt.alias("txt"))
+
+
+def luma_images_df(spark: SparkSession, n_rows: int = 2_000,
+                   partitions: int = 8, size: int = 16) -> DataFrame:
+    """Planted corpus for the DECODED-tier image-quality block
+    (``image_quality_decoded``): real BMP payloads whose luma stats
+    land in known classes by id arithmetic (priority: truncated >
+    solid > dark > bright):
+
+    - id % 251 == 0: truncated payload        -> decode fails, SKIPPED
+      (the pixel-invariant's finding, not a quality violation)
+    - id % 97  == 0: solid mid-gray 128       -> luma std 0  (contrast)
+    - id % 89  == 0: pixels // 16 (all < 16)  -> mean < 20   (dark)
+    - id % 83  == 0: 255 - pixels // 16       -> mean > 235  (bright)
+    - else: the textured reference pattern (mean ~127, std ~70 —
+      far from every threshold, so engine float rounding cannot flip
+      a class).
+
+    The DuckDB oracle recounts the classes from the same id rules —
+    structural certification that the decode+stats pipeline finds
+    exactly the planted damage (the luma MATH itself is pinned against
+    numpy in unit tests)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_bmp, expected_pixels
+
+    base = spark.range(n_rows).repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"id": [], "image_id": [], "bytes": [], "w": [],
+                   "h": [], "fmt": [], "caption": []}
+            for i in pdf["id"]:
+                i = int(i)
+                image_id = f"lq_{i:012x}"
+                px = expected_pixels(image_id, size, size)
+                if i % 251 == 0:
+                    pass                      # truncated below
+                elif i % 97 == 0:
+                    px = np.full_like(px, 128)
+                elif i % 89 == 0:
+                    px = px // 16
+                elif i % 83 == 0:
+                    px = 255 - px // 16
+                blob = encode_bmp(px)
+                if i % 251 == 0:
+                    blob = blob[:54 + len(blob) // 3]
+                out["id"].append(i)
+                out["image_id"].append(image_id)
+                out["bytes"].append(blob)
+                out["w"].append(size)
+                out["h"].append(size)
+                out["fmt"].append("bmp")
+                out["caption"].append(f"luma fixture {i}")
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen, schema="id long, image_id string, bytes binary, w int, "
+                    "h int, fmt string, caption string")

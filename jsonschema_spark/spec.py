@@ -246,6 +246,28 @@ def _check_x_spark(xs: Any, path: str) -> None:
             if (lo_k in q and hi_k in q and not q[lo_k] <= q[hi_k]):
                 raise bad(f"/image_quality/{lo_k}",
                           f"must be <= {hi_k}")
+    if "image_quality_decoded" in xs:
+        q = xs["image_quality_decoded"]
+        if not isinstance(q, dict):
+            raise bad("/image_quality_decoded", "must be an object")
+        known = {"min_luma", "max_luma", "min_contrast"}
+        unknown = set(q) - known
+        if unknown:
+            raise bad("/image_quality_decoded",
+                      f"unknown key(s) {sorted(unknown)}; known: "
+                      f"{sorted(known)}")
+        if not q:
+            raise bad("/image_quality_decoded",
+                      "needs at least one threshold key (the check "
+                      "would otherwise be a silent no-op)")
+        for k, val in q.items():
+            if not _is_number(val):
+                raise bad(f"/image_quality_decoded/{k}",
+                          "must be a number")
+        if ("min_luma" in q and "max_luma" in q
+                and not q["min_luma"] <= q["max_luma"]):
+            raise bad("/image_quality_decoded/min_luma",
+                      "must be <= max_luma")
     if "alignment" in xs:
         a = xs["alignment"]
         if not isinstance(a, dict):

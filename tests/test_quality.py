@@ -179,3 +179,104 @@ def test_validate_dataset_integration(spark):
                    ("bad", "imageQuality:aspect"),
                    ("bad", "imageQuality:bytes"),
                    ("bad", "alignment:cosine")}
+
+
+# --------------------------- decoded tier (image_quality_decoded) -----
+
+
+def test_luma_stats_matches_numpy():
+    import numpy as np
+
+    from jsonschema_spark.operators.multimodal import luma_stats
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    m, s = luma_stats(px)
+    luma = (px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114)
+    assert m == float(luma.mean())
+    assert s == float(luma.std())
+    solid = np.full((8, 8, 3), 128, np.uint8)
+    m, s = luma_stats(solid)
+    assert abs(m - 128.0) < 1e-9 and s == 0.0
+
+
+LUMA_CFG = {"min_luma": 20, "max_luma": 235, "min_contrast": 2}
+
+
+def _luma_classes(n):
+    """Expected class per id (priority: trunc > solid > dark > bright)."""
+    out = {}
+    for i in range(n):
+        if i % 251 == 0:
+            out[i] = "skipped"
+        elif i % 97 == 0:
+            out[i] = "contrast"
+        elif i % 89 == 0 or i % 83 == 0:
+            out[i] = "brightness"
+    return out
+
+
+def test_decoded_luma_standalone_finds_planted_classes(spark):
+    from jsonschema_spark import validate_dataset
+    from jsonschema_spark.sources.images import luma_images_df
+    n = 600
+    df = luma_images_df(spark, n)
+    out = validate_dataset(
+        df, {"type": "object",
+             "x-spark": {"image_quality_decoded": LUMA_CFG}},
+        ["image_id"])
+    got = {}
+    for r in out.collect():
+        i = int(r["image_id"][3:], 16)
+        got[i] = r["keyword"].split(":")[1]
+    want = {i: c for i, c in _luma_classes(n).items() if c != "skipped"}
+    assert got == want
+
+
+def test_decoded_luma_fused_with_phash_equals_standalone(spark):
+    """With phash_integrity also configured the luma structs ride the
+    fused decode pass — same violations, one decode."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark import validate_dataset
+    from jsonschema_spark.sources.images import luma_images_df
+    n = 400
+    # give the corpus a correct phash column so the fused pass runs
+    # cleanly (recompute on the driver-side generator rule is overkill:
+    # just use the integrity checker's own computed value)
+    from jsonschema_spark.operators.multimodal import phash_integrity_check
+    df = luma_images_df(spark, n)
+    ph = phash_integrity_check(df.withColumn("phash", F.lit(None)
+                                             .cast("long")))
+    df2 = df.join(
+        F.broadcast(ph.select("image_id",
+                              F.col("computed_phash").alias("phash"))),
+        "image_id", "left")
+
+    spec_fused = {"type": "object",
+                  "x-spark": {"phash_integrity": {"max_hamming": 0},
+                              "image_quality_decoded": LUMA_CFG}}
+    spec_alone = {"type": "object",
+                  "x-spark": {"image_quality_decoded": LUMA_CFG}}
+    fused = {(r["image_id"], r["keyword"])
+             for r in validate_dataset(df2, spec_fused,
+                                       ["image_id"]).collect()
+             if r["keyword"].startswith("lumaQuality")}
+    alone = {(r["image_id"], r["keyword"])
+             for r in validate_dataset(df2, spec_alone,
+                                       ["image_id"]).collect()
+             if r["keyword"].startswith("lumaQuality")}
+    assert fused == alone
+    assert any(k == "lumaQuality:contrast" for _, k in fused)
+
+
+def test_spec_grammar_image_quality_decoded():
+    _check_x_spark({"image_quality_decoded": {"min_contrast": 2}},
+                   "#/x-spark")
+    with pytest.raises(SchemaCompileError, match="unknown key"):
+        _check_x_spark({"image_quality_decoded": {"min_lum": 2}},
+                       "#/x-spark")
+    with pytest.raises(SchemaCompileError, match="at least one"):
+        _check_x_spark({"image_quality_decoded": {}}, "#/x-spark")
+    with pytest.raises(SchemaCompileError, match="<= max_luma"):
+        _check_x_spark({"image_quality_decoded":
+                        {"min_luma": 200, "max_luma": 100}}, "#/x-spark")
