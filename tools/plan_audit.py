@@ -33,7 +33,12 @@ def summarize(plan: str) -> dict:
         "broadcasts": len(re.findall(r"BroadcastExchange|BroadcastHashJoin"
                                      r"|BroadcastNestedLoop", plan)),
         "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
-        "python": len(re.findall(r"EvalPython|ArrowEval|MapInPandas", plan)),
+        # count detail headers "(N) NodeName" only — each physical node
+        # appears TWICE in formatted output (tree + detail section), so
+        # a bare substring count double-reports every Python stage
+        "python": len(re.findall(
+            r"^\(\d+\) \S*(?:EvalPython|ArrowEval|MapInPandas"
+            r"|CoGroupsInPandas|MapInArrow)", plan, re.M)),
         "partial_agg": ("partial" in plan.lower()
                         or "HashAggregate" in plan),
     }
@@ -325,6 +330,62 @@ def main() -> None:
         "regexp_replace — zero exchanges, zero python nodes, one "
         "codegen'd projection over (id, text)",
         pii_profile(docs, "doc_id", "text")))
+
+    # 23. metadata-tier image quality: zero-shuffle violation projection
+    from jsonschema_spark.operators.quality import (
+        alignment_violations, image_quality_violations)
+    cases.append((
+        "image_quality_metadata",
+        "aspect / pixel-count / payload-size / bytes-per-pixel bands "
+        "over stored (w, h, length(bytes)): one Generate over the "
+        "violation structs inside the scan's projection — zero "
+        "exchanges, zero python nodes (the check rides the same "
+        "narrow scan as the row keywords)",
+        image_quality_violations(
+            img, {"min_aspect": 0.015625, "max_aspect": 64.0,
+                  "min_pixels": 1024, "min_bytes": 16},
+            ["image_id"])))
+
+    # 24. caption-image alignment: codegen'd cosine, no shuffle
+    from jsonschema_spark.sources.images import aligned_embeddings_df
+    pairs = aligned_embeddings_df(spark, 50_000)
+    cases.append((
+        "caption_alignment",
+        "CLIP-score seam: cosine between paired array<float> "
+        "embeddings as one zip_with/aggregate expression evaluated "
+        "inside the projection — zero exchanges, zero python nodes; "
+        "NULL/zero-norm pairs classified in the same pass",
+        alignment_violations(
+            pairs, {"image_col": "img", "text_col": "txt",
+                    "min_cosine": 0.5}, ["pair_id"])))
+
+    # 25. decoded-tier luma quality fused with phash integrity: ONE
+    # Python decode node feeds both violation streams (persist the
+    # synthetic corpus first — its generator is itself a mapInPandas
+    # and would otherwise pollute the audited plan)
+    from jsonschema_spark import validate_dataset
+    from jsonschema_spark.sources.images import luma_images_df
+    luma_path = "/tmp/plan_audit_luma"
+    if not os.path.exists(os.path.join(luma_path, "_SUCCESS")):
+        luma_images_df(spark, 2_000).withColumn(
+            "phash", F.lit(0).cast("long")) \
+            .write.mode("overwrite").parquet(luma_path)
+    luma_img = spark.read.parquet(luma_path)
+    cases.append((
+        "luma_quality_fused",
+        "image_quality_decoded + phash_integrity in one spec: the luma "
+        "stats ride the phash-integrity decode (with_luma) — exactly "
+        "ONE python node in the whole plan (decoding is the expensive "
+        "stage and must not run twice), zero exchanges before the "
+        "violation union",
+        validate_dataset(
+            luma_img,
+            {"type": "object",
+             "x-spark": {"phash_integrity": {"max_hamming": 0},
+                         "image_quality_decoded": {"min_luma": 20,
+                                                   "max_luma": 235,
+                                                   "min_contrast": 2}}},
+            ["image_id"])))
 
     lines = [
         "# PLANS.md — physical-plan audit",
