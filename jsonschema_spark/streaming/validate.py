@@ -51,28 +51,35 @@ def with_valid_stream(stream_df: DataFrame, schema: Any,
     return CompiledValidator(schema, stream_df).with_valid(stream_df, col)
 
 
-#: x-spark blocks that are pure per-row projections — append-mode safe
-#: with zero streaming state.  Dataset-scope blocks (unique /
-#: referential / stats / drift / near_dup_phash / contamination — the
-#: last aggregates grams back per doc, an unwatermarked streaming
-#: groupBy) need bounded state or a full-table view and are rejected
-#: with a pointed error instead of failing inside the stream planner.
+#: x-spark blocks that are per-row and stateless — append-mode safe
+#: with zero streaming state.  The first four compile to pure Column
+#: expressions; the decode tier (pixel_invariant / phash_integrity /
+#: image_quality_decoded) is a narrow mapInPandas scan, which
+#: Structured Streaming runs per micro-batch with no state either.
+#: Dataset-scope blocks (unique / referential / stats / drift /
+#: near_dup_phash / contamination — the last aggregates grams back per
+#: doc, an unwatermarked streaming groupBy) need bounded state or a
+#: full-table view and are rejected with a pointed error instead of
+#: failing inside the stream planner.
 STREAM_SAFE_BLOCKS = frozenset(
-    {"repetition", "pii", "image_quality", "alignment"})
+    {"repetition", "pii", "image_quality", "alignment",
+     "pixel_invariant", "phash_integrity", "image_quality_decoded"})
 
 
 def validate_dataset_stream(stream_df: DataFrame, schema: Any,
                             id_cols: Sequence[str] = ()) -> DataFrame:
     """``validate_dataset`` for streams: row-level keywords PLUS the
     per-row x-spark checks (repetition / pii / image_quality /
-    alignment), one unified violation-rows stream.
+    alignment / pixel_invariant / phash_integrity /
+    image_quality_decoded), one unified violation-rows stream.
 
-    Every supported block compiles to pure Column expressions, so the
-    result is a narrow append-safe projection — the same compiled plan
-    serves batch and streaming (asserted by the stream==batch parity
-    test).  Blocks that need dataset state raise ValueError listing
-    themselves; run those on the materialized table (batch
-    ``validate_dataset``) or via ``windowed_manifest`` /
+    Every supported block is a narrow append-safe per-row
+    transformation — pure Column expressions for the metadata/text
+    tiers, one fused mapInPandas decode scan for the pixel tier — so
+    the same compiled plan serves batch and streaming (asserted by the
+    stream==batch parity tests).  Blocks that need dataset state raise
+    ValueError listing themselves; run those on the materialized table
+    (batch ``validate_dataset``) or via ``windowed_manifest`` /
     ``drift_stream`` for their windowed streaming analogues."""
     xs = (schema.get("x-spark", {}) or {}) if isinstance(schema, dict) \
         else {}

@@ -274,3 +274,47 @@ def test_validate_dataset_stream_rejects_stateful_blocks(spark, tmp_path):
                         "pii": {"column": "event_type"}}}
     with pytest.raises(ValueError, match=r"\['unique'\]"):
         validate_dataset_stream(stream, spec, ["event_id"])
+
+
+def test_validate_dataset_stream_decode_tier_matches_batch(spark, tmp_path):
+    """The DECODE tier (phash_integrity + image_quality_decoded, one
+    fused mapInPandas pass) is per-row stateless, so it streams
+    append-mode and agrees with batch row-for-row."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark import validate_dataset
+    from jsonschema_spark.operators.multimodal import phash_integrity_check
+    from jsonschema_spark.sources.images import luma_images_df
+    from jsonschema_spark.streaming import validate_dataset_stream
+
+    src = str(tmp_path / "luma_src")
+    base = luma_images_df(spark, 500)
+    ph = phash_integrity_check(base.withColumn(
+        "phash", F.lit(None).cast("long")))
+    (base.join(F.broadcast(ph.select(
+        "image_id", F.col("computed_phash").alias("phash"))),
+        "image_id", "left")
+     .write.mode("overwrite").parquet(src))
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    spec = {
+        "type": "object",
+        "x-spark": {
+            "phash_integrity": {"max_hamming": 0},
+            "image_quality_decoded": {"min_luma": 20, "max_luma": 235,
+                                      "min_contrast": 2},
+        },
+    }
+    out = str(tmp_path / "lumaviols")
+    q = (validate_dataset_stream(stream, spec, ["image_id"])
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "lumackpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    _drain(q)
+    got = {tuple(r) for r in spark.read.parquet(out)
+           .select("image_id", "keyword").collect()}
+    want = {tuple(r) for r in validate_dataset(batch, spec, ["image_id"])
+            .select("image_id", "keyword").collect()}
+    assert got == want
+    assert any(k == "lumaQuality:contrast" for _, k in got)
