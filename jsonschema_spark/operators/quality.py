@@ -219,23 +219,99 @@ def cosine_columns(a: Column, b: Column) -> Column:
                   dot / (na * nb))
 
 
+def arrow_cosine(df: DataFrame, img_c: str, txt_c: str,
+                 id_cols: Sequence[str] = ()) -> DataFrame:
+    """Batch cosine via ``mapInArrow``: the list columns' FLAT Arrow
+    buffers reshape zero-copy into (n, dim) matrices and one BLAS-class
+    einsum scores the whole batch — measured 2x the interpreted-HOF
+    fold at dim 768 (Spark's higher-order lambdas evaluate per
+    ELEMENT; at CLIP dims that is ~1.7k rows/s/core vs ~3.5k here, see
+    MICROBENCH.md).  Unscorable rows (either side NULL, zero-norm, or
+    length-mismatched) come back as NULL cosine.  Output:
+    ``(*id_cols, cos double)``."""
+    import numpy as np
+    import pyarrow as pa
+
+    n_ids = len(id_cols)
+
+    def run(batches):
+        for rb in batches:
+            u, v = rb.column(n_ids), rb.column(n_ids + 1)
+
+            def parts(col):
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                # normalize the offset window (a sliced batch's offsets
+                # need not start at 0)
+                offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                                     count=len(col) + 1 + col.offset)
+                offs = offs[col.offset:]
+                flat = np.frombuffer(col.values.buffers()[1],
+                                     dtype=np.float32)
+                valid = np.asarray(col.is_valid())
+                return offs, flat, valid
+
+            ou, fu, vu = parts(u)
+            ov, fv, vv = parts(v)
+            lu, lv = np.diff(ou), np.diff(ov)
+            n = len(lu)
+            cos = np.full(n, np.nan)
+            good = vu & vv & (lu == lv) & (lu > 0)
+            # rectangular gather per distinct dim (one group in
+            # practice — embeddings are fixed-width)
+            for d in np.unique(lu[good]):
+                idx = np.where(good & (lu == d))[0]
+                gi = ou[idx][:, None] + np.arange(d)
+                gj = ov[idx][:, None] + np.arange(d)
+                U = fu[gi].astype(np.float64)
+                V = fv[gj].astype(np.float64)
+                dot = np.einsum("ij,ij->i", U, V)
+                nu = np.sqrt(np.einsum("ij,ij->i", U, U))
+                nv = np.sqrt(np.einsum("ij,ij->i", V, V))
+                den = nu * nv
+                cos[idx] = np.where(den > 0,
+                                    dot / np.where(den == 0, 1, den),
+                                    np.nan)
+            arrays = [rb.column(i) for i in range(n_ids)]
+            arrays.append(pa.array(cos, mask=np.isnan(cos)))
+            yield pa.RecordBatch.from_arrays(arrays,
+                                            names=[*id_cols, "cos"])
+
+    id_schema = "".join(
+        f"{c} {df.schema[c].dataType.simpleString()}, " for c in id_cols)
+    return df.select(*id_cols, img_c, txt_c).mapInArrow(
+        run, schema=id_schema + "cos double")
+
+
 def alignment_violations(df: DataFrame, cfg: dict,
                          id_cols: Sequence[str] = ()) -> DataFrame:
     """Caption-image embedding alignment (CLIP-score seam) -> per-row
     violation rows.
 
     ``cfg``: ``image_col`` / ``text_col`` (required: the two
-    ``array<float>`` embedding columns), ``min_cosine`` (default 0.5).
+    ``array<float>`` embedding columns), ``min_cosine`` (default 0.5),
+    ``method`` — ``"native"`` (default; one codegen'd
+    zip_with/aggregate expression, zero Python nodes, streams
+    anywhere) or ``"arrow"`` (:func:`arrow_cosine`, the BLAS batch
+    path — 2x faster at CLIP dims where the interpreted per-element
+    HOF fold dominates; identical violation sets, asserted in tests).
 
     Two violation kinds:
 
     - ``alignment:cosine`` — the pair scored below ``min_cosine``.
-    - ``alignment:missing`` — either embedding NULL or zero-norm; an
-      unscorable row must surface, not silently pass.
+    - ``alignment:missing`` — either embedding NULL or zero-norm (or,
+      arrow path, length-mismatched); an unscorable row must surface,
+      not silently pass.
     """
     img_c, txt_c = cfg["image_col"], cfg["text_col"]
     min_cos = cfg.get("min_cosine", 0.5)
-    cos = cosine_columns(F.col(img_c), F.col(txt_c))
+    if cfg.get("method", "native") == "arrow":
+        scored = arrow_cosine(df, img_c, txt_c, id_cols)
+        cos = F.col("cos")
+        base, ids = scored, list(id_cols)
+    else:
+        cos = cosine_columns(F.col(img_c), F.col(txt_c))
+        base, ids = df, list(id_cols)
     structs = [
         F.when(cos.isNull(), _vrow(
             "alignment:missing", f"$.{txt_c}", "x-spark/alignment",
@@ -249,4 +325,4 @@ def alignment_violations(df: DataFrame, cfg: dict,
                      F.lit(f" below {min_cos}")),
             F.format_string("%.6f", cos))),
     ]
-    return _explode_structs(df, structs, id_cols)
+    return _explode_structs(base, structs, ids)

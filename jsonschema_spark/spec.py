@@ -272,11 +272,16 @@ def _check_x_spark(xs: Any, path: str) -> None:
         a = xs["alignment"]
         if not isinstance(a, dict):
             raise bad("/alignment", "must be an object")
-        unknown = set(a) - {"image_col", "text_col", "min_cosine"}
+        unknown = set(a) - {"image_col", "text_col", "min_cosine",
+                            "method"}
         if unknown:
             raise bad("/alignment",
                       f"unknown key(s) {sorted(unknown)}; known: "
-                      "['image_col', 'min_cosine', 'text_col']")
+                      "['image_col', 'method', 'min_cosine', "
+                      "'text_col']")
+        if "method" in a and a["method"] not in ("native", "arrow"):
+            raise bad("/alignment/method",
+                      'must be "native" or "arrow"')
         for k in ("image_col", "text_col"):
             if not (isinstance(a.get(k), str) and a.get(k)):
                 raise bad(f"/alignment/{k}",

@@ -280,3 +280,48 @@ def test_spec_grammar_image_quality_decoded():
     with pytest.raises(SchemaCompileError, match="<= max_luma"):
         _check_x_spark({"image_quality_decoded":
                         {"min_luma": 200, "max_luma": 100}}, "#/x-spark")
+
+
+def test_alignment_arrow_equals_native(spark):
+    """The BLAS mapInArrow path and the codegen'd HOF path classify
+    every planted pair identically (NULL, zero-norm, misaligned,
+    aligned), on the same corpus the driver query uses."""
+    from jsonschema_spark.operators.quality import alignment_violations
+    from jsonschema_spark.sources.images import aligned_embeddings_df
+    pairs = aligned_embeddings_df(spark, 3_000)
+    base_cfg = {"image_col": "img", "text_col": "txt", "min_cosine": 0.5}
+    nat = {(r["pair_id"], r["keyword"])
+           for r in alignment_violations(
+               pairs, dict(base_cfg, method="native"),
+               ["pair_id"]).collect()}
+    arr = {(r["pair_id"], r["keyword"])
+           for r in alignment_violations(
+               pairs, dict(base_cfg, method="arrow"),
+               ["pair_id"]).collect()}
+    assert nat == arr
+    assert any(k == "alignment:cosine" for _, k in arr)
+    assert any(k == "alignment:missing" for _, k in arr)
+
+
+def test_alignment_arrow_dim_mismatch_is_missing(spark):
+    from jsonschema_spark.operators.quality import alignment_violations
+    rows = [("ok", [1.0, 0.0], [1.0, 0.0]),
+            ("ragged", [1.0, 0.0, 0.0], [1.0, 0.0]),
+            ("empty", [], [1.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "pair_id string, img array<float>, txt array<float>")
+    got = {(r["pair_id"], r["keyword"])
+           for r in alignment_violations(
+               df, {"image_col": "img", "text_col": "txt",
+                    "min_cosine": 0.5, "method": "arrow"},
+               ["pair_id"]).collect()}
+    assert got == {("ragged", "alignment:missing"),
+                   ("empty", "alignment:missing")}
+
+
+def test_spec_grammar_alignment_method():
+    _check_x_spark({"alignment": {"image_col": "a", "text_col": "b",
+                                  "method": "arrow"}}, "#/x-spark")
+    with pytest.raises(SchemaCompileError, match='"native" or "arrow"'):
+        _check_x_spark({"alignment": {"image_col": "a", "text_col": "b",
+                                      "method": "blas"}}, "#/x-spark")
