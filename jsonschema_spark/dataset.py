@@ -418,6 +418,7 @@ def full_check_counts(df: DataFrame, schema: dict,
                       unique_keys: Sequence[str] = (),
                       referential: Optional[Sequence[tuple]] = None,
                       isin_max_keys: int = 10_000,
+                      image_quality: Optional[dict] = None,
                       ) -> dict:
     """Scan-fused dataset check: validation counts, per-key duplicate
     groups, and referential orphan counts in **one keyed pass per unique
@@ -436,8 +437,11 @@ def full_check_counts(df: DataFrame, schema: dict,
     broadcast join would not).
 
     `referential` is a sequence of (fk_col, dim_df, dim_key).
+    `image_quality` (an x-spark image_quality-style cfg dict) rides the
+    SAME fused pass: each quality band becomes one more
+    sum(predicate) aggregate expression — zero extra scans or jobs.
     Returns {"rows", "invalid_rows", "dup_groups": {key: n},
-    "orphans": {fk_col: n}}.
+    "orphans": {fk_col: n}[, "quality": {keyword: n}]}.
     """
     from .validator import CompiledValidator
 
@@ -446,6 +450,16 @@ def full_check_counts(df: DataFrame, schema: dict,
     valid = F.coalesce(v.valid_column, F.lit(True))
     extra_aggs = [F.count(F.lit(1)).alias("_c"),
                   F.sum((~valid).cast("long")).alias("_bad")]
+    quality_cols: dict[str, str] = {}
+    if image_quality:
+        from .operators.quality import image_quality_flags
+        for j, (kw, pred) in enumerate(
+                sorted(image_quality_flags(image_quality).items())):
+            col = f"_q{j}"
+            extra_aggs.append(
+                F.sum(F.coalesce(pred, F.lit(False)).cast("long"))
+                .alias(col))
+            quality_cols[kw] = col
     orphan_cols: dict[str, str] = {}
     fused_df = df  # first fused pass only; extra key passes stay on df
     for i, (fk, dim_df, dim_key) in enumerate(referential or ()):
@@ -474,6 +488,8 @@ def full_check_counts(df: DataFrame, schema: dict,
         orphan_cols[fk] = f"_orph{i}"
 
     out: dict = {"dup_groups": {}, "orphans": {}}
+    if quality_cols:
+        out["quality"] = {}
     keys = list(unique_keys) or ["__nogroup__"]
     first = True
     for key in keys:
@@ -483,6 +499,8 @@ def full_check_counts(df: DataFrame, schema: dict,
             out["invalid_rows"] = row["_bad"]
             for fk, c in orphan_cols.items():
                 out["orphans"][fk] = row[c]
+            for kw, c in quality_cols.items():
+                out["quality"][kw] = row[c] or 0
             break
         if first:
             g = fused_df.groupBy(key).agg(*extra_aggs)
@@ -491,12 +509,15 @@ def full_check_counts(df: DataFrame, schema: dict,
                 F.sum("_bad").alias("bad"),
                 F.sum((F.col("_c") > 1).cast("long")).alias("dups"),
                 *[F.sum(c).alias(c) for c in orphan_cols.values()],
+                *[F.sum(c).alias(c) for c in quality_cols.values()],
             ).collect()[0]
             out["rows"] = agg["rows"]
             out["invalid_rows"] = agg["bad"] or 0
             out["dup_groups"][key] = agg["dups"] or 0
             for fk, c in orphan_cols.items():
                 out["orphans"][fk] = agg[c] or 0
+            for kw, c in quality_cols.items():
+                out["quality"][kw] = agg[c] or 0
             first = False
         else:
             n = (df.groupBy(key).agg(F.count(F.lit(1)).alias("_c"))

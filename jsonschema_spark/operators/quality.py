@@ -87,6 +87,26 @@ def image_quality_violations(df: DataFrame, cfg: dict,
     (only its length is read, which parquet can answer from page
     metadata without decompressing the value... in practice the column
     is read, but never shuffled)."""
+    bands = _quality_bands(cfg)
+    structs = [F.when(pred, _vrow(kw, jp, sp, msg, fv))
+               for kw, pred, jp, sp, msg, fv in bands]
+    return _explode_structs(df, structs, id_cols)
+
+
+def image_quality_flags(cfg: dict) -> dict:
+    """The same quality bands as boolean predicate Columns, keyed by
+    violation keyword — for riding OTHER passes as aggregate
+    expressions (``full_check_counts`` sums them inside its fused
+    groupBy scan, so "validate + unique + referential + quality" still
+    costs the same two scans).  Equality with
+    :func:`image_quality_violations`'s per-keyword row counts is
+    pinned in tests."""
+    return {kw: pred for kw, pred, *_ in _quality_bands(cfg)}
+
+
+def _quality_bands(cfg: dict) -> list:
+    """[(keyword, gated_bad_predicate, json_path, schema_path,
+    message_col, failing_col)] for the configured metadata bands."""
     w = F.col(cfg.get("w_col", "w")).cast("double")
     h = F.col(cfg.get("h_col", "h")).cast("double")
     blen = F.length(F.col(cfg.get("bytes_col", "bytes"))).cast("double")
@@ -103,62 +123,55 @@ def image_quality_violations(df: DataFrame, cfg: dict,
             return f"outside [{lo}, {hi}]"
         return f"below {lo}" if lo is not None else f"above {hi}"
 
-    structs = []
+    def _banded(lo, hi, value):
+        bad = F.lit(False)
+        if lo is not None:
+            bad = bad | (value < lo)
+        if hi is not None:
+            bad = bad | (value > hi)
+        return bad
+
+    bands = []
     lo, hi = cfg.get("min_aspect"), cfg.get("max_aspect")
     if lo is not None or hi is not None:
-        bad = F.lit(False)
-        if lo is not None:
-            bad = bad | (aspect < lo)
-        if hi is not None:
-            bad = bad | (aspect > hi)
-        structs.append(F.when(geom_ok & bad, _vrow(
-            "imageQuality:aspect", "$.w", "x-spark/image_quality/aspect",
+        bands.append((
+            "imageQuality:aspect", geom_ok & _banded(lo, hi, aspect),
+            "$.w", "x-spark/image_quality/aspect",
             F.concat(F.lit("aspect ratio of "), dims,
                      F.lit(f" {_band_text(lo, hi)}")),
-            dims)))
+            dims))
     lo, hi = cfg.get("min_pixels"), cfg.get("max_pixels")
     if lo is not None or hi is not None:
-        bad = F.lit(False)
-        if lo is not None:
-            bad = bad | (pixels < lo)
-        if hi is not None:
-            bad = bad | (pixels > hi)
-        structs.append(F.when(geom_ok & bad, _vrow(
-            "imageQuality:pixels", "$.w", "x-spark/image_quality/pixels",
+        bands.append((
+            "imageQuality:pixels", geom_ok & _banded(lo, hi, pixels),
+            "$.w", "x-spark/image_quality/pixels",
             F.concat(F.lit("pixel count of "), dims,
                      F.lit(f" {_band_text(lo, hi)}")),
-            pixels.cast("long").cast("string"))))
+            pixels.cast("long").cast("string")))
     lo, hi = cfg.get("min_bytes"), cfg.get("max_bytes")
     if lo is not None or hi is not None:
-        bad = F.lit(False)
-        if lo is not None:
-            bad = bad | (blen < lo)
-        if hi is not None:
-            bad = bad | (blen > hi)
-        structs.append(F.when(blen.isNotNull() & bad, _vrow(
-            "imageQuality:bytes", "$.bytes", "x-spark/image_quality/bytes",
+        bands.append((
+            "imageQuality:bytes",
+            blen.isNotNull() & _banded(lo, hi, blen),
+            "$.bytes", "x-spark/image_quality/bytes",
             F.concat(F.lit("payload of "), blen.cast("long").cast("string"),
                      F.lit(f" bytes {_band_text(lo, hi)}")),
-            blen.cast("long").cast("string"))))
+            blen.cast("long").cast("string")))
     lo, hi = (cfg.get("min_bytes_per_pixel"),
               cfg.get("max_bytes_per_pixel"))
     if lo is not None or hi is not None:
-        bad = F.lit(False)
-        if lo is not None:
-            bad = bad | (bpp < lo)
-        if hi is not None:
-            bad = bad | (bpp > hi)
-        structs.append(F.when(geom_ok & blen.isNotNull() & bad, _vrow(
-            "imageQuality:bytesPerPixel", "$.bytes",
-            "x-spark/image_quality/bytes_per_pixel",
+        bands.append((
+            "imageQuality:bytesPerPixel",
+            geom_ok & blen.isNotNull() & _banded(lo, hi, bpp),
+            "$.bytes", "x-spark/image_quality/bytes_per_pixel",
             F.concat(F.lit("payload bytes "),
                      blen.cast("long").cast("string"),
                      F.lit(" for "), dims,
                      F.lit(f" pixels, ratio {_band_text(lo, hi)}")),
-            blen.cast("long").cast("string"))))
-    if not structs:           # spec meta-check rejects this upstream
+            blen.cast("long").cast("string")))
+    if not bands:             # spec meta-check rejects this upstream
         raise ValueError("image_quality needs at least one threshold")
-    return _explode_structs(df, structs, id_cols)
+    return bands
 
 
 def luma_quality_structs(cfg: dict) -> list:
