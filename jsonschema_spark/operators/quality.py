@@ -254,18 +254,32 @@ def arrow_cosine(df: DataFrame, img_c: str, txt_c: str,
             def parts(col):
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
-                # normalize the offset window (a sliced batch's offsets
-                # need not start at 0)
+                # normalize BOTH offset windows: a sliced batch's list
+                # offsets need not start at 0, and the child values
+                # array can itself carry an offset after slicing
                 offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
                                      count=len(col) + 1 + col.offset)
                 offs = offs[col.offset:]
-                flat = np.frombuffer(col.values.buffers()[1],
-                                     dtype=np.float32)
+                vals = col.values
+                flat = np.frombuffer(
+                    vals.buffers()[1], dtype=np.float32,
+                    count=vals.offset + len(vals))[vals.offset:]
                 valid = np.asarray(col.is_valid())
-                return offs, flat, valid
+                # element-level nulls inside a vector make the row
+                # unscorable (the native zip_with fold returns NULL
+                # there too) — gather the child validity bitmap
+                evalid = None
+                vb = vals.buffers()[0]
+                if vb is not None and vals.null_count:
+                    bits = np.unpackbits(
+                        np.frombuffer(vb, dtype=np.uint8),
+                        bitorder="little")
+                    evalid = bits[vals.offset:
+                                  vals.offset + len(vals)].astype(bool)
+                return offs, flat, valid, evalid
 
-            ou, fu, vu = parts(u)
-            ov, fv, vv = parts(v)
+            ou, fu, vu, eu = parts(u)
+            ov, fv, vv, ev = parts(v)
             lu, lv = np.diff(ou), np.diff(ov)
             n = len(lu)
             cos = np.full(n, np.nan)
@@ -276,6 +290,13 @@ def arrow_cosine(df: DataFrame, img_c: str, txt_c: str,
                 idx = np.where(good & (lu == d))[0]
                 gi = ou[idx][:, None] + np.arange(d)
                 gj = ov[idx][:, None] + np.arange(d)
+                if eu is not None or ev is not None:
+                    row_ok = np.ones(len(idx), dtype=bool)
+                    if eu is not None:
+                        row_ok &= eu[gi].all(axis=1)
+                    if ev is not None:
+                        row_ok &= ev[gj].all(axis=1)
+                    idx, gi, gj = idx[row_ok], gi[row_ok], gj[row_ok]
                 U = fu[gi].astype(np.float64)
                 V = fv[gj].astype(np.float64)
                 dot = np.einsum("ij,ij->i", U, V)

@@ -355,3 +355,21 @@ def test_full_check_counts_carries_quality(spark):
     assert out["rows"] == 9
     assert out["quality"] == {"imageQuality:aspect": 1,   # wide only
                               "imageQuality:bytes": 1}    # truncated
+
+
+def test_alignment_arrow_null_elements_are_missing(spark):
+    """A NULL element inside a vector makes the row unscorable on both
+    paths (the native fold returns NULL there; the arrow kernel reads
+    the child validity bitmap)."""
+    from jsonschema_spark.operators.quality import alignment_violations
+    rows = [("ok", [1.0, 0.0], [1.0, 0.0]),
+            ("holey", [1.0, None], [1.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "pair_id string, img array<float>, txt array<float>")
+    for method in ("native", "arrow"):
+        got = {(r["pair_id"], r["keyword"])
+               for r in alignment_violations(
+                   df, {"image_col": "img", "text_col": "txt",
+                        "min_cosine": 0.5, "method": method},
+                   ["pair_id"]).collect()}
+        assert got == {("holey", "alignment:missing")}, method
