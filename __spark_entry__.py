@@ -317,6 +317,35 @@ def q_docs_dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "cluster_id"))
 
 
+def q_docs_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition (pipeline.curate): row-keyword
+    validity + cluster-resolved dedup survivor election + deterministic
+    split as three labeling columns on one frame.  Every piece has its
+    own oracle elsewhere (violations_*, docs_dup_clusters,
+    docs_dedup_dropped, docs_split); this query certifies the
+    COMPOSITION — per (valid, is_canonical, split) cell counts — against
+    a single DuckDB query gluing the same validity SQL, recursive-CTE
+    dedup, and md5-prefix split."""
+    from jsonschema_spark import curate
+    d = _t(spark, sf_dir, "documents")
+    pairs = _dup_pair_edges(spark, sf_dir)
+    spec = {
+        "type": "object",
+        "required": ["doc_id", "text"],
+        "properties": {
+            "n_chars": {"minimum": 1, "maximum": 300},
+            "lang": {"enum": ["en", "de", "fr", "es"]},
+        },
+    }
+    out = curate(d, spec, "doc_id", pairs=pairs,
+                 prefer=-F.length("text"),
+                 split={"train": 0.8, "val": 0.1, "test": 0.1},
+                 split_salt="r5")
+    return (out.groupBy("valid", "is_canonical", "split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("valid", "is_canonical", "split"))
+
+
 def q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (hash-of-key, not rand():
     retry-safe, growth-stable, reproducible bit-for-bit in any engine —
@@ -1286,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dedup_dropped": q_docs_dedup_dropped,
+        "docs_curate": q_docs_curate,
         "docs_split": q_docs_split,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_repetition": q_docs_repetition,
@@ -1992,6 +2022,43 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_clusters": _DUP_CLUSTER_CTE + """
             SELECT id AS doc_id, min(comp) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "docs_curate": _DUP_CLUSTER_CTE + """,
+            cc AS (SELECT id, min(comp) AS cluster_id
+                   FROM reach GROUP BY id),
+            mem AS (SELECT c.id AS doc_id, c.cluster_id,
+                           len(d.text) AS L
+                    FROM cc c JOIN documents d ON d.doc_id = c.id),
+            surv AS (SELECT doc_id FROM (
+                       SELECT doc_id,
+                              row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY L DESC, doc_id) AS rn
+                       FROM mem) WHERE rn = 1),
+            uhash AS (SELECT doc_id,
+                             CAST(('0x' || substr(md5(
+                                 CAST(doc_id AS VARCHAR) || '|r5'), 1, 8))
+                                  AS BIGINT) / 4294967296.0 AS u
+                      FROM documents),
+            lab AS (SELECT
+                      (d.doc_id IS NOT NULL AND d.text IS NOT NULL
+                       AND (d.n_chars IS NULL
+                            OR (d.n_chars >= 1 AND d.n_chars <= 300))
+                       AND (d.lang IS NULL
+                            OR d.lang IN ('en','de','fr','es')))
+                        AS valid,
+                      (cm.doc_id IS NULL OR sv.doc_id IS NOT NULL)
+                        AS is_canonical,
+                      CASE WHEN uh.u < 0.8 THEN 'train'
+                           WHEN uh.u < 0.9 THEN 'val'
+                           ELSE 'test' END AS split
+                    FROM documents d
+                    LEFT JOIN (SELECT DISTINCT doc_id FROM mem) cm
+                      ON cm.doc_id = d.doc_id
+                    LEFT JOIN surv sv ON sv.doc_id = d.doc_id
+                    JOIN uhash uh ON uh.doc_id = d.doc_id)
+            SELECT valid, is_canonical, split,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lab GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "docs_split": """
             WITH u AS (SELECT doc_id,

@@ -14,6 +14,7 @@ from .compiler.registry import (KeywordRegistry, SchemaCompileError,
                                 default_registry)
 from .dataset import validate_dataset
 from .functions.formats import register_format
+from .pipeline import curate
 from .spec import check_schema
 from .validator import CompiledValidator, is_valid, validate
 
@@ -22,6 +23,7 @@ __all__ = [
     "KeywordRegistry",
     "SchemaCompileError",
     "check_schema",
+    "curate",
     "default_registry",
     "is_valid",
     "register_format",

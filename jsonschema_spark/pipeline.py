@@ -1,0 +1,70 @@
+"""End-to-end corpus curation: validate -> dedup -> split, one plan.
+
+The composition a training-data pipeline actually ships: row-level
+constraint validation (the compiled keyword predicates), duplicate
+resolution over a near-dup pair stream (connected components + survivor
+election), and a deterministic train/val/test split — as THREE ADDED
+COLUMNS on the input frame, so the caller filters / routes with scan
+predicates instead of materializing intermediate corpora:
+
+    out = curate(docs, SPEC, "doc_id", pairs=near_dup_pairs,
+                 prefer=-F.length("text"),
+                 split={"train": .98, "val": .01, "test": .01})
+    clean_train = out.filter("valid AND is_canonical AND split='train'")
+    drop_manifest = out.filter("NOT is_canonical")
+
+Scale shape (each stage's physical plan is audited separately in
+PLANS.md): validity is a codegen'd projection riding the scan; dedup
+touches the corpus with exactly two small-frame joins (the cluster
+labeling and the one-row-per-cluster survivor frame — the singleton
+majority never shuffles); the split label is a pure hash function of
+the id.  Composing them adds NO extra passes beyond dedup's joins.
+
+Reference analogue: none — this is the brief's training-data-pipeline
+mandate (SURVEY.md) composed from the engine's oracle-checked parts;
+the driver query ``docs_curate`` re-verifies the COMPOSITION against a
+single DuckDB query (validity SQL + recursive-CTE dedup + md5 split).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+from pyspark.sql import Column, DataFrame
+
+
+def curate(df: DataFrame, schema: dict, id_col: str,
+           pairs: Optional[DataFrame] = None,
+           prefer: Optional[Column] = None,
+           split: Optional[Mapping[str, float]] = None,
+           split_salt: str = "",
+           valid_col: str = "valid") -> DataFrame:
+    """``df`` + ``valid`` (+ ``cluster_id``/``is_canonical`` when
+    ``pairs`` given) (+ ``split`` when ``split`` weights given).
+
+    - ``schema``: JSON-Schema constraint spec; row-level keywords only
+      (an ``x-spark`` block is stripped here — dataset-scope checks
+      report violations, they don't label rows; run
+      :func:`jsonschema_spark.validate_dataset` for those).
+    - ``pairs``: near-dup edge stream ``(id_a, id_b)`` from any dedup
+      operator (exact fingerprint groups, MinHash/SimHash/phash bands,
+      n-gram Jaccard).  ``prefer`` elects the survivor per cluster
+      (smallest ``(prefer, id)`` wins; default smallest id).
+    - ``split``: label -> weight mapping for the deterministic
+      hash-keyed split (retry-safe, growth-stable — see
+      operators/sampling.py).
+    """
+    from .validator import CompiledValidator
+
+    out = df
+    if pairs is not None:
+        from .operators.clusters import resolve_duplicates
+        out = resolve_duplicates(out, pairs, id_col, prefer=prefer)
+    row_schema = {k: v for k, v in (schema or {}).items()
+                  if k != "x-spark"}
+    v = CompiledValidator(row_schema, df)
+    out = v.with_valid(out, valid_col)
+    if split is not None:
+        from .operators.sampling import split_assign
+        out = split_assign(out, id_col, split, salt=split_salt)
+    return out

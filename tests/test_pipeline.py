@@ -1,0 +1,44 @@
+"""End-to-end curation composition (pipeline.curate)."""
+
+from pyspark.sql import functions as F
+
+from jsonschema_spark import curate
+
+
+def test_curate_labels_all_three_axes(spark):
+    docs = spark.createDataFrame(
+        [(1, "the longest surviving text"), (2, "the longest surviving"),
+         (3, "unique text"), (4, None)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    spec = {"type": "object", "required": ["text"]}
+    out = curate(docs, spec, "doc_id", pairs=pairs,
+                 prefer=-F.length("text"),
+                 split={"train": 0.5, "test": 0.5}, split_salt="t")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[4]["valid"] is False and rows[1]["valid"] is True
+    # survivor = longest text (doc 1); doc 2 dropped; singletons kept
+    assert rows[1]["is_canonical"] and not rows[2]["is_canonical"]
+    assert rows[3]["is_canonical"] and rows[4]["is_canonical"]
+    assert all(r["split"] in ("train", "test") for r in rows.values())
+    # the curated corpus is a plain filter over the labeling
+    clean = out.filter("valid AND is_canonical")
+    assert {r["doc_id"] for r in clean.collect()} == {1, 3}
+
+
+def test_curate_without_optional_stages(spark):
+    docs = spark.createDataFrame([(1, "a"), (2, None)],
+                                 "doc_id long, text string")
+    out = curate(docs, {"required": ["text"]}, "doc_id")
+    assert out.columns == ["doc_id", "text", "valid"]
+    assert {(r["doc_id"], r["valid"]) for r in out.collect()} == \
+        {(1, True), (2, False)}
+
+
+def test_curate_strips_x_spark(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    spec = {"required": ["text"],
+            "x-spark": {"unique": ["doc_id"]}}    # must not blow up
+    out = curate(docs, spec, "doc_id")
+    assert out.collect()[0]["valid"] is True
