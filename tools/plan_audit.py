@@ -387,6 +387,31 @@ def main() -> None:
                                                    "min_contrast": 2}}},
             ["image_id"])))
 
+    # 26. curate composition: dedup's two small-frame joins are the
+    # ONLY wide operators; validity and split ride as projections
+    from jsonschema_spark import curate
+    from jsonschema_spark.operators.text import content_fingerprint
+    docs_nn = docs.filter(F.col("text").isNotNull())
+    keyed = docs_nn.select(content_fingerprint(F.col("text")).alias("k"),
+                           "doc_id")
+    ex_pairs = (keyed.groupBy("k")
+                .agg(F.min("doc_id").alias("id_a"),
+                     F.collect_list("doc_id").alias("_ids"))
+                .filter(F.size("_ids") > 1)
+                .select("id_a", F.explode("_ids").alias("id_b"))
+                .filter(F.col("id_a") != F.col("id_b")))
+    cases.append((
+        "curate_composition",
+        "validate + dedup survivor election + deterministic split in "
+        "one labeled frame: validity and the split hash are "
+        "projections riding the scan; the only wide operators are the "
+        "dedup stage's joins against the (small) cluster labeling and "
+        "survivor frames — composing the three stages adds ZERO "
+        "passes, zero python nodes",
+        curate(docs, {"required": ["text"]}, "doc_id", pairs=ex_pairs,
+               prefer=-F.length("text"),
+               split={"train": 0.9, "val": 0.1})))
+
     lines = [
         "# PLANS.md — physical-plan audit",
         "",
