@@ -275,7 +275,22 @@ def _dup_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     and word-3-gram Jaccard >= 0.6 pairs — the pair stream the cluster
     queries close transitively.  Star edges are CC-equivalent to the
     oracle's cliques (same components) and O(group) instead of
-    O(group^2)."""
+    O(group^2).
+
+    THREE queries (docs_dup_clusters / docs_dedup_dropped /
+    docs_curate) consume the identical stream, so it persists once per
+    (generator fingerprint, sf_dir) like the synthetic oracle corpora —
+    the edges are a pure function of the input table."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    # key on the EDGE-PRODUCING modules (not _GEN_FP, which tracks the
+    # image/codec generators): a change to the Jaccard join or the
+    # fingerprint kernel must invalidate the persisted edges
+    fp = "".join(_fingerprint(os.path.join(
+        _REPO, "jsonschema_spark", "operators", f"{mod}.py"))
+        for mod in ("dedup", "text"))[:16]
+    cache = f"/tmp/spark_graft_pairs_{fp}_{base}"
+    if os.path.exists(os.path.join(cache, "_SUCCESS")):
+        return spark.read.parquet(cache)
     from jsonschema_spark.operators.dedup import ngram_jaccard_pairs
     from jsonschema_spark.operators.text import content_fingerprint
     d = _t(spark, sf_dir, "documents")
@@ -290,7 +305,8 @@ def _dup_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.size("_ids") > 1)
           .select("id_a", F.explode("_ids").alias("id_b"))
           .filter(F.col("id_a") != F.col("id_b")))
-    return jac.union(ex)
+    jac.union(ex).write.mode("overwrite").parquet(cache)
+    return spark.read.parquet(cache)
 
 
 def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
