@@ -15,10 +15,18 @@ Usage::
         [--ref-table licenses=DIR.parquet]
 
 A spec carrying an ``x-spark`` block runs the full dataset-check tier
-(uniqueness/referential/stats/drift/pixel/phash — see dataset.py) in the
-same invocation; referential dimension tables are supplied with
-``--ref-table NAME=PATH``.  Exit code 1 on any invalid row OR any
-dataset-check violation.
+(uniqueness/referential/stats/drift/pixel/phash/quality/alignment —
+see dataset.py) in the same invocation; referential dimension tables
+are supplied with ``--ref-table NAME=PATH``.  Exit code 1 on any
+invalid row OR any dataset-check violation.
+
+``--curate-out DIR`` switches to curation mode (pipeline.curate):
+instead of reporting violations, the table is written back with
+labeling columns — validity, optional dedup survivor election
+(``--dedup-text COLUMN`` for exact-fingerprint edges or
+``--dedup-pairs PATH`` for any precomputed edge table), optional
+deterministic split (``--split "train=0.98,val=0.01,test=0.01"``).
+A transformation, not a gate: exit 0 with cell counts on stderr.
 """
 
 from __future__ import annotations
@@ -68,6 +76,26 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
                         "(parquet; repeatable) — required when the "
                         "spec's x-spark block declares referential "
                         "checks against NAME")
+    p.add_argument("--curate-out", default=None, metavar="DIR",
+                   help="curation mode: write the table + labeling "
+                        "columns (valid[, cluster_id, is_canonical]"
+                        "[, split]) to DIR as parquet instead of "
+                        "reporting violations (pipeline.curate); needs "
+                        "--id-cols (first one is the key)")
+    p.add_argument("--split", default=None,
+                   metavar="LABEL=W[,LABEL=W...]",
+                   help='deterministic split weights for --curate-out, '
+                        'e.g. "train=0.98,val=0.01,test=0.01"')
+    p.add_argument("--split-salt", default="",
+                   help="salt for the deterministic split hash")
+    p.add_argument("--dedup-text", default=None, metavar="COLUMN",
+                   help="--curate-out: build exact content-fingerprint "
+                        "duplicate edges over COLUMN (survivor = "
+                        "longest value, ties smallest id)")
+    p.add_argument("--dedup-pairs", default=None, metavar="PATH",
+                   help="--curate-out: precomputed near-dup edge table "
+                        "(parquet with id_a, id_b) from any dedup "
+                        "operator")
     p.add_argument("--save-baseline", default=None, metavar="DIR",
                    help="instead of checking drift, profile THIS table "
                         "with the spec's x-spark.drift numeric/"
@@ -119,6 +147,57 @@ def run(args: argparse.Namespace, spark=None) -> int:
             save_baseline(df, args.save_baseline, numeric=numeric,
                           categorical=categorical)
             print(f"baseline snapshot written to {args.save_baseline}",
+                  file=sys.stderr)
+            return 0
+        if getattr(args, "curate_out", None):
+            # curation mode: label the table (validity [+ dedup
+            # survivor election] [+ deterministic split]) and write it;
+            # a transformation, not a gate — exit 0, summary on stderr
+            if not id_cols:
+                raise ValueError("--curate-out needs --id-cols (the "
+                                 "first one is the curation key)")
+            from pyspark.sql import functions as F
+
+            from .pipeline import curate
+            pairs, prefer = None, None
+            if getattr(args, "dedup_pairs", None):
+                pairs = read_table(spark, args.dedup_pairs, "parquet")
+            elif getattr(args, "dedup_text", None):
+                from .operators.text import content_fingerprint
+                col = args.dedup_text
+                keyed = (df.filter(F.col(col).isNotNull())
+                         .select(content_fingerprint(F.col(col))
+                                 .alias("k"), F.col(id_cols[0])))
+                pairs = (keyed.groupBy("k")
+                         .agg(F.min(id_cols[0]).alias("id_a"),
+                              F.collect_list(id_cols[0]).alias("_ids"))
+                         .filter(F.size("_ids") > 1)
+                         .select("id_a",
+                                 F.explode("_ids").alias("id_b"))
+                         .filter(F.col("id_a") != F.col("id_b")))
+                prefer = -F.length(col)
+            split = None
+            if getattr(args, "split", None):
+                split = {}
+                for part in args.split.split(","):
+                    label, _, wtxt = part.partition("=")
+                    if not label or not wtxt:
+                        raise ValueError(f"--split {args.split!r}: "
+                                         f"expected LABEL=W[,...]")
+                    split[label] = float(wtxt)
+            out = curate(df, spec, id_cols[0], pairs=pairs,
+                         prefer=prefer, split=split,
+                         split_salt=getattr(args, "split_salt", ""))
+            out.write.mode("overwrite").parquet(args.curate_out)
+            written = spark.read.parquet(args.curate_out)
+            group = ["valid"] + (["is_canonical"] if pairs is not None
+                                 else []) + (["split"] if split else [])
+            for r in (written.groupBy(group).count()
+                      .orderBy(group).collect()):
+                d = r.asDict()
+                cells = " ".join(f"{g}={d[g]}" for g in group)
+                print(f"{cells}: {d['count']}", file=sys.stderr)
+            print(f"curated table written to {args.curate_out}",
                   file=sys.stderr)
             return 0
         manifest = v.manifest(df, part_by)

@@ -132,3 +132,35 @@ def test_cli_save_baseline_then_drift_check(spark, tmp_path):
                spark=spark) == 1
     viols = spark.read.parquet(os.path.join(out, "violations"))
     assert viols.filter(viols.keyword.startswith("drift")).count() > 0
+
+
+def test_cli_curate_mode(spark, tmp_path):
+    """--curate-out labels the table (validity + exact-dedup survivor
+    + split) and writes parquet; exit 0 (a transformation, not a
+    gate)."""
+    import json
+
+    from jsonschema_spark.cli import parse_args, run
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "duplicated text body here"), (2, "duplicated text body here"),
+         (3, "unique"), (4, None)],
+        "doc_id long, text string").write.parquet(src)
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as fh:
+        json.dump({"required": ["text"]}, fh)
+    out = str(tmp_path / "curated")
+    rc = run(parse_args(
+        [spec_path, src, "--id-cols", "doc_id",
+         "--curate-out", out, "--dedup-text", "text",
+         "--split", "train=0.5,test=0.5", "--split-salt", "t"]),
+        spark=spark)
+    assert rc == 0
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[4]["valid"] is False and got[3]["valid"] is True
+    # exact dup pair (1,2): exactly one survivor
+    assert got[1]["is_canonical"] != got[2]["is_canonical"] or \
+        (got[1]["is_canonical"] and not got[2]["is_canonical"])
+    assert sum(1 for i in (1, 2) if got[i]["is_canonical"]) == 1
+    assert all(got[i]["split"] in ("train", "test") for i in got)
