@@ -29,7 +29,8 @@ dataset-scope checks that have no row-local JSON-Schema analogue::
         "image_quality_decoded": {"min_luma": 20, "max_luma": 235,
                                   "min_contrast": 2},  # real-decode tier
         "alignment": {"image_col": "img_vec", "text_col": "txt_vec",
-                      "min_cosine": 0.5}
+                      "min_cosine": 0.5,
+                      "method": "native"}   # "arrow" = BLAS batch path
     }
 
 ``validate_dataset`` compiles the row-level keywords through the normal
