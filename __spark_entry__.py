@@ -281,30 +281,24 @@ def _dup_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_curate) consume the identical stream, so it persists once per
     (generator fingerprint, sf_dir) like the synthetic oracle corpora —
     the edges are a pure function of the input table."""
-    base = os.path.basename(os.path.normpath(sf_dir))
     # key on the EDGE-PRODUCING modules (not _GEN_FP, which tracks the
-    # image/codec generators): a change to the Jaccard join or the
-    # fingerprint kernel must invalidate the persisted edges
+    # image/codec generators) AND a content fingerprint of the source
+    # table: a change to the Jaccard join / fingerprint kernel OR
+    # regenerated testdata at the same path must invalidate the
+    # persisted edges (the repo-wide /tmp cache convention, ADVICE-r3)
     fp = "".join(_fingerprint(os.path.join(
         _REPO, "jsonschema_spark", "operators", f"{mod}.py"))
         for mod in ("dedup", "text"))[:16]
-    cache = f"/tmp/spark_graft_pairs_{fp}_{base}"
+    src_fp = _fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    cache = f"/tmp/spark_graft_pairs_{fp}_{src_fp}"
     if os.path.exists(os.path.join(cache, "_SUCCESS")):
         return spark.read.parquet(cache)
-    from jsonschema_spark.operators.dedup import ngram_jaccard_pairs
-    from jsonschema_spark.operators.text import content_fingerprint
+    from jsonschema_spark.operators.dedup import (exact_fingerprint_pairs,
+                                                  ngram_jaccard_pairs)
     d = _t(spark, sf_dir, "documents")
     jac = (ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.6)
            .select("id_a", "id_b"))
-    keyed = (d.filter(F.col("text").isNotNull())
-             .select(content_fingerprint(F.col("text")).alias("k"),
-                     "doc_id"))
-    ex = (keyed.groupBy("k")
-          .agg(F.min("doc_id").alias("id_a"),
-               F.collect_list("doc_id").alias("_ids"))
-          .filter(F.size("_ids") > 1)
-          .select("id_a", F.explode("_ids").alias("id_b"))
-          .filter(F.col("id_a") != F.col("id_b")))
+    ex = exact_fingerprint_pairs(d, "doc_id", "text")
     jac.union(ex).write.mode("overwrite").parquet(cache)
     return spark.read.parquet(cache)
 
@@ -2042,13 +2036,23 @@ def oracle_sql() -> dict[str, str]:
         "docs_curate": _DUP_CLUSTER_CTE + """,
             cc AS (SELECT id, min(comp) AS cluster_id
                    FROM reach GROUP BY id),
+            -- survivor election is VALIDITY-AWARE (pipeline.curate):
+            -- valid members beat invalid ones, then longest text,
+            -- then smallest id
             mem AS (SELECT c.id AS doc_id, c.cluster_id,
-                           len(d.text) AS L
+                           len(d.text) AS L,
+                           (d.doc_id IS NOT NULL AND d.text IS NOT NULL
+                            AND (d.n_chars IS NULL
+                                 OR (d.n_chars >= 1
+                                     AND d.n_chars <= 300))
+                            AND (d.lang IS NULL
+                                 OR d.lang IN ('en','de','fr','es')))
+                             AS v
                     FROM cc c JOIN documents d ON d.doc_id = c.id),
             surv AS (SELECT doc_id FROM (
                        SELECT doc_id,
                               row_number() OVER (PARTITION BY cluster_id
-                                  ORDER BY L DESC, doc_id) AS rn
+                                  ORDER BY v DESC, L DESC, doc_id) AS rn
                        FROM mem) WHERE rn = 1),
             uhash AS (SELECT doc_id,
                              CAST(('0x' || substr(md5(
@@ -2571,7 +2575,7 @@ def oracle_sql() -> dict[str, str]:
             -- geometry checks need w > 0 AND h > 0 (non-positive dims
             -- are the row keywords' finding); byte checks need a
             -- non-NULL payload.  Thresholds are exact-binary doubles
-            -- (2^-6, 2^-3) so float comparison order cannot differ.
+            -- (2^-6, 2^-4) so float comparison order cannot differ.
             WITH t AS (SELECT *, octet_length(bytes) AS olen FROM
                        read_parquet('{IMAGES_ORACLE_PATH}/*.parquet')),
             counts(keyword, n) AS (

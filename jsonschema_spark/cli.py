@@ -163,18 +163,9 @@ def run(args: argparse.Namespace, spark=None) -> int:
             if getattr(args, "dedup_pairs", None):
                 pairs = read_table(spark, args.dedup_pairs, "parquet")
             elif getattr(args, "dedup_text", None):
-                from .operators.text import content_fingerprint
+                from .operators.dedup import exact_fingerprint_pairs
                 col = args.dedup_text
-                keyed = (df.filter(F.col(col).isNotNull())
-                         .select(content_fingerprint(F.col(col))
-                                 .alias("k"), F.col(id_cols[0])))
-                pairs = (keyed.groupBy("k")
-                         .agg(F.min(id_cols[0]).alias("id_a"),
-                              F.collect_list(id_cols[0]).alias("_ids"))
-                         .filter(F.size("_ids") > 1)
-                         .select("id_a",
-                                 F.explode("_ids").alias("id_b"))
-                         .filter(F.col("id_a") != F.col("id_b")))
+                pairs = exact_fingerprint_pairs(df, id_cols[0], col)
                 prefer = -F.length(col)
             split = None
             if getattr(args, "split", None):

@@ -196,15 +196,21 @@ def validate_dataset(df: DataFrame, schema: dict,
         if pix_tier == "auto":
             pix_tier = "real" if "phash_integrity" in xs else "stub"
     fuse_pixel = pix_tier == "real" and "phash_integrity" in xs
+    fuse_luma = ("image_quality_decoded" in xs
+                 and "phash_integrity" in xs)
+    # pixel_invariant (real tier) + image_quality_decoded WITHOUT a
+    # phash pass: one decode_luma_stats(with_psnr=True) scan feeds both
+    # violation streams — decoding must not run twice in ANY block
+    # combination (review finding r5)
+    fuse_pix_luma = (pix_tier == "real"
+                     and "image_quality_decoded" in xs
+                     and "phash_integrity" not in xs)
 
-    if pix_cfg is not None and not fuse_pixel:
+    if pix_cfg is not None and not fuse_pixel and not fuse_pix_luma:
         from .operators.multimodal import psnr_check, psnr_check_real
         check = psnr_check_real if pix_tier == "real" else psnr_check
         parts.append(pad(check(df,
                                min_psnr=pix_cfg.get("min_psnr", 40.0))))
-
-    fuse_luma = ("image_quality_decoded" in xs
-                 and "phash_integrity" in xs)
 
     if "phash_integrity" in xs:
         # stored phash must equal (within max_hamming) the perceptual
@@ -263,12 +269,31 @@ def validate_dataset(df: DataFrame, schema: dict,
         parts.append(pad(bad))
 
     if "image_quality_decoded" in xs and not fuse_luma:
-        # decoded-tier quality standalone: its own real-decode pass
-        # (no phash-integrity subtree to ride)
+        # decoded-tier quality standalone (no phash-integrity subtree
+        # to ride); when the real-tier pixel invariant is ALSO
+        # configured its PSNR/metadata stream rides this same decode
+        # (fuse_pix_luma — one mapInPandas pass, two violation streams)
         from .operators.multimodal import decode_luma_stats
         from .operators.quality import luma_quality_structs
-        st = decode_luma_stats(df)
-        lstructs = luma_quality_structs(xs["image_quality_decoded"])
+        st = decode_luma_stats(df,
+                               carry=("w", "h") if fuse_pix_luma else (),
+                               with_psnr=fuse_pix_luma)
+        lstructs = list(luma_quality_structs(xs["image_quality_decoded"]))
+        if fuse_pix_luma:
+            min_psnr = pix_cfg.get("min_psnr", 40.0)
+            pix_bad = ((~F.col("decode_ok"))
+                       | (F.col("psnr") < min_psnr)
+                       | (F.col("decoded_w") != F.col("w"))
+                       | (F.col("decoded_h") != F.col("h")))
+            lstructs.append(F.when(pix_bad, F.struct(
+                F.lit("pixelInvariant").alias("keyword"),
+                F.lit("$.bytes").alias("json_path"),
+                F.lit("x-spark/pixel/psnr").alias("schema_path"),
+                F.concat(F.lit("decoded payload fails PSNR/metadata "
+                               "invariant (psnr="),
+                         F.round("psnr", 2).cast("string"),
+                         F.lit(")")).alias("message"),
+                F.col("psnr").cast("string").alias("failing_value"))))
         bad = (st.select(
             "image_id",
             F.explode(F.filter(F.array(*lstructs),

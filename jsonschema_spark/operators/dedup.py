@@ -47,6 +47,27 @@ def exact_duplicates(df: DataFrame, cols: Sequence[str],
             .filter(F.col("dup_count") > 1))
 
 
+def exact_fingerprint_pairs(df: DataFrame, id_col: str,
+                            text_col: str) -> DataFrame:
+    """Exact-duplicate STAR edges ``(id_a, id_b)`` over the normalized
+    content fingerprint (text.content_fingerprint): per duplicate
+    group, every member pairs with the group's min id — CC-equivalent
+    to the full clique (same connected components) at O(group) edges
+    instead of O(group^2).  The edge stream feeds
+    ``clusters.duplicate_clusters`` / ``resolve_duplicates`` /
+    ``pipeline.curate`` and unions with any near-dup pair stream."""
+    from .text import content_fingerprint
+    keyed = (df.filter(F.col(text_col).isNotNull())
+             .select(content_fingerprint(F.col(text_col)).alias("_k"),
+                     F.col(id_col)))
+    return (keyed.groupBy("_k")
+            .agg(F.min(id_col).alias("id_a"),
+                 F.collect_list(id_col).alias("_ids"))
+            .filter(F.size("_ids") > 1)
+            .select("id_a", F.explode("_ids").alias("id_b"))
+            .filter(F.col("id_a") != F.col("id_b")))
+
+
 # ---------------------------------------------------------- shingling -----
 
 def shingles(text: Column, k: int = 5) -> Column:

@@ -516,14 +516,19 @@ def _batch_luma(pxs, ok_idx) -> tuple:
     return means, stds
 
 
-def decode_luma_stats(df: DataFrame, carry: tuple = ()) -> DataFrame:
+def decode_luma_stats(df: DataFrame, carry: tuple = (),
+                      with_psnr: bool = False) -> DataFrame:
     """Standalone decoded-tier luma stats: one mapInPandas pass (real
-    codecs) -> (image_id, fmt, decode_ok, luma_mean, luma_std[, carry]).
-    Used by the `image_quality_decoded` block when no phash-integrity
-    pass exists to fuse with (dataset.py fuses into
+    codecs) -> (image_id, fmt, decode_ok, luma_mean, luma_std[, psnr,
+    decoded_w, decoded_h][, carry]).  Used by the
+    `image_quality_decoded` block when no phash-integrity pass exists
+    to fuse with (dataset.py fuses into
     :func:`phash_integrity_check`'s decode otherwise — decoding is the
-    expensive stage and must not run twice).  Undecodable rows carry
-    NaN stats and decode_ok=False; they are the pixel-invariant's
+    expensive stage and must not run twice).  ``with_psnr=True``
+    additionally emits the pixel-invariant columns from the SAME
+    decode, so the `pixel_invariant` (real tier) + `image_quality_decoded`
+    combination also pays exactly one decode pass.  Undecodable rows
+    carry NaN stats and decode_ok=False; they are the pixel-invariant's
     finding, not a quality violation."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -539,12 +544,30 @@ def decode_luma_stats(df: DataFrame, carry: tuple = ()) -> DataFrame:
                 "luma_mean": means,
                 "luma_std": stds,
             })
+            if with_psnr:
+                psnrs, dws, dhs = [], [], []
+                for image_id, px in zip(pdf["image_id"], pxs):
+                    if px is None:
+                        psnrs.append(0.0)
+                        dws.append(0)
+                        dhs.append(0)
+                    else:
+                        hh, ww = px.shape[:2]
+                        psnrs.append(psnr(px, expected_pixels(
+                            str(image_id), ww, hh)))
+                        dws.append(int(ww))
+                        dhs.append(int(hh))
+                res["psnr"] = psnrs
+                res["decoded_w"] = dws
+                res["decoded_h"] = dhs
             for c in carry:
                 res[c] = list(pdf[c])
             yield res
 
     extra = "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in carry)
+    if with_psnr:
+        extra = ", psnr double, decoded_w int, decoded_h int" + extra
     return df.select("image_id", "fmt", "bytes", *carry).mapInPandas(
         run, schema="image_id string, fmt string, decode_ok boolean, "
                     "luma_mean double, luma_std double" + extra)

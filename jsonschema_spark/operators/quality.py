@@ -221,14 +221,20 @@ def luma_quality_structs(cfg: dict) -> list:
 def cosine_columns(a: Column, b: Column) -> Column:
     """Cosine similarity between two array columns as one codegen'd
     expression (cast to double first — float32 accumulation drifts).
-    NULL if either side is NULL or zero-norm."""
+    NULL if either side is NULL, zero-norm, or NaN-poisoned — a NaN
+    element would otherwise slip through the threshold comparison
+    unflagged: Spark orders NaN greater than every double, so
+    ``NaN > 0`` is TRUE and ``NaN < min_cosine`` is FALSE (found by
+    review; pinned by the NaN parity test against the arrow path)."""
     a = a.cast("array<double>")
     b = b.cast("array<double>")
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return F.when(a.isNotNull() & b.isNotNull() & (na > 0) & (nb > 0),
+    return F.when(a.isNotNull() & b.isNotNull()
+                  & ~F.isnan(dot) & ~F.isnan(na) & ~F.isnan(nb)
+                  & (na > 0) & (nb > 0),
                   dot / (na * nb))
 
 

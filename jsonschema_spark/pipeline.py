@@ -48,21 +48,32 @@ def curate(df: DataFrame, schema: dict, id_col: str,
       :func:`jsonschema_spark.validate_dataset` for those).
     - ``pairs``: near-dup edge stream ``(id_a, id_b)`` from any dedup
       operator (exact fingerprint groups, MinHash/SimHash/phash bands,
-      n-gram Jaccard).  ``prefer`` elects the survivor per cluster
-      (smallest ``(prefer, id)`` wins; default smallest id).
+      n-gram Jaccard).  The survivor election is VALIDITY-AWARE: a
+      valid cluster member always beats an invalid one, then the
+      smallest ``(prefer, id)`` wins (default smallest id).  Without
+      the validity tier an invalid member could win the election and
+      its whole cluster would vanish from
+      ``filter("valid AND is_canonical")`` even though a valid
+      duplicate existed (review finding r5).
     - ``split``: label -> weight mapping for the deterministic
       hash-keyed split (retry-safe, growth-stable — see
       operators/sampling.py).
     """
+    from pyspark.sql import functions as F
+
     from .validator import CompiledValidator
 
-    out = df
-    if pairs is not None:
-        from .operators.clusters import resolve_duplicates
-        out = resolve_duplicates(out, pairs, id_col, prefer=prefer)
     row_schema = {k: v for k, v in (schema or {}).items()
                   if k != "x-spark"}
     v = CompiledValidator(row_schema, df)
+    out = df
+    if pairs is not None:
+        from .operators.clusters import resolve_duplicates
+        invalid = (~F.coalesce(v.valid_column, F.lit(True))).cast("int")
+        key = F.struct(invalid.alias("inv"),
+                       (prefer if prefer is not None
+                        else F.lit(0)).alias("pref"))
+        out = resolve_duplicates(out, pairs, id_col, prefer=key)
     out = v.with_valid(out, valid_col)
     if split is not None:
         from .operators.sampling import split_assign

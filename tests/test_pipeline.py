@@ -42,3 +42,36 @@ def test_curate_strips_x_spark(spark):
             "x-spark": {"unique": ["doc_id"]}}    # must not blow up
     out = curate(docs, spec, "doc_id")
     assert out.collect()[0]["valid"] is True
+
+
+def test_curate_election_prefers_valid_members(spark):
+    """An invalid cluster member must not win the survivor election
+    when a valid duplicate exists — otherwise the whole cluster
+    vanishes from filter('valid AND is_canonical')."""
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [(1, "the much longer text body", "xx"),   # longer but invalid
+         (2, "short text", "en")],                 # valid
+        "doc_id long, text string, lang string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    spec = {"properties": {"lang": {"enum": ["en", "de"]}}}
+    out = curate(docs, spec, "doc_id", pairs=pairs,
+                 prefer=-F.length("text"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2]["is_canonical"] and not rows[1]["is_canonical"]
+    clean = {r["doc_id"] for r in
+             out.filter("valid AND is_canonical").collect()}
+    assert clean == {2}
+
+
+def test_curate_nan_free_cluster_keeps_prefer_order(spark):
+    """Among all-valid members the user preference still decides."""
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [(1, "short", "en"), (2, "the longest body", "en")],
+        "doc_id long, text string, lang string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = curate(docs, {"properties": {"lang": {"enum": ["en"]}}},
+                 "doc_id", pairs=pairs, prefer=-F.length("text"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2]["is_canonical"] and not rows[1]["is_canonical"]

@@ -373,3 +373,53 @@ def test_alignment_arrow_null_elements_are_missing(spark):
                         "min_cosine": 0.5, "method": method},
                    ["pair_id"]).collect()}
         assert got == {("holey", "alignment:missing")}, method
+
+
+def test_alignment_nan_elements_are_missing_both_paths(spark):
+    """NaN-poisoned embeddings are unscorable on BOTH paths (Spark
+    orders NaN greater than every double, so an unguarded native fold
+    would silently PASS the threshold check — review finding r5)."""
+    from jsonschema_spark.operators.quality import alignment_violations
+    rows = [("ok", [1.0, 0.0], [1.0, 0.0]),
+            ("nantxt", [1.0, 0.0], [float("nan"), 1.0]),
+            ("nanimg", [float("nan"), 1.0], [1.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "pair_id string, img array<float>, txt array<float>")
+    for method in ("native", "arrow"):
+        got = {(r["pair_id"], r["keyword"])
+               for r in alignment_violations(
+                   df, {"image_col": "img", "text_col": "txt",
+                        "min_cosine": 0.5, "method": method},
+                   ["pair_id"]).collect()}
+        assert got == {("nantxt", "alignment:missing"),
+                       ("nanimg", "alignment:missing")}, method
+
+
+def test_decoded_luma_fused_with_pixel_invariant(spark):
+    """pixel_invariant (real) + image_quality_decoded WITHOUT phash:
+    both violation streams come from ONE decode pass and match the
+    separately-configured results."""
+    from jsonschema_spark import validate_dataset
+    from jsonschema_spark.sources.images import luma_images_df
+    df = luma_images_df(spark, 400)
+    spec_fused = {"type": "object",
+                  "x-spark": {"pixel_invariant": {"decode": "real"},
+                              "image_quality_decoded": LUMA_CFG}}
+    fused = {(r["image_id"], r["keyword"])
+             for r in validate_dataset(df, spec_fused,
+                                       ["image_id"]).collect()}
+    alone_pix = {(r["image_id"], r["keyword"])
+                 for r in validate_dataset(
+                     df, {"type": "object",
+                          "x-spark": {"pixel_invariant":
+                                      {"decode": "real"}}},
+                     ["image_id"]).collect()}
+    alone_luma = {(r["image_id"], r["keyword"])
+                  for r in validate_dataset(
+                      df, {"type": "object",
+                           "x-spark": {"image_quality_decoded":
+                                       LUMA_CFG}},
+                      ["image_id"]).collect()}
+    assert fused == alone_pix | alone_luma
+    assert any(k == "pixelInvariant" for _, k in fused)
+    assert any(k.startswith("lumaQuality") for _, k in fused)

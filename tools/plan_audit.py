@@ -390,16 +390,8 @@ def main() -> None:
     # 26. curate composition: dedup's two small-frame joins are the
     # ONLY wide operators; validity and split ride as projections
     from jsonschema_spark import curate
-    from jsonschema_spark.operators.text import content_fingerprint
-    docs_nn = docs.filter(F.col("text").isNotNull())
-    keyed = docs_nn.select(content_fingerprint(F.col("text")).alias("k"),
-                           "doc_id")
-    ex_pairs = (keyed.groupBy("k")
-                .agg(F.min("doc_id").alias("id_a"),
-                     F.collect_list("doc_id").alias("_ids"))
-                .filter(F.size("_ids") > 1)
-                .select("id_a", F.explode("_ids").alias("id_b"))
-                .filter(F.col("id_a") != F.col("id_b")))
+    from jsonschema_spark.operators.dedup import exact_fingerprint_pairs
+    ex_pairs = exact_fingerprint_pairs(docs, "doc_id", "text")
     cases.append((
         "curate_composition",
         "validate + dedup survivor election + deterministic split in "
