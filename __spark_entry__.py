@@ -290,13 +290,17 @@ def _dup_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         _REPO, "jsonschema_spark", "operators", f"{mod}.py"))
         for mod in ("dedup", "text"))[:16]
     src_fp = _fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    cache = f"/tmp/spark_graft_pairs_{fp}_{src_fp}"
+    # the edge-defining parameters live in THIS file, outside the
+    # fingerprinted modules — embed them so retuning the threshold
+    # cannot silently reuse stale edges
+    n, minj = 3, 0.6
+    cache = f"/tmp/spark_graft_pairs_{fp}_{src_fp}_n{n}_j{minj}"
     if os.path.exists(os.path.join(cache, "_SUCCESS")):
         return spark.read.parquet(cache)
     from jsonschema_spark.operators.dedup import (exact_fingerprint_pairs,
                                                   ngram_jaccard_pairs)
     d = _t(spark, sf_dir, "documents")
-    jac = (ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.6)
+    jac = (ngram_jaccard_pairs(d, "doc_id", "text", n=n, min_jaccard=minj)
            .select("id_a", "id_b"))
     ex = exact_fingerprint_pairs(d, "doc_id", "text")
     jac.union(ex).write.mode("overwrite").parquet(cache)

@@ -178,7 +178,10 @@ def run(args: argparse.Namespace, spark=None) -> int:
                     split[label] = float(wtxt)
             out = curate(df, spec, id_cols[0], pairs=pairs,
                          prefer=prefer, split=split,
-                         split_salt=getattr(args, "split_salt", ""))
+                         split_salt=getattr(args, "split_salt", ""),
+                         schema_store=store,
+                         format_checker=getattr(args, "format_checker",
+                                                False))
             out.write.mode("overwrite").parquet(args.curate_out)
             written = spark.read.parquet(args.curate_out)
             group = ["valid"] + (["is_canonical"] if pairs is not None

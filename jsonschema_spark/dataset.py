@@ -243,17 +243,9 @@ def validate_dataset(df: DataFrame, schema: dict,
             F.col("stored_phash").cast("string")))
         structs = [integ_struct]
         if fuse_pixel:
-            min_psnr = pix_cfg.get("min_psnr", 40.0)
-            pix_bad = ((~F.col("decode_ok"))
-                       | (F.col("psnr") < min_psnr)
-                       | (F.col("decoded_w") != F.col("w"))
-                       | (F.col("decoded_h") != F.col("h")))
-            structs.append(F.when(pix_bad, _vrow(
-                "pixelInvariant", "$.bytes", "x-spark/pixel/psnr",
-                F.concat(F.lit("decoded payload fails PSNR/metadata "
-                               "invariant (psnr="),
-                         F.round("psnr", 2).cast("string"), F.lit(")")),
-                F.col("psnr").cast("string"))))
+            from .operators.quality import pixel_invariant_struct
+            structs.append(pixel_invariant_struct(
+                pix_cfg.get("min_psnr", 40.0)))
         if fuse_luma:
             from .operators.quality import luma_quality_structs
             structs += luma_quality_structs(
@@ -280,20 +272,9 @@ def validate_dataset(df: DataFrame, schema: dict,
                                with_psnr=fuse_pix_luma)
         lstructs = list(luma_quality_structs(xs["image_quality_decoded"]))
         if fuse_pix_luma:
-            min_psnr = pix_cfg.get("min_psnr", 40.0)
-            pix_bad = ((~F.col("decode_ok"))
-                       | (F.col("psnr") < min_psnr)
-                       | (F.col("decoded_w") != F.col("w"))
-                       | (F.col("decoded_h") != F.col("h")))
-            lstructs.append(F.when(pix_bad, F.struct(
-                F.lit("pixelInvariant").alias("keyword"),
-                F.lit("$.bytes").alias("json_path"),
-                F.lit("x-spark/pixel/psnr").alias("schema_path"),
-                F.concat(F.lit("decoded payload fails PSNR/metadata "
-                               "invariant (psnr="),
-                         F.round("psnr", 2).cast("string"),
-                         F.lit(")")).alias("message"),
-                F.col("psnr").cast("string").alias("failing_value"))))
+            from .operators.quality import pixel_invariant_struct
+            lstructs.append(pixel_invariant_struct(
+                pix_cfg.get("min_psnr", 40.0)))
         bad = (st.select(
             "image_id",
             F.explode(F.filter(F.array(*lstructs),

@@ -228,7 +228,12 @@ def resolve_duplicates(df: DataFrame, pairs: DataFrame, id_col: str,
            .withColumn("cluster_id",
                        F.coalesce(F.col("cluster_id"), F.col(id_col)))
            )
-    key = F.struct((prefer if prefer is not None else F.lit(0)).alias("p"),
+    p = prefer if prefer is not None else F.lit(0)
+    # NULLS LAST: Spark's struct min puts a NULL field FIRST, so a
+    # contentless member (NULL prefer, e.g. -length(NULL text)) would
+    # win the election; the null flag demotes it below every scored
+    # member, matching the SQL oracles' DuckDB NULLS LAST default
+    key = F.struct(p.isNull().cast("int").alias("pn"), p.alias("p"),
                    F.col(id_col).alias("i"))
     survivors = (df.join(cc, id_col, "inner")   # pair members only
                  .groupBy("cluster_id")

@@ -218,24 +218,44 @@ def luma_quality_structs(cfg: dict) -> list:
     return structs
 
 
+def pixel_invariant_struct(min_psnr: float) -> Column:
+    """The pixelInvariant violation struct over any frame carrying
+    ``(decode_ok, psnr, decoded_w, decoded_h, w, h)`` — shared by BOTH
+    fused decode shapes in dataset.py (phash_integrity-fused and
+    luma-fused) so the violation rows cannot drift between block
+    combinations."""
+    pix_bad = ((~F.col("decode_ok"))
+               | (F.col("psnr") < min_psnr)
+               | (F.col("decoded_w") != F.col("w"))
+               | (F.col("decoded_h") != F.col("h")))
+    return F.when(pix_bad, _vrow(
+        "pixelInvariant", "$.bytes", "x-spark/pixel/psnr",
+        F.concat(F.lit("decoded payload fails PSNR/metadata "
+                       "invariant (psnr="),
+                 F.round("psnr", 2).cast("string"), F.lit(")")),
+        F.col("psnr").cast("string")))
+
+
 def cosine_columns(a: Column, b: Column) -> Column:
     """Cosine similarity between two array columns as one codegen'd
     expression (cast to double first — float32 accumulation drifts).
-    NULL if either side is NULL, zero-norm, or NaN-poisoned — a NaN
-    element would otherwise slip through the threshold comparison
+    NULL if either side is NULL, zero-norm, or NaN/Inf-poisoned — a
+    NaN would otherwise slip through the threshold comparison
     unflagged: Spark orders NaN greater than every double, so
-    ``NaN > 0`` is TRUE and ``NaN < min_cosine`` is FALSE (found by
-    review; pinned by the NaN parity test against the arrow path)."""
+    ``NaN > 0`` is TRUE and ``NaN < min_cosine`` is FALSE.  The guard
+    sits on the FINAL ratio: Inf inputs give na=Inf (not NaN), and
+    Inf/Inf only becomes NaN after the division (both found by review;
+    pinned by NaN+Inf parity tests against the arrow path)."""
     a = a.cast("array<double>")
     b = b.cast("array<double>")
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    c = dot / (na * nb)
     return F.when(a.isNotNull() & b.isNotNull()
-                  & ~F.isnan(dot) & ~F.isnan(na) & ~F.isnan(nb)
-                  & (na > 0) & (nb > 0),
-                  dot / (na * nb))
+                  & (na > 0) & (nb > 0) & ~F.isnan(c),
+                  c)
 
 
 def arrow_cosine(df: DataFrame, img_c: str, txt_c: str,

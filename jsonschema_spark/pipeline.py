@@ -38,7 +38,9 @@ def curate(df: DataFrame, schema: dict, id_col: str,
            prefer: Optional[Column] = None,
            split: Optional[Mapping[str, float]] = None,
            split_salt: str = "",
-           valid_col: str = "valid") -> DataFrame:
+           valid_col: str = "valid",
+           registry=None, schema_store: Optional[dict] = None,
+           format_checker: bool = False, retrieve=None) -> DataFrame:
     """``df`` + ``valid`` (+ ``cluster_id``/``is_canonical`` when
     ``pairs`` given) (+ ``split`` when ``split`` weights given).
 
@@ -58,6 +60,11 @@ def curate(df: DataFrame, schema: dict, id_col: str,
     - ``split``: label -> weight mapping for the deterministic
       hash-keyed split (retry-safe, growth-stable — see
       operators/sampling.py).
+    - ``registry`` / ``schema_store`` / ``format_checker`` /
+      ``retrieve`` forward to the row-level :class:`CompiledValidator`
+      (same semantics as constructing one — a $ref spec needs its
+      store here too, and format assertions must label identically to
+      what validate mode would flag).
     """
     from pyspark.sql import functions as F
 
@@ -65,14 +72,21 @@ def curate(df: DataFrame, schema: dict, id_col: str,
 
     row_schema = {k: v for k, v in (schema or {}).items()
                   if k != "x-spark"}
-    v = CompiledValidator(row_schema, df)
+    v = CompiledValidator(row_schema, df, registry,
+                          schema_store=schema_store,
+                          format_checker=format_checker,
+                          retrieve=retrieve)
     out = df
     if pairs is not None:
         from .operators.clusters import resolve_duplicates
         invalid = (~F.coalesce(v.valid_column, F.lit(True))).cast("int")
+        pref = prefer if prefer is not None else F.lit(0)
+        # null flag INSIDE the composed key too: the outer key is a
+        # non-null struct, so resolve_duplicates' own nulls-last guard
+        # cannot see a NULL user preference nested in it
         key = F.struct(invalid.alias("inv"),
-                       (prefer if prefer is not None
-                        else F.lit(0)).alias("pref"))
+                       pref.isNull().cast("int").alias("pn"),
+                       pref.alias("pref"))
         out = resolve_duplicates(out, pairs, id_col, prefer=key)
     out = v.with_valid(out, valid_col)
     if split is not None:

@@ -159,8 +159,6 @@ def test_cli_curate_mode(spark, tmp_path):
     got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert set(got) == {1, 2, 3, 4}
     assert got[4]["valid"] is False and got[3]["valid"] is True
-    # exact dup pair (1,2): exactly one survivor
-    assert got[1]["is_canonical"] != got[2]["is_canonical"] or \
-        (got[1]["is_canonical"] and not got[2]["is_canonical"])
-    assert sum(1 for i in (1, 2) if got[i]["is_canonical"]) == 1
+    # exact dup pair (1,2), equal length: tie -> smallest id survives
+    assert got[1]["is_canonical"] and not got[2]["is_canonical"]
     assert all(got[i]["split"] in ("train", "test") for i in got)

@@ -75,3 +75,26 @@ def test_curate_nan_free_cluster_keeps_prefer_order(spark):
                  "doc_id", pairs=pairs, prefer=-F.length("text"))
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[2]["is_canonical"] and not rows[1]["is_canonical"]
+
+
+def test_curate_null_prefer_loses_election(spark):
+    """A NULL preference value (e.g. -length(NULL text)) must sort
+    LAST, not first — otherwise a contentless member wins and real
+    content is dropped (matches the SQL oracles' NULLS LAST)."""
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real text body")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = curate(docs, {}, "doc_id", pairs=pairs,
+                 prefer=-F.length("text"))
+    rows = {r["doc_id"]: r["is_canonical"] for r in out.collect()}
+    assert rows == {1: False, 2: True}
+
+
+def test_curate_forwards_schema_store(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    spec = {"properties": {"text": {"$ref": "https://x.test/s"}}}
+    store = {"https://x.test/s": {"minLength": 2}}
+    out = curate(docs, spec, "doc_id", schema_store=store)
+    assert out.collect()[0]["valid"] is False

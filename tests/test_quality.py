@@ -423,3 +423,21 @@ def test_decoded_luma_fused_with_pixel_invariant(spark):
     assert fused == alone_pix | alone_luma
     assert any(k == "pixelInvariant" for _, k in fused)
     assert any(k.startswith("lumaQuality") for _, k in fused)
+
+
+def test_alignment_inf_elements_are_missing_both_paths(spark):
+    """Inf-poisoned embeddings: na=Inf is not NaN, and Inf/Inf only
+    becomes NaN after the division — the guard must sit on the final
+    ratio (review finding r5, second pass)."""
+    from jsonschema_spark.operators.quality import alignment_violations
+    rows = [("ok", [1.0, 0.0], [1.0, 0.0]),
+            ("infimg", [float("inf"), 1.0], [1.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "pair_id string, img array<float>, txt array<float>")
+    for method in ("native", "arrow"):
+        got = {(r["pair_id"], r["keyword"])
+               for r in alignment_violations(
+                   df, {"image_col": "img", "text_col": "txt",
+                        "min_cosine": 0.5, "method": method},
+                   ["pair_id"]).collect()}
+        assert got == {("infimg", "alignment:missing")}, (method, got)
