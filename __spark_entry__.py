@@ -495,14 +495,20 @@ def q_simhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs) — the loose threshold needed to bound recall does not scale
     to the full corpus, so the *certified* check runs on a bounded
     audit sample, exactly like production data-quality audits.  The
-    full-corpus operational query is `simhash_pairs` (hamming <= 3)."""
-    from jsonschema_spark.operators.dedup import (simhash_duplicates,
-                                                  verify_pairs_exact_jaccard)
+    full-corpus operational query is `simhash_pairs` (hamming <= 3).
+
+    r6: runs through the FUSED audit kernel
+    (dedup.hamming_verified_pairs) — result-identical to the
+    simhash_duplicates + verify_pairs_exact_jaccard composition it
+    replaces (equality asserted in tests/test_dedup fused-parity test),
+    but candidates are enumerated and verified inside one mapInArrow
+    pass instead of materializing the O(n^2) candidate row stream
+    (55.6M rows at sf1.0) and joining shingle arrays onto it."""
+    from jsonschema_spark.operators.dedup import hamming_verified_pairs
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
-    cand = simhash_duplicates(d, "doc_id", "text", max_hamming=12,
-                              band_bits=4)
-    v = verify_pairs_exact_jaccard(cand, d, "doc_id", "text", k=5,
-                                   min_jaccard=0.5)
+    v = hamming_verified_pairs(d, "doc_id", "text", bits=64,
+                               max_hamming=12, band_bits=4, k=5,
+                               min_jaccard=0.5)
     return v.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

@@ -46,11 +46,19 @@ def _signature(edges: DataFrame) -> tuple:
     the convergence check.  Two independent 64-bit hash sums make a
     false 'converged' a ~2^-128 event; the loop is also bounded by
     max_iterations, so a collision could only stop one round early on a
-    graph that was within one round of its fixpoint anyway."""
+    graph that was within one round of its fixpoint anyway.
+
+    The hashes are summed as ``decimal(38,0)``: summing uniform 64-bit
+    values into a ``long`` overflows almost surely, which Spark 4's
+    default ANSI mode turns into ``ARITHMETIC_OVERFLOW`` (a 38-digit
+    decimal holds 2^63 * 10^19 edges without wrapping, far beyond any
+    real graph).  Works identically with ANSI on or off."""
+    h0 = F.xxhash64("src", "dst", F.lit(0)).cast("decimal(38,0)")
+    h1 = F.xxhash64("src", "dst", F.lit(1)).cast("decimal(38,0)")
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("src", "dst", F.lit(0))).alias("h0"),
-        F.sum(F.xxhash64("src", "dst", F.lit(1))).alias("h1")).collect()[0]
+        F.sum(h0).alias("h0"),
+        F.sum(h1).alias("h1")).collect()[0]
     return (row["n"], row["h0"], row["h1"])
 
 

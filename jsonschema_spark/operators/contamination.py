@@ -31,16 +31,39 @@ from .repetition import word_array, word_ngrams
 
 def _distinct_gram_frame(df: DataFrame, text_col: str, n: int,
                          id_col: str | None, on_hash: bool) -> DataFrame:
-    """Per-row distinct n-grams, exploded: (id?, gram)."""
-    grams = F.array_distinct(word_ngrams(word_array(F.col(text_col)), n))
-    cols = ([F.col(id_col)] if id_col else []) + [grams.alias("_grams")]
-    # explode_outer keeps zero-gram rows (short/NULL docs) as one
-    # NULL-gram row, so every input row survives to the final count
-    # without a join back to the corpus
+    """Per-row distinct n-grams, exploded: (id?, gram).
+
+    r6 shape: the gram stream is generated codegen-side — split once
+    per doc, explode the gram start indices, ``array_join(slice(...))``
+    per exploded row — instead of building a per-doc gram ARRAY with
+    the interpreted ``transform`` HOF and exploding it (the same
+    explode-indices rewrite minhash_signatures_df documents; measured
+    ~6x on this stage, which also arrived in one parquet split and
+    serialized — hence the ensure_parallelism floor).  Per-doc
+    dedup happens as ``dropDuplicates`` on the exploded rows rather
+    than ``array_distinct`` on the array — identical distinct (id,
+    gram) multiset, and for the id-less ref side the caller's global
+    ``.distinct()`` subsumes it outright.  ``explode_outer`` semantics
+    are preserved: a doc with fewer than n words gets
+    ``sequence(1, 0)`` = empty -> one NULL-gram row."""
+    from .dedup import ensure_parallelism
+    words = word_array(F.col(text_col))
+    cols = ([F.col(id_col)] if id_col else []) + [words.alias("_w")]
+    # guarded like word_ngrams: sequence(1, 0) would be DESCENDING
+    # [1, 0], not empty
+    starts = F.when(F.size("_w") >= n,
+                    F.sequence(F.lit(1), F.size("_w") - (n - 1))) \
+              .otherwise(F.array().cast("array<int>"))
     exploder = F.explode_outer if id_col else F.explode
-    out = df.select(*cols).select(
-        *([id_col] if id_col else []),
-        exploder("_grams").alias("gram"))
+    out = (ensure_parallelism(df.select(*cols))
+           .select(*([id_col] if id_col else []), "_w",
+                   exploder(starts).alias("_i"))
+           .select(*([id_col] if id_col else []),
+                   F.when(F.col("_i").isNotNull(),
+                          F.array_join(F.slice("_w", F.col("_i"), n),
+                                       " ")).alias("gram")))
+    if id_col:
+        out = out.dropDuplicates([id_col, "gram"])
     if on_hash:
         out = out.select(
             *([id_col] if id_col else []),

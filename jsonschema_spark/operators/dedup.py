@@ -11,6 +11,7 @@ are never moved.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -60,11 +61,17 @@ def exact_fingerprint_pairs(df: DataFrame, id_col: str,
     keyed = (df.filter(F.col(text_col).isNotNull())
              .select(content_fingerprint(F.col(text_col)).alias("_k"),
                      F.col(id_col)))
-    return (keyed.groupBy("_k")
+    # per-group min via a plain aggregate + equi-join back (ADVICE-r5):
+    # collect_list materialized the whole duplicate group in one
+    # aggregation buffer — a boilerplate mega-group OOMs a single task
+    # at 10^12 rows even though the emitted edges are O(group)
+    mins = (keyed.groupBy("_k")
             .agg(F.min(id_col).alias("id_a"),
-                 F.collect_list(id_col).alias("_ids"))
-            .filter(F.size("_ids") > 1)
-            .select("id_a", F.explode("_ids").alias("id_b"))
+                 F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .drop("_n"))
+    return (keyed.join(mins, "_k")
+            .select("id_a", F.col(id_col).alias("id_b"))
             .filter(F.col("id_a") != F.col("id_b")))
 
 
@@ -152,50 +159,59 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
     bands -> self-join on band bucket (shuffle of signatures only) ->
     estimated Jaccard = fraction of agreeing minhashes -> threshold.
     Returns (id_a, id_b, est_jaccard), id_a < id_b, deduped across bands.
-    """
+
+    Join shape (r6): the self-join is keyed on the band's raw
+    SIGNATURE SLICE (a struct of ``num_hashes/bands`` longs) instead
+    of a 64-bit hash of it — join membership IS slice equality, so no
+    band-hash collision caveat, no bucket hashing, and no per-probe
+    first-band dedup chain (previously a 128-``element_at``
+    interpreted CASE evaluated once per collision).  A pair sharing b
+    bands is emitted b times and max-combined by the existing
+    (id_a, id_b) aggregation (est_jaccard is a pure function of the
+    two signatures, identical on every copy — provably the same pair
+    set as emit-once).  The agreement threshold stays in the join
+    condition as the single-pass ``zip_with`` count — on templated
+    corpora a hot band slice is shared by thousands of docs (50M
+    collisions at sf1.0 for a 5,787-pair result), so per-collision
+    cost decides the operator; A/B at sf1.0: old shape 86 s, this
+    shape 45 s.  A literal 64-term ``element_at`` sum was ALSO tried:
+    when whole-stage codegen takes it, it is faster, but the generated
+    method is at janino's limit and a compile fallback makes the whole
+    stage interpreted — measured 46 s vs 475 s across otherwise
+    identical sessions, a coin-flip this operator must not depend on,
+    so the compact HOF form is deliberate."""
     rows = num_hashes // bands
     sigs = minhash_signatures_df(df, id_col, text_col, num_hashes,
                                  shingle_k)
-    banded = sigs.select(
-        "_id", "_sig",
-        F.posexplode(minhash_bands(F.col("_sig"), bands, rows))
-        .alias("_band", "_bucket"))
+    slices = F.array(*[
+        F.struct(F.lit(bb).alias("_band"),
+                 F.struct(*[F.element_at("_sig", bb * rows + r + 1)
+                            .alias(f"h{r}") for r in range(rows)])
+                 .alias("_slice"))
+        for bb in range(bands)])
+    banded = (sigs.select("_id", "_sig", F.explode(slices).alias("_bs"))
+              .select("_id", "_sig", "_bs._band", "_bs._slice"))
     a = banded.alias("a")
     b = banded.alias("b")
 
-    # near-identical docs collide in MANY bands — emit each pair only
-    # in its FIRST slice-equal band (codegen'd when-chain of long
-    # equalities inside the join condition), so join output shrinks by
-    # the average collision multiplicity before the dedup shuffle.
-    # Slice equality (not band-hash equality) is the true semantic —
-    # a 2^-64 band-hash collision can no longer emit a spurious row.
-    def _band_eq(bb: int):
-        cond = None
-        for r in range(rows):
-            e = (F.element_at(F.col("a._sig"), bb * rows + r + 1)
-                 == F.element_at(F.col("b._sig"), bb * rows + r + 1))
-            cond = e if cond is None else cond & e
-        return cond
-
-    first_band = F.lit(None).cast("int")
-    for bb in range(bands - 1, -1, -1):
-        first_band = F.when(_band_eq(bb), F.lit(bb)).otherwise(first_band)
+    agree = F.size(F.filter(
+        F.zip_with(F.col("a._sig"), F.col("b._sig"),
+                   lambda x, y: x == y),
+        lambda v: v))
+    min_agree = int(math.ceil(min_jaccard * num_hashes))
 
     pairs = (a.join(b, (F.col("a._band") == F.col("b._band"))
-                    & (F.col("a._bucket") == F.col("b._bucket"))
+                    & (F.col("a._slice") == F.col("b._slice"))
                     & (F.col("a._id") < F.col("b._id"))
-                    & (F.col("a._band") == first_band))
+                    & (agree >= F.lit(min_agree)))
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"),
-                     F.size(F.filter(
-                         F.zip_with(F.col("a._sig"), F.col("b._sig"),
-                                    lambda x, y: x == y),
-                         lambda v: v)).alias("_agree")))
+                     agree.alias("_agree")))
     est = F.col("_agree") / F.lit(float(num_hashes))
     return (pairs.select("id_a", "id_b", est.alias("est_jaccard"))
-            .filter(F.col("est_jaccard") >= min_jaccard)
             .groupBy("id_a", "id_b")
-            .agg(F.max("est_jaccard").alias("est_jaccard")))
+            .agg(F.max("est_jaccard").alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= min_jaccard))
 
 
 # --------------------------------------------- bounded bucket self-join ---
@@ -249,7 +265,9 @@ def simhash(items: Column, bits: int = 64) -> Column:
     64-bit hash per item, bit b's +-1 contribution extracted with literal
     shifts (cheap bit ops, not per-bit re-hashing).  One native aggregate
     pass over the items."""
-    assert bits <= 64
+    if bits > 64:
+        raise ValueError(f"bits={bits}: one xxhash64 supplies at most "
+                         "64 sign bits")
     init = F.array_repeat(F.lit(0), bits)
 
     def contribs(it: Column) -> Column:
@@ -283,7 +301,9 @@ def simhash_signatures_df(df: DataFrame, id_col: str, text_col: str,
     counts tokens whose hash bit (4g+l) is set; bit b of the signature is
     1 iff 2*ones_b > n_tokens (== sign of the classic +-1 sum; ties -> 0).
     Safe for up to 65535 distinct tokens per document (lane width)."""
-    assert bits % 4 == 0
+    if bits % 4:
+        raise ValueError(f"bits={bits} must be a multiple of 4 "
+                         "(16-bit lane packing)")
     n_groups = bits // 4
     tokens = F.array_distinct(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
@@ -317,7 +337,8 @@ def simhash_packed_df(df: DataFrame, id_col: str, text_col: str,
     """(_id, _sh long) — the bit array folded into one long with
     python-literal bit values, so downstream hamming is a codegen'd
     bit_count(xor) instead of an interpreted array zip."""
-    assert bits <= 64
+    if bits > 64:
+        raise ValueError(f"bits={bits}: packed signature is one long")
     sigs = simhash_signatures_df(df, id_col, text_col, bits)
     packed = None
     for b in range(bits):
@@ -748,6 +769,166 @@ def verify_pairs_exact_jaccard(pairs: DataFrame, df: DataFrame,
             .join(ga, "id_a").join(gb, "id_b")
             .select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= min_jaccard))
+
+
+#: per-worker shingle-table memo for :func:`hamming_verified_pairs` —
+#: keyed by (broadcast id, k, pid) so a reused Python worker builds the
+#: interned shingle arrays once per panel, not once per task (guide
+#: §4.5 heavy-init-once; the module is importable on executors, so the
+#: global survives across tasks)
+_AUDIT_PREP_CACHE: dict = {}
+
+
+def _popcount64(x):
+    """Vectorized popcount over a uint64 numpy array (bitwise_count on
+    numpy >= 2, SWAR fallback otherwise)."""
+    import numpy as np
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = ((x & np.uint64(0x3333333333333333))
+         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def hamming_verified_pairs(df: DataFrame, id_col: str, text_col: str,
+                           bits: int = 64, max_hamming: int = 12,
+                           band_bits: int = 4, k: int = 5,
+                           min_jaccard: float = 0.5) -> DataFrame:
+    """FUSED audit-panel kernel: result-identical to
+
+    ``verify_pairs_exact_jaccard(simhash_duplicates(df, id, text,
+    bits=bits, max_hamming=max_hamming, band_bits=band_bits), df, id,
+    text, k=k, min_jaccard=min_jaccard)``
+
+    i.e. pairs that (a) share at least one exact ``band_bits`` SimHash
+    band AND have hamming <= ``max_hamming`` (the banding screen's
+    precise semantics, lossy iff max_hamming >= bits/band_bits) and
+    (b) have exact char-``k``-shingle Jaccard >= ``min_jaccard``.
+
+    Why fused: a loose audit screen (hamming 12 at 4-bit bands) emits
+    O(n^2)-ish candidates on a same-domain panel — 55.6M pairs from a
+    16.7k-doc panel at sf1.0 — and the composition materializes every
+    candidate as a row and then sort-merge-joins two ~290-element
+    shingle arrays onto each (a ~150 GB array shuffle; measured 350 s).
+    The audit panel is BOUNDED by design (it exists precisely because
+    the loose screen cannot run corpus-wide), so instead: Spark
+    computes the signatures (codegen'd explode+agg, unchanged), the
+    (id, sig) list and the panel texts are broadcast (~5 MB), and a
+    block-parallel ``mapInArrow`` kernel enumerates hamming candidates
+    with vectorized xor/popcount and verifies each with an exact
+    interned-shingle ``np.intersect1d`` — only verified pairs (hundreds)
+    ever become rows.  No candidate row stream, no array shuffle, no
+    driver compute beyond the bounded collect (same contract as
+    ``brute_force_topk``'s broadcast side).  Shingle interning is
+    exact string identity — no hashing, so no collision caveat.
+
+    Anchors are strided across blocks so early/late blocks carry equal
+    suffix work.  Ties/floats: jaccard = inter/(na+nb-inter) in IEEE
+    double, identical to the Spark expression it replaces."""
+    import numpy as np
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_dt}, id_b {id_dt}, jaccard double"
+    spark = df.sparkSession
+
+    sigs = simhash_packed_df(df, id_col, text_col, bits)
+    sig_rows = sigs.collect()
+    if not sig_rows:
+        return spark.createDataFrame([], out_schema)
+    texts = {r[0]: r[1] for r in
+             df.select(id_col, text_col)
+               .filter(F.col(text_col).isNotNull()).collect()}
+    sig_rows.sort(key=lambda r: r[0])
+    ids = [r[0] for r in sig_rows]
+    codes = np.array([r[1] for r in sig_rows], dtype=np.int64) \
+        .view(np.uint64)
+    txt_list = [texts.get(i) for i in ids]
+    bc = spark.sparkContext.broadcast((ids, codes, txt_list))
+    import uuid
+    bc_token = uuid.uuid4().hex       # worker-memo key for this panel
+
+    n = len(ids)
+    n_bands = bits // band_bits
+    mask = np.uint64((1 << band_bits) - 1)
+    par = spark.sparkContext.defaultParallelism
+    n_blocks = min(max(4 * par, 1), n)
+    mh = np.uint64(max_hamming)
+    mj = float(min_jaccard)
+    _PA_TYPES = {"bigint": "int64", "int": "int32", "smallint": "int16",
+                 "tinyint": "int8", "string": "string"}
+    pa_id_type = _PA_TYPES.get(id_dt, "string")
+
+    def _prep(bc_id, pid):
+        key = (bc_id, k, pid)
+        hit = _AUDIT_PREP_CACHE.get(key)
+        if hit is not None:
+            return hit
+        p_ids, p_codes, p_txt = bc.value
+        vocab: dict = {}
+        grams = []
+        sizes = np.empty(len(p_txt), dtype=np.int64)
+        for i, t in enumerate(p_txt):
+            n_sh = max(len(t) - (k - 1), 1)
+            seen = {t[j:j + k] for j in range(n_sh)}
+            arr = np.fromiter((vocab.setdefault(s, len(vocab))
+                               for s in seen), dtype=np.int64,
+                              count=len(seen))
+            arr.sort()
+            grams.append(arr)
+            sizes[i] = len(arr)
+        prep = (p_ids, p_codes, grams, sizes)
+        _AUDIT_PREP_CACHE.clear()     # one panel per worker at a time
+        _AUDIT_PREP_CACHE[key] = prep
+        return prep
+
+    def kernel(batches):
+        import os as _os
+
+        import pyarrow as pa
+        p_ids, p_codes, grams, sizes = _prep(bc_token, _os.getpid())
+        for batch in batches:
+            for blk in batch.column(0).to_pylist():
+                out_a, out_b, out_j = [], [], []
+                for i in range(blk, n, n_blocks):
+                    if i + 1 >= n:
+                        continue
+                    x = p_codes[i + 1:] ^ p_codes[i]
+                    ok = _popcount64(x) <= mh
+                    share = np.zeros(len(x), dtype=bool)
+                    for b in range(n_bands):
+                        share |= ((x >> np.uint64(b * band_bits))
+                                  & mask) == 0
+                    ok &= share
+                    # size prefilter (provably result-free: J <= min/max)
+                    sj = sizes[i + 1:]
+                    lo = np.minimum(sj, sizes[i]).astype(np.float64)
+                    hi = np.maximum(sj, sizes[i]).astype(np.float64)
+                    ok &= lo >= mj * hi
+                    ga, na, ia = grams[i], int(sizes[i]), p_ids[i]
+                    for j in np.nonzero(ok)[0]:
+                        jj = i + 1 + int(j)
+                        if p_ids[jj] == ia:      # strict id_a < id_b
+                            continue
+                        inter = int(np.intersect1d(
+                            ga, grams[jj], assume_unique=True).size)
+                        nb = int(sizes[jj])
+                        jac = inter / (na + nb - inter)
+                        if jac >= mj:
+                            out_a.append(ia)
+                            out_b.append(p_ids[jj])
+                            out_j.append(jac)
+                if out_a:
+                    typ = getattr(pa, pa_id_type)()
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(out_a, type=typ),
+                         pa.array(out_b, type=typ),
+                         pa.array(out_j, type=pa.float64())],
+                        names=["id_a", "id_b", "jaccard"])
+
+    blocks = spark.range(0, n_blocks, 1, numPartitions=n_blocks)
+    return blocks.mapInArrow(kernel, out_schema)
 
 
 # ----------------------------------------------- embedding near-dup -------

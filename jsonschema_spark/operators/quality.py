@@ -280,6 +280,18 @@ def arrow_cosine(df: DataFrame, img_c: str, txt_c: str,
             def parts(col):
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
+                # offsets are reinterpreted as int32 below — a
+                # large_list batch (int64 offsets) would be silently
+                # misread as garbage, so refuse it loudly (ADVICE-r5)
+                if pa.types.is_large_list(col.type) or not (
+                        pa.types.is_list(col.type)
+                        and col.type.value_type == pa.float32()):
+                    raise TypeError(
+                        "arrow_cosine expects list<float32> columns; "
+                        f"got {col.type} — large_list (int64 offsets) "
+                        "or a different child type would be silently "
+                        "misread; disable spark.sql.execution.arrow."
+                        "useLargeVarTypes or widen this reader")
                 # normalize BOTH offset windows: a sliced batch's list
                 # offsets need not start at 0, and the child values
                 # array can itself carry an offset after slicing

@@ -137,6 +137,73 @@ def dup_ngram_char_frac(text: Column, n: int) -> Column:
     return F.round(F.least(stats.getField("dup_chars") / base, F.lit(1.0)), 6)
 
 
+#: Java-regex ``\s`` is the ASCII class ``[ \t\n\x0B\f\r]`` (no
+#: UNICODE_CHARACTER_CLASS flag), so a token is a maximal run of
+#: anything else — the exact complement, NOT Python's unicode-aware \S
+_TOKEN_RE = r"[^ \t\n\x0b\x0c\r]+"
+
+
+def _repetition_stats_kernel(id_field, text_name: str,
+                             top_ns: Sequence[int],
+                             dup_ns: Sequence[int]):
+    """mapInArrow kernel computing the EXACT integer statistics of the
+    metric contract per row: char_base, and per n the top-gram
+    character mass (``best_count * chars(best_gram)``, ties toward the
+    lexicographically largest gram — Python ``max((count, gram))`` is
+    codepoint order, identical to Spark/DuckDB string comparison) and
+    the duplicated-gram character mass.  All longs — no float leaves
+    Python, so the Spark-side division/round is bit-identical to the
+    previous all-Catalyst formulation."""
+    import pyarrow as pa
+
+    names = ([id_field, "_cb"]
+             + [f"_top_{n}" for n in top_ns]
+             + [f"_dup_{n}" for n in dup_ns])
+
+    want_top, want_dup = set(top_ns), set(dup_ns)
+    all_ns = sorted(want_top | want_dup)
+
+    def fn(batches):
+        import re
+        from collections import Counter
+        tok = re.compile(_TOKEN_RE)
+        for batch in batches:
+            ids = batch.column(0)          # (id, text) select order
+            texts = batch.column(1).to_pylist()
+            cb_out = []
+            top_out = {n: [] for n in top_ns}
+            dup_out = {n: [] for n in dup_ns}
+            for txt in texts:
+                words = tok.findall(txt) if txt else []
+                L = len(words)
+                cb_out.append(sum(map(len, words)))
+                for n in all_ns:
+                    if L < n:
+                        if n in want_top:
+                            top_out[n].append(0)
+                        if n in want_dup:
+                            dup_out[n].append(0)
+                        continue
+                    sep = n - 1
+                    c = Counter(" ".join(words[i:i + n])
+                                for i in range(L - n + 1))
+                    if n in want_top:
+                        bc, bg = max((v, g) for g, v in c.items())
+                        top_out[n].append(bc * (len(bg) - sep))
+                    if n in want_dup:
+                        dup_out[n].append(sum(v * (len(g) - sep)
+                                              for g, v in c.items()
+                                              if v >= 2))
+            arrays = ([ids, pa.array(cb_out, type=pa.int64())]
+                      + [pa.array(top_out[n], type=pa.int64())
+                         for n in top_ns]
+                      + [pa.array(dup_out[n], type=pa.int64())
+                         for n in dup_ns])
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return fn, names
+
+
 def repetition_signals(df: DataFrame, id_col: str, text_col: str,
                        top_ns: Sequence[int] = (2, 3, 4),
                        dup_ns: Sequence[int] = (5, 6, 7, 8, 9, 10),
@@ -144,22 +211,37 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
     """Per-document repetition signal frame: one row per input row with
     ``top_{n}gram_char_frac`` for each n in `top_ns` and
     ``dup_{n}gram_char_frac`` for each n in `dup_ns` (Gopher Table A1's
-    repetition block).  One zero-shuffle projection; reuses a single
-    word array across all n."""
-    t = F.col(text_col)
-    words = word_array(t)
-    base = F.greatest(char_base(words), F.lit(1).cast("long"))
+    repetition block).
+
+    Physical shape: one narrow (id, text) pass through a ``mapInArrow``
+    kernel that emits the metric contract's INTEGER statistics (top /
+    dup character masses and char_base), then a codegen'd projection
+    does the division and rounding.  Still zero shuffles at scale (the
+    only repartition is the small-input parallelism floor).  The
+    all-Catalyst higher-order-function formulation this replaces spent
+    ~7 ms/doc interpreting per-gram struct folds (9 n-values x sort +
+    fold per row, measured 371 s over 50k short docs at sf1.0);
+    per-doc Counter histograms in the Python worker are ~100x cheaper
+    and the integers they return make the final fractions bit-identical
+    (guide §4.2: batch work belongs in the Python-native tier, exact
+    contract kept by keeping ALL float math in Spark)."""
+    from .dedup import ensure_parallelism
+    id_dt = df.schema[id_col].dataType.simpleString()
+    fn, names = _repetition_stats_kernel(id_col, text_col, top_ns, dup_ns)
+    schema = ", ".join([f"`{id_col}` {id_dt}"]
+                       + [f"{c} long" for c in names[1:]])
+    stats = (ensure_parallelism(df.select(id_col, text_col))
+             .mapInArrow(fn, schema))
+    base = F.greatest(F.col("_cb"), F.lit(1).cast("long"))
     cols = [F.col(id_col)]
     for n in top_ns:
-        stats = _run_stats(word_ngrams(words, n), n)
-        cols.append(F.round(stats.getField("top_chars") / base, 6)
+        cols.append(F.round(F.col(f"_top_{n}") / base, 6)
                     .alias(f"top_{n}gram_char_frac"))
     for n in dup_ns:
-        stats = _run_stats(word_ngrams(words, n), n)
         cols.append(
-            F.round(F.least(stats.getField("dup_chars") / base, F.lit(1.0)), 6)
+            F.round(F.least(F.col(f"_dup_{n}") / base, F.lit(1.0)), 6)
             .alias(f"dup_{n}gram_char_frac"))
-    return df.select(*cols)
+    return stats.select(*cols)
 
 
 def repetition_filter(df: DataFrame, id_col: str, text_col: str,

@@ -75,8 +75,20 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
     ~100x faster than a pairwise HOF self-join (interpreted lambdas)
     and shuffles nothing.  For candidate sets beyond broadcast size use
     :func:`lsh_topk`.
-    """
+
+    Selection (r6): per-anchor top-k used to be a full ``np.lexsort``
+    over all N candidates — O(N log N) per anchor, 85%% of the
+    operator's runtime at 20k vectors — and the anchor scan arrived in
+    1-2 parquet splits, so 30 of 32 cores idled.  Now one vectorized
+    ``argpartition`` per batch finds each row's k-th value and only the
+    >=k-th entries are examined, with ties at the boundary broken by
+    ascending candidate id exactly as the lexsort did (same selected
+    SET; the per-pair cosine doubles are untouched), and the anchor
+    side is repartitioned to the default parallelism first (the same
+    small-input floor the dedup signatures use)."""
     import numpy as np
+
+    from .dedup import ensure_parallelism
 
     id_dt = df.schema[id_col].dataType.simpleString()
     cand = df.select(id_col, vec_col).filter(
@@ -87,9 +99,17 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
     norms[norms == 0] = 1.0
     M = M / norms
     bc = df.sparkSession.sparkContext.broadcast((cand_ids, M))
+    kk = k
 
     def score(batches):
         ids_c, Mc = bc.value
+        # id -> candidate positions (handles duplicate ids like the
+        # ids_c == anchor_id mask it replaces); built once per task
+        pos_of: dict = {}
+        for p, cid in enumerate(ids_c):
+            pos_of.setdefault(cid, []).append(p)
+        n_cand = len(ids_c)
+        import pandas as pd
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -99,21 +119,38 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
             S = (A / an) @ Mc.T                      # m x N
             if round_to is not None:
                 S = np.round(S, round_to)
+            anchors = pdf[id_col].to_numpy()
+            for r, aid in enumerate(anchors):
+                for p in pos_of.get(aid, ()):        # a._id != b._id
+                    S[r, p] = -np.inf
+            if n_cand > kk:
+                part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+                vk = np.take_along_axis(S, part, axis=1).min(axis=1)
+            else:
+                vk = np.full(S.shape[0], -np.inf)
             out_id, out_nb, out_cos = [], [], []
-            for r, anchor_id in enumerate(pdf[id_col]):
-                s = S[r].copy()
-                s[ids_c == anchor_id] = -np.inf      # a._id != b._id
-                order = np.lexsort((ids_c, -s))[:k]  # cos desc, id asc
-                keep = order[np.isfinite(s[order])]
-                out_id.extend([anchor_id] * len(keep))
-                out_nb.extend(ids_c[keep])
-                out_cos.extend(s[keep])
-            import pandas as pd
+            for r, aid in enumerate(anchors):
+                s = S[r]
+                v = vk[r]
+                if not np.isfinite(v):
+                    # fewer than k finite entries: keep them all
+                    sel = np.nonzero(np.isfinite(s))[0]
+                else:
+                    gt = np.nonzero(s > v)[0]
+                    need = kk - len(gt)
+                    eq = np.nonzero(s == v)[0]
+                    if len(eq) > need:               # boundary tie ->
+                        eq = eq[np.argsort(ids_c[eq],  # smallest ids
+                                           kind="stable")[:need]]
+                    sel = np.concatenate([gt, eq])
+                out_id.extend([aid] * len(sel))
+                out_nb.extend(ids_c[sel])
+                out_cos.extend(s[sel])
             yield pd.DataFrame({"id": out_id, "neighbour_id": out_nb,
                                 "cosine": out_cos})
 
-    return (df.select(id_col, vec_col)
-            .filter(F.col(vec_col).isNotNull())
+    return (ensure_parallelism(df.select(id_col, vec_col)
+                               .filter(F.col(vec_col).isNotNull()))
             .mapInPandas(score, f"id {id_dt}, neighbour_id {id_dt}, "
                                 f"cosine double"))
 

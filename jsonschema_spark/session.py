@@ -37,7 +37,15 @@ def get_spark(app: str = "jsonschema_spark", cores: int | None = None,
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", "16m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.ansi.enabled", "false")
+        # default off (validation wants NULL-tolerant expression
+        # semantics) but overridable: the DRIVER'S session runs Spark
+        # 4's ANSI-on default, and round 5 shipped an overflow only
+        # that config surfaced (VERDICT-r5 #1) — the ANSI test lane
+        # (tests/test_ansi_lane.py, SPARK_GRAFT_ANSI=1) exists to keep
+        # the two environments semantically interchangeable
+        .config("spark.sql.ansi.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_ANSI") == "1"
+                else "false")
         .config("spark.sql.session.timeZone", "UTC")
         # call-site capture for DataFrame debugging costs ~4 extra py4j
         # round trips on EVERY Column operation (getActiveSession +
