@@ -63,6 +63,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`_t` + the small-input parallelism floor (r6, guide §2.5 input
+    skew): the sf testdata tables are single parquet files with 1-6 row
+    groups, and parquet scan parallelism is row-group-bound — so every
+    per-row-CPU-heavy query over e.g. `documents` (1 row group)
+    executed on ONE of 32 cores.  One cheap round-robin repartition of
+    the narrow scan output fans the compute out (measured: docs_language
+    8.3 s -> 1.0 s, docs_pii 3.2 s -> 0.6 s at sf1.0).  At real scale
+    inputs carry more partitions than cores and this is a no-op; it is
+    applied ONLY to queries whose per-row work dominates — for
+    tiny-aggregate queries (events_hourly, manifest_orders) the extra
+    exchange measured as a net loss and `_t` stays."""
+    from jsonschema_spark.operators.dedup import ensure_parallelism
+    return ensure_parallelism(_t(spark, sf_dir, name))
+
+
 # --------------------------------------------------------------- specs ----
 
 LINEITEM_SPEC = {
@@ -102,7 +118,7 @@ PART_SPEC = {
 def q_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level keyword validation -> violation counts (compiler core)."""
     from jsonschema_spark import CompiledValidator
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     v = CompiledValidator(LINEITEM_SPEC, li)
     return (v.violations(li)
             .groupBy("keyword", "json_path")
@@ -130,7 +146,7 @@ def q_best_match_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """best_match ranking: one most-relevant violation per failing row."""
     from jsonschema_spark import CompiledValidator
     from jsonschema_spark.operators.bestmatch import best_match
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     v = CompiledValidator(LINEITEM_SPEC, li)
     viols = v.violations(li, ["l_orderkey", "l_linenumber"])
     return best_match(viols, ["l_orderkey", "l_linenumber"]).select(
@@ -242,7 +258,7 @@ def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts + order-insensitive content key."""
     from jsonschema_spark.operators.text import (content_fingerprint,
                                                  token_count)
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
@@ -252,7 +268,7 @@ def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic distribution."""
     from jsonschema_spark.operators.text import detect_language
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return (d.select(detect_language(F.col("text")).alias("lang_detected"))
             .groupBy("lang_detected")
             .agg(F.count(F.lit(1)).alias("n")))
@@ -418,7 +434,7 @@ def q_docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     IPv4 appended, then pii_profile counts and redacts.  Zero-shuffle
     codegen'd projection; the oracle runs the IDENTICAL regex strings."""
     from jsonschema_spark.operators.pii import pii_profile
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     planted = d.select(
         "doc_id",
         F.concat(
@@ -542,7 +558,7 @@ def q_composition_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Applicator keywords (anyOf/oneOf/not/if-then-else) as boolean
     algebra over child predicates — violation counts by keyword."""
     from jsonschema_spark import CompiledValidator
-    o = _t(spark, sf_dir, "orders")
+    o = _tp(spark, sf_dir, "orders")
     v = CompiledValidator(COMPOSED_ORDERS_SPEC, o)
     return (v.violations(o)
             .groupBy("keyword", "json_path")
@@ -553,7 +569,7 @@ def q_array_keywords_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array keywords via higher-order functions over per-order
     quantity arrays (minItems/maxItems/uniqueItems/contains)."""
     from jsonschema_spark import CompiledValidator
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     arr = (li.filter(F.col("l_quantity").isNotNull())
            .groupBy("l_orderkey")
            .agg(F.sort_array(F.collect_list("l_quantity"))
@@ -567,7 +583,7 @@ def q_array_keywords_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (the oracle-checkable core of the
     stats operator; at scale approx_percentile sketches replace this)."""
-    o = _t(spark, sf_dir, "orders")
+    o = _tp(spark, sf_dir, "orders")
     return (o.filter(F.col("o_totalprice").isNotNull())
             .groupBy("o_orderstatus")
             .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
@@ -644,7 +660,7 @@ def q_formats_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """format keyword (email/uuid/date) over deterministically
     synthesized strings with planted violations."""
     from jsonschema_spark import CompiledValidator
-    c = _t(spark, sf_dir, "customer")
+    c = _tp(spark, sf_dir, "customer")
     md5 = F.md5(F.col("c_name"))
     uid = F.concat_ws("-", F.substring(md5, 1, 8), F.substring(md5, 9, 4),
                       F.substring(md5, 13, 4), F.substring(md5, 17, 4),
@@ -674,7 +690,7 @@ def q_formats_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-signal features per document (native regexp_count path)."""
     from jsonschema_spark.operators.text import quality_features
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     f = quality_features(F.col("text"))
     return d.select(
         "doc_id",
@@ -699,7 +715,13 @@ def q_embeddings_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path the brute-force oracle queries baseline."""
     from jsonschema_spark.operators.similarity import ivf_topk
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, "vec_id", "embedding", k=3, n_lists=16, n_probe=3)
+    # approx_n (one metadata-cheap count) switches the quantizer-sample
+    # branch from hash-thinning (which under-samples here and pays a
+    # second full collect) to the full-coverage fraction path — the
+    # training matrix is IDENTICAL at these scales (frac = 1.0), one
+    # driver collect cheaper (r6)
+    return ivf_topk(e, "vec_id", "embedding", k=3, n_lists=16, n_probe=3,
+                    approx_n=e.count())
 
 
 def q_embeddings_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,7 +738,10 @@ def q_embeddings_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_probe — the query pins the *contract*, not the tuning.
     truth = brute_force_topk(e, "vec_id", "embedding", k=3) \
         .select("id", "neighbour_id")
-    ann = ivf_topk(e, "vec_id", "embedding", k=3, n_lists=16, n_probe=12) \
+    # approx_n: same identical-training-matrix shortcut as
+    # q_embeddings_ann_ivf (frac = 1.0 at these scales)
+    ann = ivf_topk(e, "vec_id", "embedding", k=3, n_lists=16, n_probe=12,
+                   approx_n=e.count()) \
         .select("id", "neighbour_id").withColumn("_hit", F.lit(1))
     # ONE action: truth and ann pipelines each execute once
     row = (truth.join(ann, ["id", "neighbour_id"], "left")
@@ -755,7 +780,7 @@ def q_violations_draft4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Legacy-draft profile dispatch: $schema picks the draft4 compiler
     (boolean exclusiveMaximum modifier, dependencies keyword)."""
     from jsonschema_spark import CompiledValidator
-    o = _t(spark, sf_dir, "orders")
+    o = _tp(spark, sf_dir, "orders")
     v = CompiledValidator(DRAFT4_ORDERS_SPEC, o)
     return (v.violations(o)
             .groupBy("keyword", "json_path")
@@ -767,7 +792,7 @@ def q_standard_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated."""
     from jsonschema_spark import CompiledValidator
     from jsonschema_spark.operators.bestmatch import standard_output
-    o = _t(spark, sf_dir, "orders")
+    o = _tp(spark, sf_dir, "orders")
     v = CompiledValidator(ORDERS_SPEC, o)
     return (standard_output(v.violations(o))
             .groupBy("valid", "keywordLocation", "instanceLocation")
@@ -817,7 +842,7 @@ def q_dynamic_ref_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct only via correct dynamic-scope search (a plain-$ref reading
     would validate nothing, which the oracle counts would expose)."""
     from jsonschema_spark import CompiledValidator
-    o = _t(spark, sf_dir, "orders")
+    o = _tp(spark, sf_dir, "orders")
     df = o.select("o_orderkey",
                   F.struct(F.col("o_totalprice"),
                            F.col("o_orderpriority")).alias("detail"))

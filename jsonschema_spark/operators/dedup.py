@@ -149,10 +149,109 @@ def minhash_signatures_df(df: DataFrame, id_col: str, text_col: str,
                     .alias("_sig")))
 
 
+def _minhash_pairs_kernel(sigs: DataFrame, num_hashes: int, bands: int,
+                          min_jaccard: float, id_dt: str) -> DataFrame:
+    """Bounded-corpus banding kernel: result-identical to the
+    slice-keyed LSH self-join below, for corpora whose signature frame
+    fits a broadcast (the same documented-bounded fast-path contract as
+    ``connected_components``' small-graph union-find).
+
+    Why: per-collision cost decides the join — a hot band slice shared
+    by m templated docs produces m^2/2 probe-side evaluations of the
+    agreement count (50M at sf1.0 for 5,787 surviving pairs), each an
+    interpreted ~25 us zip_with.  Here the (id, sig) list (50k x 64
+    longs = 25 MB at sf1.0) broadcasts once and one task per band
+    sorts its 4-long slice columns, enumerates equal-slice group pairs
+    vectorized, and computes the agreement count as a blockwise
+    ``(SIG[ia] == SIG[ib]).sum(1)`` gather — exact integer equality on
+    the same signature values, est = agree/num_hashes in the same IEEE
+    double.  Only est-passing pairs become rows; the caller's
+    (id_a, id_b) max-aggregation dedups across bands."""
+    import numpy as np
+
+    rows = num_hashes // bands
+    min_agree = int(math.ceil(min_jaccard * num_hashes))
+    spark = sigs.sparkSession
+    out_schema = f"id_a {id_dt}, id_b {id_dt}, _agree int"
+    collected = sigs.collect()
+    if not collected:
+        return spark.createDataFrame([], out_schema)
+    collected.sort(key=lambda r: r[0])
+    ids = [r[0] for r in collected]
+    SIG = np.array([r[1] for r in collected], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((ids, SIG))
+    n = len(ids)
+    _PA = {"bigint": "int64", "int": "int32", "smallint": "int16",
+           "tinyint": "int8", "string": "string"}
+    pa_id_type = _PA.get(id_dt, "string")
+
+    def kernel(batches):
+        import pyarrow as pa
+        p_ids, S = bc.value
+        id_arr = np.asarray(p_ids)
+        for batch in batches:
+            for b in batch.column(0).to_pylist():
+                sl = np.ascontiguousarray(S[:, b * rows:(b + 1) * rows])
+                order = np.lexsort(sl.T[::-1])
+                ss = sl[order]
+                change = np.any(ss[1:] != ss[:-1], axis=1)
+                bounds = np.concatenate(
+                    ([0], np.nonzero(change)[0] + 1, [len(ss)]))
+                ia_parts, ib_parts = [], []
+                for g in range(len(bounds) - 1):
+                    lo, hi = bounds[g], bounds[g + 1]
+                    c = hi - lo
+                    if c < 2:
+                        continue
+                    members = np.sort(order[lo:hi])
+                    iu, ju = np.triu_indices(c, k=1)
+                    ia_parts.append(members[iu])
+                    ib_parts.append(members[ju])
+                if not ia_parts:
+                    continue
+                ia = np.concatenate(ia_parts)
+                ib = np.concatenate(ib_parts)
+                out_a, out_b, out_g = [], [], []
+                CH = 262_144
+                for s0 in range(0, len(ia), CH):
+                    ca, cb = ia[s0:s0 + CH], ib[s0:s0 + CH]
+                    agree = (S[ca] == S[cb]).sum(axis=1)
+                    keep = agree >= min_agree
+                    # members sorted ascending => index order == id
+                    # order; equal ids (duplicate rows) never pair
+                    keep &= id_arr[ca] != id_arr[cb]
+                    out_a.append(id_arr[ca[keep]])
+                    out_b.append(id_arr[cb[keep]])
+                    out_g.append(agree[keep])
+                aa = np.concatenate(out_a)
+                if len(aa):
+                    typ = getattr(pa, pa_id_type)()
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(aa.tolist(), type=typ),
+                         pa.array(np.concatenate(out_b).tolist(),
+                                  type=typ),
+                         pa.array(np.concatenate(out_g).astype("int32"),
+                                  type=pa.int32())],
+                        names=["id_a", "id_b", "_agree"])
+
+    blocks = spark.range(0, bands, 1, numPartitions=bands)
+    return blocks.mapInArrow(kernel, out_schema)
+
+
+#: corpora at or below this row count take the broadcast banding
+#: kernel in :func:`minhash_candidates` (signature matrix ~0.5 KB/row
+#: -> ~100 MB broadcast at the cap); larger corpora use the
+#: distributed slice-keyed self-join
+MINHASH_KERNEL_MAX_ROWS = 200_000
+
+
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 64, bands: int = 16,
                        shingle_k: int = 5,
-                       min_jaccard: float = 0.5) -> DataFrame:
+                       min_jaccard: float = 0.5,
+                       approx_n: int = None,
+                       small_corpus_threshold: int =
+                       MINHASH_KERNEL_MAX_ROWS) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH.
 
     Pipeline: shingle -> signature (codegen'd explode+agg) -> explode
@@ -179,10 +278,28 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
     method is at janino's limit and a compile fallback makes the whole
     stage interpreted — measured 46 s vs 475 s across otherwise
     identical sessions, a coin-flip this operator must not depend on,
-    so the compact HOF form is deliberate."""
+    so the compact HOF form is deliberate.
+
+    Small-corpus fast path: when the input row count (``approx_n``, or
+    one metadata-cheap ``df.count()``) is at most
+    ``small_corpus_threshold``, the banding runs through
+    :func:`_minhash_pairs_kernel` instead of the self-join — identical
+    pair set (parity pinned in tests), ~4x at sf1.0.  Pass
+    ``small_corpus_threshold=0`` to force the distributed join."""
     rows = num_hashes // bands
     sigs = minhash_signatures_df(df, id_col, text_col, num_hashes,
                                  shingle_k)
+    n = approx_n if approx_n is not None else \
+        (df.count() if small_corpus_threshold > 0 else None)
+    if n is not None and n <= small_corpus_threshold:
+        id_dt = df.schema[id_col].dataType.simpleString()
+        pairs = _minhash_pairs_kernel(sigs, num_hashes, bands,
+                                      min_jaccard, id_dt)
+        est = F.col("_agree") / F.lit(float(num_hashes))
+        return (pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+                .groupBy("id_a", "id_b")
+                .agg(F.max("est_jaccard").alias("est_jaccard"))
+                .filter(F.col("est_jaccard") >= min_jaccard))
     slices = F.array(*[
         F.struct(F.lit(bb).alias("_band"),
                  F.struct(*[F.element_at("_sig", bb * rows + r + 1)
@@ -748,9 +865,16 @@ def verify_pairs_exact_jaccard(pairs: DataFrame, df: DataFrame,
     (J <= min/max, since inter <= min(na, nb) and union >= max) are
     dropped BEFORE the arrays are joined — on templated same-domain
     corpora this sheds ~40%% of candidate pairs for the price of two
-    broadcast-size int joins."""
-    docs = df.select(F.col(id_col).alias("_id"),
-                     shingles(F.col(text_col), k).alias("_grams"))
+    broadcast-size int joins.
+
+    The doc side takes the ensure_parallelism floor (r6): the
+    interpreted shingle-array transform is referenced by FOUR subtrees
+    (two size frames, two array frames) and otherwise runs at the
+    scan's row-group-bound parallelism — serial on the single-row-
+    group sf tables."""
+    docs = ensure_parallelism(df.select(id_col, text_col)) \
+        .select(F.col(id_col).alias("_id"),
+                shingles(F.col(text_col), k).alias("_grams"))
     ga = docs.select(F.col("_id").alias("id_a"),
                      F.col("_grams").alias("_ga"),
                      F.size("_grams").alias("_na"))
@@ -866,19 +990,24 @@ def hamming_verified_pairs(df: DataFrame, id_col: str, text_col: str,
         if hit is not None:
             return hit
         p_ids, p_codes, p_txt = bc.value
+        # CSR of interned shingle ids: intersection sizes then come
+        # from one boolean lookup-table gather + reduceat per anchor
+        # instead of an intersect1d per pair (~10 us/pair -> ~1 ns/elem)
         vocab: dict = {}
-        grams = []
-        sizes = np.empty(len(p_txt), dtype=np.int64)
+        flat_parts = []
+        indptr = np.zeros(len(p_txt) + 1, dtype=np.int64)
         for i, t in enumerate(p_txt):
             n_sh = max(len(t) - (k - 1), 1)
             seen = {t[j:j + k] for j in range(n_sh)}
-            arr = np.fromiter((vocab.setdefault(s, len(vocab))
-                               for s in seen), dtype=np.int64,
-                              count=len(seen))
-            arr.sort()
-            grams.append(arr)
-            sizes[i] = len(arr)
-        prep = (p_ids, p_codes, grams, sizes)
+            flat_parts.append(np.fromiter(
+                (vocab.setdefault(s, len(vocab)) for s in seen),
+                dtype=np.int64, count=len(seen)))
+            indptr[i + 1] = indptr[i] + len(seen)
+        flat = (np.concatenate(flat_parts) if flat_parts
+                else np.empty(0, dtype=np.int64))
+        sizes = np.diff(indptr)
+        lut = np.zeros(len(vocab), dtype=bool)
+        prep = (p_ids, p_codes, flat, indptr, sizes, lut)
         _AUDIT_PREP_CACHE.clear()     # one panel per worker at a time
         _AUDIT_PREP_CACHE[key] = prep
         return prep
@@ -887,7 +1016,9 @@ def hamming_verified_pairs(df: DataFrame, id_col: str, text_col: str,
         import os as _os
 
         import pyarrow as pa
-        p_ids, p_codes, grams, sizes = _prep(bc_token, _os.getpid())
+        p_ids, p_codes, flat, indptr, sizes, lut = \
+            _prep(bc_token, _os.getpid())
+        id_arr = np.asarray(p_ids)
         for batch in batches:
             for blk in batch.column(0).to_pylist():
                 out_a, out_b, out_j = [], [], []
@@ -906,19 +1037,33 @@ def hamming_verified_pairs(df: DataFrame, id_col: str, text_col: str,
                     lo = np.minimum(sj, sizes[i]).astype(np.float64)
                     hi = np.maximum(sj, sizes[i]).astype(np.float64)
                     ok &= lo >= mj * hi
-                    ga, na, ia = grams[i], int(sizes[i]), p_ids[i]
-                    for j in np.nonzero(ok)[0]:
-                        jj = i + 1 + int(j)
-                        if p_ids[jj] == ia:      # strict id_a < id_b
-                            continue
-                        inter = int(np.intersect1d(
-                            ga, grams[jj], assume_unique=True).size)
-                        nb = int(sizes[jj])
-                        jac = inter / (na + nb - inter)
-                        if jac >= mj:
-                            out_a.append(ia)
-                            out_b.append(p_ids[jj])
-                            out_j.append(jac)
+                    js = np.nonzero(ok)[0] + (i + 1)
+                    js = js[id_arr[js] != id_arr[i]]  # strict id_a<id_b
+                    if not len(js):
+                        continue
+                    ga = flat[indptr[i]:indptr[i + 1]]
+                    lut[ga] = True
+                    starts = indptr[js]
+                    lens = sizes[js]
+                    total = int(lens.sum())
+                    # vectorized multi-arange over candidate segments
+                    steps = np.ones(total, dtype=np.int64)
+                    steps[0] = starts[0]
+                    pos = np.cumsum(lens)[:-1]
+                    if len(pos):
+                        steps[pos] = (starts[1:]
+                                      - (starts[:-1] + lens[:-1] - 1))
+                    idx = np.cumsum(steps)
+                    hits = lut[flat[idx]].astype(np.int32)
+                    bounds = np.concatenate(([0], pos))
+                    inters = np.add.reduceat(hits, bounds)
+                    lut[ga] = False
+                    jac = inters / (sizes[i] + lens - inters)
+                    keep = np.nonzero(jac >= mj)[0]
+                    if len(keep):
+                        out_a.extend([p_ids[i]] * len(keep))
+                        out_b.extend(id_arr[js[keep]].tolist())
+                        out_j.extend(jac[keep].tolist())
                 if out_a:
                     typ = getattr(pa, pa_id_type)()
                     yield pa.RecordBatch.from_arrays(

@@ -306,15 +306,19 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
         sample_df = (keyed.filter(
             F.pmod(F.xxhash64("_id", F.lit(seed)), F.lit(64)) == 0)
             .select("_v"))
-    X = np.asarray([r["_v"] for r in
-                    sample_df.limit(max_train).collect()], dtype=np.float64)
+    def _collect_matrix(df_v):
+        # Arrow transfer (toPandas) instead of the pickled-row collect:
+        # same float64 values, ~3x less driver time on array columns
+        vals = df_v.limit(max_train).toPandas()["_v"]
+        return np.asarray(list(vals), dtype=np.float64) \
+            if len(vals) else np.empty((0,))
+
+    X = _collect_matrix(sample_df)
     if sample_df is not unthinned and len(X) < min(max_train, 32 * n_lists):
         # thinning/fraction under-sampled a small input: one more cheap
         # bounded collect over the unthinned rows (skipped when the
         # first collect already saw them all)
-        X = np.asarray([r["_v"] for r in
-                        unthinned.limit(max_train).collect()],
-                       dtype=np.float64)
+        X = _collect_matrix(unthinned)
     if len(X) == 0:  # genuinely empty input
         return keyed.sparkSession.createDataFrame(
             [], f"id {df.schema[id_col].dataType.simpleString()}, "
@@ -341,9 +345,17 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
     # queries explode all probe cells.  Persisted (spilling to disk)
     # because THREE subtrees consume it — inv, queries, and the
     # per-cell count aggregate — and the centroid-matmul UDF is the
-    # dominant CPU cost; one spill-write beats three recomputes
+    # dominant CPU cost; one spill-write beats three recomputes.
+    # ensure_parallelism (r6): the normalize HOFs + assignment UDF
+    # otherwise run at the scan's row-group-bound parallelism (ONE
+    # task on the single-row-group sf tables — measured 8.4 s of the
+    # operator's 15.7 s).  Applied only here, NOT to the quantizer
+    # sample above: the sample's collected row order seeds k-means
+    # init and must stay partitioning-independent.
     from pyspark import StorageLevel
-    assigned = (keyed.withColumn("_cells", assign(n_probe)(F.col("_v")))
+    from .dedup import ensure_parallelism
+    assigned = (ensure_parallelism(keyed)
+                .withColumn("_cells", assign(n_probe)(F.col("_v")))
                 .persist(StorageLevel.MEMORY_AND_DISK))
     _IVF_PERSISTED.append(assigned)  # released via clear_ivf_cache()
     inv = assigned.select("_id", "_v",
