@@ -807,13 +807,166 @@ def _jaccard_pairs_from_posting(posting: DataFrame, min_jaccard: float,
             .filter(F.col("jaccard") >= min_jaccard))
 
 
+def _ngram_pairs_kernel(df: DataFrame, id_col: str, text_col: str,
+                        n: int, min_jaccard: float, max_bucket: int,
+                        id_dt: str) -> DataFrame:
+    """Bounded-corpus inverted-index kernel: result-identical to the
+    posting-list self-join in :func:`ngram_jaccard_pairs` (same gated
+    fast-path contract as ``_minhash_pairs_kernel``).
+
+    Why: the posting self-join emits one row per shared-gram co-pair —
+    sum(df^2) over kept grams, 114M rows at sf1.0 for a 200-doc df cap
+    — and every row rides the (id_a, id_b) count aggregation.  Here
+    the texts broadcast (~15 MB at sf1.0); each worker builds, once, a
+    CSR of interned per-doc distinct grams + the inverted index over
+    grams with 2 <= df <= max_bucket; anchors stride across blocks and
+    each anchor's candidate multiset (concatenated postings of its
+    kept grams) collapses to intersection counts with one sort —
+    jaccard = inter/(na+nb-inter) in the same IEEE double, na/nb the
+    full distinct-gram sizes exactly like the join's pre-filter
+    ``sized`` frame.  Tokenization replicates the Spark expression
+    byte-for-byte: ``trim`` strips 0x20 only, Java-regex ``\\s`` is the
+    ASCII class, empty tokens are KEPT (split keeps leading/trailing
+    empties), and a doc with fewer than n words contributes its single
+    short joined gram."""
+    import numpy as np
+
+    spark = df.sparkSession
+    out_schema = f"id_a {id_dt}, id_b {id_dt}, jaccard double"
+    rows = (df.filter(F.col(text_col).isNotNull())
+            .select(id_col, text_col).collect())
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    rows.sort(key=lambda r: r[0])
+    ids = [r[0] for r in rows]
+    txts = [r[1] for r in rows]
+    bc = spark.sparkContext.broadcast((ids, txts))
+    import uuid
+    bc_token = uuid.uuid4().hex
+    n_docs = len(ids)
+    par = spark.sparkContext.defaultParallelism
+    n_blocks = min(max(4 * par, 1), n_docs)
+    mj = float(min_jaccard)
+    _PA = {"bigint": "int64", "int": "int32", "smallint": "int16",
+           "tinyint": "int8", "string": "string"}
+    pa_id_type = _PA.get(id_dt, "string")
+
+    def _prep(pid):
+        key = (bc_token, n, max_bucket, pid)
+        hit = _AUDIT_PREP_CACHE.get(key)
+        if hit is not None:
+            return hit
+        import re
+        p_ids, p_txts = bc.value
+        ws_re = re.compile(r"[ \t\n\x0b\x0c\r]+")
+        vocab: dict = {}
+        flat_parts = []
+        indptr = np.zeros(len(p_txts) + 1, dtype=np.int64)
+        for i, t in enumerate(p_txts):
+            words = ws_re.split(t.strip(" "))
+            L = len(words)
+            n_g = max(L - (n - 1), 1)
+            seen = {" ".join(words[j:j + n]) for j in range(n_g)}
+            flat_parts.append(np.fromiter(
+                (vocab.setdefault(g, len(vocab)) for g in seen),
+                dtype=np.int64, count=len(seen)))
+            indptr[i + 1] = indptr[i] + len(seen)
+        flat = (np.concatenate(flat_parts) if flat_parts
+                else np.empty(0, dtype=np.int64))
+        sizes = np.diff(indptr)
+        dfreq = np.bincount(flat, minlength=len(vocab))
+        kept = (dfreq >= 2) & (dfreq <= max_bucket)
+        # inverted index over kept grams: doc index per posting row,
+        # grouped by gram id
+        doc_of = np.repeat(np.arange(len(p_txts), dtype=np.int64),
+                           sizes)
+        keep_mask = kept[flat]
+        g_kept = flat[keep_mask]
+        d_kept = doc_of[keep_mask]
+        order = np.argsort(g_kept, kind="stable")
+        inv_docs = d_kept[order]
+        gs = g_kept[order]
+        inv_indptr = np.searchsorted(
+            gs, np.arange(len(vocab) + 1, dtype=np.int64))
+        prep = (p_ids, flat, indptr, sizes, kept, inv_docs, inv_indptr)
+        _AUDIT_PREP_CACHE.clear()
+        _AUDIT_PREP_CACHE[key] = prep
+        return prep
+
+    def kernel(batches):
+        import os as _os
+
+        import pyarrow as pa
+        p_ids, flat, indptr, sizes, kept, inv_docs, inv_indptr = \
+            _prep(_os.getpid())
+        id_arr = np.asarray(p_ids)
+        for batch in batches:
+            for blk in batch.column(0).to_pylist():
+                out_a, out_b, out_j = [], [], []
+                for i in range(blk, n_docs, n_blocks):
+                    gi = flat[indptr[i]:indptr[i + 1]]
+                    gi = gi[kept[gi]]
+                    if not len(gi):
+                        continue
+                    starts = inv_indptr[gi]
+                    lens = inv_indptr[gi + 1] - starts
+                    total = int(lens.sum())
+                    if not total:
+                        continue
+                    steps = np.ones(total, dtype=np.int64)
+                    steps[0] = starts[0]
+                    pos = np.cumsum(lens)[:-1]
+                    if len(pos):
+                        steps[pos] = (starts[1:]
+                                      - (starts[:-1] + lens[:-1] - 1))
+                    cand = inv_docs[np.cumsum(steps)]
+                    cand = cand[cand > i]        # index order == id order
+                    if not len(cand):
+                        continue
+                    js, inters = np.unique(cand, return_counts=True)
+                    ok = id_arr[js] != id_arr[i]  # strict id_a < id_b
+                    js, inters = js[ok], inters[ok]
+                    jac = inters / (sizes[i] + sizes[js] - inters)
+                    keep = np.nonzero(jac >= mj)[0]
+                    if len(keep):
+                        out_a.extend([p_ids[i]] * len(keep))
+                        out_b.extend(id_arr[js[keep]].tolist())
+                        out_j.extend(jac[keep].tolist())
+                if out_a:
+                    typ = getattr(pa, pa_id_type)()
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(out_a, type=typ),
+                         pa.array(out_b, type=typ),
+                         pa.array(out_j, type=pa.float64())],
+                        names=["id_a", "id_b", "jaccard"])
+
+    blocks = spark.range(0, n_blocks, 1, numPartitions=n_blocks)
+    return blocks.mapInArrow(kernel, out_schema)
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, min_jaccard: float = 0.6,
-                        max_bucket: int = 200) -> DataFrame:
+                        max_bucket: int = 200,
+                        approx_n: int = None,
+                        small_corpus_threshold: int =
+                        MINHASH_KERNEL_MAX_ROWS) -> DataFrame:
     """Exact word-n-gram Jaccard pairs (see _jaccard_pairs_from_posting
     for the posting-list shape).  The posting list is generated
     codegen-side: split once per doc, explode gram start indices, and
-    slice+join per exploded row — no interpreted transform-HOF."""
+    slice+join per exploded row — no interpreted transform-HOF.
+
+    Small-corpus fast path (r6): at or below
+    ``small_corpus_threshold`` input rows (``approx_n``, or one
+    metadata-cheap count) the pairs come from
+    :func:`_ngram_pairs_kernel` — identical output (parity pinned in
+    tests; the sf1.0 posting join emitted 114M co-pair rows for a
+    25-pair result).  ``small_corpus_threshold=0`` forces the join."""
+    n_rows = approx_n if approx_n is not None else \
+        (df.count() if small_corpus_threshold > 0 else None)
+    if n_rows is not None and n_rows <= small_corpus_threshold:
+        id_dt = df.schema[id_col].dataType.simpleString()
+        return _ngram_pairs_kernel(df, id_col, text_col, n,
+                                   min_jaccard, max_bucket, id_dt)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     cnt = F.greatest(F.size("_w") - (n - 1), F.lit(1))
     posting = (ensure_parallelism(df.filter(F.col(text_col).isNotNull()))

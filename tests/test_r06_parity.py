@@ -140,3 +140,17 @@ def test_exact_fingerprint_pairs_join_back(docs):
     a = sorted(map(tuple, old.collect()))
     b = sorted(map(tuple, new.collect()))
     assert a == b and len(a) > 0
+
+
+def test_ngram_jaccard_kernel_vs_join_parity(docs):
+    """Inverted-index kernel == posting-list self-join, including the
+    tokenization corner cases (kept empty tokens, short docs, tabs)."""
+    from jsonschema_spark.operators.dedup import ngram_jaccard_pairs
+    join_path = ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                    min_jaccard=0.3,
+                                    small_corpus_threshold=0)
+    kernel_path = ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                      min_jaccard=0.3)
+    a = sorted(map(tuple, join_path.collect()))
+    b = sorted(map(tuple, kernel_path.collect()))
+    assert a == b and len(a) > 0
