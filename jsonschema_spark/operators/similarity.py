@@ -209,6 +209,117 @@ def _kmeans_spherical(X, n_lists: int, seed: int, iters: int = 10):
     return C
 
 
+#: corpora at or below this row count take the broadcast IVF kernel in
+#: :func:`ivf_topk` (vector matrix ~0.5 KB/row at 64 float64 dims ->
+#: ~100 MB broadcast at the cap); larger corpora use the distributed
+#: cogroup path.  Same documented-bounded fast-path contract as
+#: ``dedup.MINHASH_KERNEL_MAX_ROWS``.
+IVF_KERNEL_MAX_ROWS = 200_000
+
+
+def _ivf_topk_kernel(spark, ids, M, H, centers, k: int, n_probe: int,
+                     chunk_size: int, id_dt: str) -> DataFrame:
+    """Bounded-corpus IVF kernel: result-identical to the distributed
+    cogroup path below, for corpora whose normalized vector matrix fits
+    a broadcast.
+
+    Why: at bounded corpus size the distributed path's cost is pure
+    orchestration — a pandas-UDF assignment pass materialized through a
+    persist, a per-cell count aggregate, probe-fanout joins, and TWO
+    cogroup shuffles moving each query vector once per probed
+    (cell, chunk) — measured ~2.6 s at sf0.1 for 2,000 vectors whose
+    actual scoring work is milliseconds.  Here the (id, hash, vector)
+    matrix is collected once (one Arrow transfer), the centroid
+    assignment, per-cell counts, and chunk salts are computed with the
+    SAME numpy/hash math the distributed operators use
+    (``np.argsort(-sims)`` == the assignment UDF; ``xxhash64(_id) %
+    nchunks`` with Spark computing the hash == the ``pmod`` chunk
+    salt), and one ``mapInArrow`` task per (cell, chunk) group scores
+    its members against the queries probing that cell with the same
+    blockwise GEMM + vectorized ``argpartition`` selection.  Only
+    per-chunk top-k candidates (n_probe*k per query) become rows; the
+    caller's global window merge is unchanged, so the final top-k is
+    the same set under the same ordering."""
+    import numpy as np
+
+    out_schema = f"id {id_dt}, neighbour_id {id_dt}, cosine double"
+    if len(M) == 0:
+        return spark.createDataFrame([], out_schema)
+    # identical assignment math to the distributed path's pandas UDF:
+    # nearest n_probe cells in cosine order via argsort on -sims
+    sims = M @ centers.T
+    order = np.argsort(-sims, axis=1)[:, :n_probe]
+    cell0 = order[:, 0]
+    n_cells = centers.shape[0]
+    counts = np.bincount(cell0, minlength=n_cells)
+    # ceil(count/chunk_size), like the broadcast cells aggregate
+    nchunks = np.maximum(1, -(-counts // chunk_size))
+    # numpy % with a positive divisor is non-negative == Spark pmod
+    chunk = H % nchunks[cell0]
+    groups = [(c, int(ch)) for c in range(n_cells) if counts[c]
+              for ch in range(int(nchunks[c]))]
+    if not groups:
+        return spark.createDataFrame([], out_schema)
+    bc = spark.sparkContext.broadcast(
+        (ids, M, order, cell0, chunk, groups))
+    kk = k
+    _PA = {"bigint": "int64", "int": "int32", "smallint": "int16",
+           "tinyint": "int8", "string": "string"}
+    pa_id_type = _PA.get(id_dt, "string")
+
+    def kernel(batches):
+        import pyarrow as pa
+        p_ids, Mv, p_order, p_cell0, p_chunk, p_groups = bc.value
+        for batch in batches:
+            for gi in batch.column(0).to_pylist():
+                cell, ch = p_groups[gi]
+                mmask = (p_cell0 == cell) & (p_chunk == ch)
+                ids_m = p_ids[mmask]
+                if len(ids_m) > 2 * chunk_size:
+                    raise RuntimeError(
+                        f"IVF chunk invariant violated: {len(ids_m)} "
+                        f"member rows in one group (bound {chunk_size},"
+                        f" tolerance 2x).  ivf_topk requires unique "
+                        f"ids; otherwise raise chunk_size")
+                Mm = Mv[mmask]
+                qmask = (p_order == cell).any(axis=1)
+                ids_q = p_ids[qmask]
+                Qm = Mv[qmask]
+                out_id, out_nb, out_cos = [], [], []
+                QBLOCK = 1024
+                for b0 in range(0, len(ids_q), QBLOCK):
+                    iq = ids_q[b0:b0 + QBLOCK]
+                    S = Qm[b0:b0 + QBLOCK] @ Mm.T
+                    S[ids_m[None, :] == iq[:, None]] = -np.inf
+                    if S.shape[1] > kk:
+                        idx = np.argpartition(-S, kk - 1,
+                                              axis=1)[:, :kk]
+                    else:
+                        idx = np.tile(np.arange(S.shape[1]),
+                                      (S.shape[0], 1))
+                    vals = np.take_along_axis(S, idx, axis=1)
+                    rr, cc = np.nonzero(np.isfinite(vals))
+                    out_id.append(iq[rr])
+                    out_nb.append(ids_m[idx[rr, cc]])
+                    out_cos.append(vals[rr, cc])
+                aa = np.concatenate(out_id) if out_id else []
+                if len(aa):
+                    typ = getattr(pa, pa_id_type)()
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(aa.tolist(), type=typ),
+                         pa.array(np.concatenate(out_nb).tolist(),
+                                  type=typ),
+                         pa.array(np.concatenate(out_cos),
+                                  type=pa.float64())],
+                        names=["id", "neighbour_id", "cosine"])
+
+    blocks = spark.range(0, len(groups), 1,
+                         numPartitions=min(len(groups),
+                                           spark.sparkContext
+                                           .defaultParallelism))
+    return blocks.mapInArrow(kernel, out_schema)
+
+
 #: persisted IVF assignment frames, released by :func:`clear_ivf_cache`
 _IVF_PERSISTED: list = []
 
@@ -233,7 +344,9 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
              n_lists: Optional[int] = 16, n_probe: int = 2,
              seed: int = 42, max_train: int = 100_000,
              chunk_size: int = 8192,
-             approx_n: Optional[int] = None) -> DataFrame:
+             approx_n: Optional[int] = None,
+             small_corpus_threshold: int = IVF_KERNEL_MAX_ROWS
+             ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: KMeans coarse quantizer -> search
     only the `n_probe` nearest cells per query vector.
 
@@ -313,18 +426,70 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
         return np.asarray(list(vals), dtype=np.float64) \
             if len(vals) else np.empty((0,))
 
-    X = _collect_matrix(sample_df)
-    if sample_df is not unthinned and len(X) < min(max_train, 32 * n_lists):
-        # thinning/fraction under-sampled a small input: one more cheap
-        # bounded collect over the unthinned rows (skipped when the
-        # first collect already saw them all)
-        X = _collect_matrix(unthinned)
+    id_dt_ = df.schema[id_col].dataType.simpleString()
+    take_kernel = n is not None and n <= small_corpus_threshold
+
+    def _collect_norm_matrix():
+        """(ids, normalized matrix, xxhash64(id)) in ONE Arrow transfer
+        of the RAW vectors.  The Spark-side HOF normalize is interpreted
+        and runs at scan parallelism (ONE task on a single-row-group
+        file — measured 8 s of the 11 s kernel-path total at 20k x 64),
+        so the kernel path normalizes on the driver instead, with the
+        numerically IDENTICAL left-fold: acc starts at 0.0 and adds
+        x*x in element order (a column loop, not np.sum's pairwise
+        tree), then x/sqrt(acc) elementwise — bit-equal to the
+        ``F.transform(v, x/norm)`` expression (asserted in tests)."""
+        raw = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.xxhash64(F.col(id_col)).alias("_h")).toPandas()
+        if len(raw) == 0:
+            return raw["_id"].to_numpy(), np.empty((0, 0)), \
+                raw["_h"].to_numpy()
+        M = np.asarray(list(raw["_v"]), dtype=np.float64)
+        acc = np.zeros(len(M))
+        for j in range(M.shape[1]):
+            acc += M[:, j] * M[:, j]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            M = M / np.sqrt(acc)[:, None]
+        return raw["_id"].to_numpy(), M, \
+            raw["_h"].to_numpy().astype(np.int64)
+
+    ids_np = M_np = H_np = None
+    if take_kernel and sample_df is unthinned:
+        # kernel path with no training-sample thinning: the one raw
+        # transfer serves both the quantizer fit (row-order-preserving
+        # prefix — the same rows the bounded limit() collect would
+        # return, verified result-identical in the parity tests) and
+        # the scoring kernel's broadcast matrix
+        ids_np, M_np, H_np = _collect_norm_matrix()
+        X = M_np[:max_train]
+    else:
+        X = _collect_matrix(sample_df)
+        if sample_df is not unthinned and \
+                len(X) < min(max_train, 32 * n_lists):
+            # thinning/fraction under-sampled a small input: one more
+            # cheap bounded collect over the unthinned rows (skipped
+            # when the first collect already saw them all)
+            X = _collect_matrix(unthinned)
     if len(X) == 0:  # genuinely empty input
         return keyed.sparkSession.createDataFrame(
-            [], f"id {df.schema[id_col].dataType.simpleString()}, "
-                f"neighbour_id {df.schema[id_col].dataType.simpleString()},"
-                f" cosine double")
+            [], f"id {id_dt_}, neighbour_id {id_dt_}, cosine double")
     centers = _kmeans_spherical(X, n_lists, seed)
+    if take_kernel:
+        # bounded-corpus kernel (result-identical; parity pinned in
+        # tests) — the whole probe/score pipeline collapses into one
+        # collect + one mapInArrow job; same global window merge below
+        if M_np is None:
+            ids_np, M_np, H_np = _collect_norm_matrix()
+        scored = _ivf_topk_kernel(df.sparkSession, ids_np, M_np, H_np,
+                                  centers, k, n_probe, chunk_size,
+                                  id_dt_)
+        w = (Window.partitionBy("id")
+             .orderBy(F.col("cosine").desc(),
+                      F.col("neighbour_id").asc()))
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k).drop("_rn"))
     bc = df.sparkSession.sparkContext.broadcast(centers)
 
     def assign(probe: int):
@@ -413,25 +578,33 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
         M = np.asarray(list(right["_v"]))
         ids_m = right["_id"].to_numpy()
         out_id, out_nb, out_cos = [], [], []
-        # query-side blocks bound the S matrix at QBLOCK x chunk_size
+        # query-side blocks bound the S matrix at QBLOCK x chunk_size;
+        # selection is one vectorized argpartition per block (r6: the
+        # per-row loop was 3x slower at identical per-row results —
+        # argpartition along axis=1 partitions each row independently
+        # with the same introselect the per-row calls used)
         QBLOCK = 1024
         for b0 in range(0, len(left), QBLOCK):
             blk = left.iloc[b0:b0 + QBLOCK]
             Q = np.asarray(list(blk["qv"]))
             S = Q @ M.T
             ids_q = blk["id"].to_numpy()
-            for r in range(S.shape[0]):
-                s = np.where(ids_m == ids_q[r], -np.inf, S[r])
-                if len(s) > kk:
-                    idx = np.argpartition(-s, kk - 1)[:kk]
-                else:
-                    idx = np.arange(len(s))
-                keep = idx[np.isfinite(s[idx])]
-                out_id.extend([ids_q[r]] * len(keep))
-                out_nb.extend(ids_m[keep])
-                out_cos.extend(s[keep])
-        return pd.DataFrame({"id": out_id, "neighbour_id": out_nb,
-                             "cosine": out_cos})
+            S[ids_m[None, :] == ids_q[:, None]] = -np.inf
+            if S.shape[1] > kk:
+                idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            else:
+                idx = np.tile(np.arange(S.shape[1]), (S.shape[0], 1))
+            vals = np.take_along_axis(S, idx, axis=1)
+            rr, cc = np.nonzero(np.isfinite(vals))
+            out_id.append(ids_q[rr])
+            out_nb.append(ids_m[idx[rr, cc]])
+            out_cos.append(vals[rr, cc])
+        if not out_id:
+            return pd.DataFrame({"id": [], "neighbour_id": [],
+                                 "cosine": []})
+        return pd.DataFrame({"id": np.concatenate(out_id),
+                             "neighbour_id": np.concatenate(out_nb),
+                             "cosine": np.concatenate(out_cos)})
 
     scored = (queries.groupBy("_cell", "_chunk")
               .cogroup(inv.groupBy("_cell", "_chunk"))

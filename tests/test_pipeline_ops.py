@@ -381,16 +381,24 @@ def test_ivf_no_count_job_with_explicit_n_lists(spark, monkeypatch):
 
 
 def test_clear_ivf_cache_releases_assignment(spark):
+    """The assignment persist (and its release) is a distributed-path
+    contract; the r6 bounded-corpus kernel persists nothing."""
     from jsonschema_spark.operators.similarity import (clear_ivf_cache,
                                                        ivf_topk)
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     out = ivf_topk(e, "vec_id", "embedding", k=1, n_lists=8, n_probe=2,
-                   approx_n=e.count())
+                   approx_n=e.count(), small_corpus_threshold=0)
     out.count()  # materialize -> assignment persisted
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
     clear_ivf_cache()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    # kernel path: no persisted state to leak or release
+    out = ivf_topk(e, "vec_id", "embedding", k=1, n_lists=8, n_probe=2,
+                   approx_n=e.count())
+    out.count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    assert clear_ivf_cache() == 0
 
 
 # --------------------------------------------------- PNG codec tier -------
@@ -962,7 +970,9 @@ def test_ivf_single_training_collect_on_small_input(spark, monkeypatch):
     """When n is known (approx_n) and the bounded training collect
     already scanned the whole (unthinned) input, the under-sample
     fallback must NOT re-run an identical second collect (one wasted
-    job per explicit-n_lists call on small inputs)."""
+    job per explicit-n_lists call on small inputs).  The training
+    transfer is Arrow ``toPandas`` since r6, so both driver-side
+    materialization mechanisms are counted."""
     import numpy as np
     from pyspark.sql.classic.dataframe import DataFrame as _DF
     from jsonschema_spark.operators.similarity import (clear_ivf_cache,
@@ -973,15 +983,22 @@ def test_ivf_single_training_collect_on_small_input(spark, monkeypatch):
     df = spark.createDataFrame(rows, "vec_id long, v array<double>")
     calls = {"n": 0}
     real_collect = _DF.collect
+    real_topandas = _DF.toPandas
 
-    def counting(self):
+    def counting_collect(self):
         calls["n"] += 1
         return real_collect(self)
 
-    monkeypatch.setattr(_DF, "collect", counting)
+    def counting_topandas(self):
+        calls["n"] += 1
+        return real_topandas(self)
+
+    monkeypatch.setattr(_DF, "collect", counting_collect)
+    monkeypatch.setattr(_DF, "toPandas", counting_topandas)
     ann = ivf_topk(df, "vec_id", "v", k=1, n_lists=4, n_probe=4,
                    approx_n=200)
-    assert calls["n"] == 1, f"expected 1 training collect, got {calls['n']}"
+    assert calls["n"] == 1, \
+        f"expected 1 training materialization, got {calls['n']}"
     monkeypatch.undo()
     assert ann.count() == 200
     clear_ivf_cache()

@@ -154,3 +154,57 @@ def test_ngram_jaccard_kernel_vs_join_parity(docs):
     a = sorted(map(tuple, join_path.collect()))
     b = sorted(map(tuple, kernel_path.collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_kernel_vs_cogroup_parity(spark):
+    """Broadcast IVF kernel == distributed cogroup path: identical
+    selected (id, neighbour_id) sets under both probe configs the
+    declared queries use (cosines may differ by BLAS-accumulation
+    ulps, which the selection comparison deliberately excludes and
+    the queries' contracts — rows-only / recall>=bar — tolerate)."""
+    import numpy as np
+    from jsonschema_spark.operators.similarity import (clear_ivf_cache,
+                                                       ivf_topk)
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)])
+            for i in range(600)]
+    # a few duplicate-direction vectors for near-tie pressure
+    for i in range(600, 640):
+        rows.append((i, [float(x) for x in
+                         np.asarray(rows[i % 600][1]) * 2.0]))
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    for probe in (2, 5):
+        dist = ivf_topk(df, "vec_id", "v", k=3, n_lists=8,
+                        n_probe=probe, approx_n=640,
+                        small_corpus_threshold=0)
+        kern = ivf_topk(df, "vec_id", "v", k=3, n_lists=8,
+                        n_probe=probe, approx_n=640)
+        a = sorted((r["id"], r["neighbour_id"]) for r in dist.collect())
+        b = sorted((r["id"], r["neighbour_id"]) for r in kern.collect())
+        clear_ivf_cache()
+        assert a == b and len(a) == 640 * 3
+
+
+def test_ivf_driver_normalize_bit_identity(spark):
+    """The kernel path's driver-side left-fold normalization must be
+    bit-equal to the Spark HOF expression the distributed path uses
+    (acc = 0.0 then + x*x in element order, then x / sqrt(acc))."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=23)])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+    v = F.col("v").cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    sp = df.select(F.transform(v, lambda x: x / norm).alias("_v")) \
+        .toPandas()
+    S = np.asarray(list(sp["_v"]), dtype=np.float64)
+    raw = df.select(v.alias("_v")).toPandas()
+    M = np.asarray(list(raw["_v"]), dtype=np.float64)
+    acc = np.zeros(len(M))
+    for j in range(M.shape[1]):
+        acc += M[:, j] * M[:, j]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Nn = M / np.sqrt(acc)[:, None]
+    assert np.array_equal(S, Nn)
