@@ -913,8 +913,17 @@ def _ngram_pairs_kernel(df: DataFrame, id_col: str, text_col: str,
     pa_id_type = _PA.get(id_dt, "string")
 
     def _prep(pid):
+        # resolve the cache through the worker-side module import:
+        # cloudpickle copies a nested function's referenced globals BY
+        # VALUE into every task's closure, so naming the module global
+        # directly hands each task a FRESH dict and the cache never
+        # hits (measured: prep re-ran on all 128 tasks, ~6 s wall).
+        # The module is importable on workers by the same contract the
+        # kernel's module-level helper references already rely on.
+        from jsonschema_spark.operators.dedup import _AUDIT_PREP_CACHE \
+            as cache
         key = (bc_token, n, max_bucket, pid)
-        hit = _AUDIT_PREP_CACHE.get(key)
+        hit = cache.get(key)
         if hit is not None:
             return hit
         import re
@@ -950,8 +959,8 @@ def _ngram_pairs_kernel(df: DataFrame, id_col: str, text_col: str,
         inv_indptr = np.searchsorted(
             gs, np.arange(len(vocab) + 1, dtype=np.int64))
         prep = (p_ids, flat, indptr, sizes, kept, inv_docs, inv_indptr)
-        _AUDIT_PREP_CACHE.clear()
-        _AUDIT_PREP_CACHE[key] = prep
+        cache.clear()
+        cache[key] = prep
         return prep
 
     def kernel(batches):
@@ -1199,8 +1208,13 @@ def hamming_verified_pairs(df: DataFrame, id_col: str, text_col: str,
     pa_id_type = _PA_TYPES.get(id_dt, "string")
 
     def _prep(bc_id, pid):
+        # worker-side module import: see the ngram kernel's _prep —
+        # naming the module global directly ships a fresh by-value
+        # dict per task and defeats the cache entirely
+        from jsonschema_spark.operators.dedup import _AUDIT_PREP_CACHE \
+            as cache
         key = (bc_id, k, pid)
-        hit = _AUDIT_PREP_CACHE.get(key)
+        hit = cache.get(key)
         if hit is not None:
             return hit
         p_ids, p_codes, p_txt = bc.value
@@ -1221,31 +1235,59 @@ def hamming_verified_pairs(df: DataFrame, id_col: str, text_col: str,
                 else np.empty(0, dtype=np.int64))
         sizes = np.diff(indptr)
         lut = np.zeros(len(vocab), dtype=bool)
-        prep = (p_ids, p_codes, flat, indptr, sizes, lut)
-        _AUDIT_PREP_CACHE.clear()     # one panel per worker at a time
-        _AUDIT_PREP_CACHE[key] = prep
+        # one-hot GEMM verify (r6): when the interned vocabulary is
+        # small (short-vocab corpora — the bench regime), exact
+        # intersection counts for a whole anchor block against ALL
+        # docs come from ONE BLAS sgemm over the 0/1 matrix — measured
+        # ~100x less per-pair cost than the boolean-LUT gather, which
+        # walked ~250 flat elements per candidate x 46M candidates.
+        # Counts are exact: intersections are bounded by the longest
+        # shingle set (<< 2^24, float32-exact), and the jaccard is the
+        # same IEEE double division on the recovered integers.  Large
+        # vocabularies fall back to the gather (the one-hot matrix is
+        # gated at 256 MB).
+        one_hot = None
+        if len(p_txt) and len(vocab) and len(vocab) < (1 << 24) and \
+                len(p_txt) * len(vocab) * 4 <= (256 << 20):
+            one_hot = np.zeros((len(p_txt), len(vocab)),
+                               dtype=np.float32)
+            one_hot[np.repeat(np.arange(len(p_txt)), sizes), flat] = 1.0
+        prep = (p_ids, p_codes, flat, indptr, sizes, lut, one_hot)
+        cache.clear()                 # one panel per worker at a time
+        cache[key] = prep
         return prep
 
     def kernel(batches):
         import os as _os
 
         import pyarrow as pa
-        p_ids, p_codes, flat, indptr, sizes, lut = \
+        p_ids, p_codes, flat, indptr, sizes, lut, one_hot = \
             _prep(bc_token, _os.getpid())
         id_arr = np.asarray(p_ids)
+        # pigeonhole: max_hamming set bits cannot occupy every one of
+        # n_bands bands when max_hamming < n_bands, so the band-share
+        # condition is implied and its n_bands-pass check is skipped
+        bands_implied = int(mh) < n_bands
         for batch in batches:
             for blk in batch.column(0).to_pylist():
                 out_a, out_b, out_j = [], [], []
-                for i in range(blk, n, n_blocks):
+                S_blk = None
+                if one_hot is not None:
+                    anchors = np.arange(blk, n, n_blocks)
+                    # one sgemm: exact intersection counts of every
+                    # block anchor against every doc
+                    S_blk = one_hot[anchors] @ one_hot.T
+                for r, i in enumerate(range(blk, n, n_blocks)):
                     if i + 1 >= n:
                         continue
                     x = p_codes[i + 1:] ^ p_codes[i]
                     ok = _popcount64(x) <= mh
-                    share = np.zeros(len(x), dtype=bool)
-                    for b in range(n_bands):
-                        share |= ((x >> np.uint64(b * band_bits))
-                                  & mask) == 0
-                    ok &= share
+                    if not bands_implied:
+                        share = np.zeros(len(x), dtype=bool)
+                        for b in range(n_bands):
+                            share |= ((x >> np.uint64(b * band_bits))
+                                      & mask) == 0
+                        ok &= share
                     # size prefilter (provably result-free: J <= min/max)
                     sj = sizes[i + 1:]
                     lo = np.minimum(sj, sizes[i]).astype(np.float64)
@@ -1255,23 +1297,26 @@ def hamming_verified_pairs(df: DataFrame, id_col: str, text_col: str,
                     js = js[id_arr[js] != id_arr[i]]  # strict id_a<id_b
                     if not len(js):
                         continue
-                    ga = flat[indptr[i]:indptr[i + 1]]
-                    lut[ga] = True
-                    starts = indptr[js]
                     lens = sizes[js]
-                    total = int(lens.sum())
-                    # vectorized multi-arange over candidate segments
-                    steps = np.ones(total, dtype=np.int64)
-                    steps[0] = starts[0]
-                    pos = np.cumsum(lens)[:-1]
-                    if len(pos):
-                        steps[pos] = (starts[1:]
-                                      - (starts[:-1] + lens[:-1] - 1))
-                    idx = np.cumsum(steps)
-                    hits = lut[flat[idx]].astype(np.int32)
-                    bounds = np.concatenate(([0], pos))
-                    inters = np.add.reduceat(hits, bounds)
-                    lut[ga] = False
+                    if S_blk is not None:
+                        inters = np.rint(S_blk[r, js]).astype(np.int64)
+                    else:
+                        ga = flat[indptr[i]:indptr[i + 1]]
+                        lut[ga] = True
+                        starts = indptr[js]
+                        total = int(lens.sum())
+                        # vectorized multi-arange over candidate segments
+                        steps = np.ones(total, dtype=np.int64)
+                        steps[0] = starts[0]
+                        pos = np.cumsum(lens)[:-1]
+                        if len(pos):
+                            steps[pos] = (starts[1:]
+                                          - (starts[:-1] + lens[:-1] - 1))
+                        idx = np.cumsum(steps)
+                        hits = lut[flat[idx]].astype(np.int32)
+                        bounds = np.concatenate(([0], pos))
+                        inters = np.add.reduceat(hits, bounds)
+                        lut[ga] = False
                     jac = inters / (sizes[i] + lens - inters)
                     keep = np.nonzero(jac >= mj)[0]
                     if len(keep):
