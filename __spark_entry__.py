@@ -74,9 +74,23 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     inputs carry more partitions than cores and this is a no-op; it is
     applied ONLY to queries whose per-row work dominates — for
     tiny-aggregate queries (events_hourly, manifest_orders) the extra
-    exchange measured as a net loss and `_t` stays."""
+    exchange measured as a net loss and `_t` stays.
+
+    Pushdown barrier (r6 round 2): Catalyst pushes deterministic
+    filters through the round-robin repartition, so the validator
+    queries' expensive `size(violations) > 0` filter sank back to the
+    row-group-bound scan and the floor bought nothing (the whole
+    violation array evaluated on 6 tasks at sf1.0).  A nondeterministic
+    always-true filter (monotonically_increasing_id() >= 0 — the id is
+    non-negative by construction) pins downstream filters above the
+    exchange; it is added ONLY when the floor actually repartitioned,
+    so at real scale the helper remains a strict no-op."""
     from jsonschema_spark.operators.dedup import ensure_parallelism
-    return ensure_parallelism(_t(spark, sf_dir, name))
+    df = _t(spark, sf_dir, name)
+    fanned = ensure_parallelism(df)
+    if fanned is df:
+        return df
+    return fanned.where(F.monotonically_increasing_id() >= 0)
 
 
 # --------------------------------------------------------------- specs ----
@@ -157,7 +171,7 @@ def q_error_tree_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ErrorTree: violations grouped by instance path."""
     from jsonschema_spark import CompiledValidator
     from jsonschema_spark.operators.bestmatch import error_tree
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     v = CompiledValidator(LINEITEM_SPEC, li)
     return error_tree(v.violations(li)).select(
         "json_path", "total_errors",
