@@ -287,10 +287,14 @@ def _minhash_pairs_kernel(sigs: DataFrame, num_hashes: int, bands: int,
                 aa = np.concatenate(out_a)
                 if len(aa):
                     typ = getattr(pa, pa_id_type)()
+                    bb = np.concatenate(out_b)
+                    # zero-copy for numeric id arrays; object arrays
+                    # (string ids) need the python-list conversion
+                    conv = (lambda a: pa.array(a, type=typ)) \
+                        if aa.dtype != object else \
+                        (lambda a: pa.array(a.tolist(), type=typ))
                     yield pa.RecordBatch.from_arrays(
-                        [pa.array(aa.tolist(), type=typ),
-                         pa.array(np.concatenate(out_b).tolist(),
-                                  type=typ),
+                        [conv(aa), conv(bb),
                          pa.array(np.concatenate(out_g).astype("int32"),
                                   type=pa.int32())],
                         names=["id_a", "id_b", "_agree"])
