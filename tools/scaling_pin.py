@@ -33,12 +33,12 @@ REPEATS = 3
 
 _WORKER = r"""
 import json, sys, time
-sys.path.insert(0, %(repo)r)
+sys.path.insert(0, @REPO@)
 cores = int(sys.argv[1])
-rows = %(rows)d
+rows = @ROWS@
 from jsonschema_spark.session import get_spark
 from pyspark.sql import functions as F
-spark = get_spark("pin-%%d" %% cores, cores=cores,
+spark = get_spark("pin-%d" % cores, cores=cores,
                   shuffle_partitions=cores * 4)
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -47,11 +47,16 @@ base = spark.range(0, rows, 1, cores * 8)
 
 def expr_eval():
     # pure codegen expression chain, no keys, no exchange — the
-    # compute_validate analogue
-    c = (F.col("id") * 2654435761 % 1000003)
-    pred = ((c > 10) & (c % 7 != 3) & (c % 11 != 5)
-            & (F.xxhash64("id") % 97 != 13))
-    return base.select(F.sum(pred.cast("long"))).collect()[0][0]
+    # compute_validate analogue.  16x the base rows and a 16-term
+    # hash chain so the job runs seconds, not the sub-second regime
+    # where scheduling overhead swamps the scaling signal
+    wide = spark.range(0, rows * 16, 1, cores * 8)
+    pred = None
+    for s in range(16):
+        c = F.xxhash64("id", F.lit(s)) % 1000003
+        t = (c > 10) & (c % 7 != 3)
+        pred = t if pred is None else (pred & t)
+    return wide.select(F.sum(pred.cast("long"))).collect()[0][0]
 
 def hash_agg():
     # random-key hash aggregation (the uniqueness-check kernel):
@@ -81,7 +86,7 @@ for name, fn in (("expr_eval", expr_eval), ("hash_agg", hash_agg),
                  ("exchange_agg", exchange_agg),
                  ("fanout_join", fanout_join)):
     best = None
-    for _ in range(%(repeats)d):
+    for _ in range(@REPEATS@):
         t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0
@@ -89,7 +94,8 @@ for name, fn in (("expr_eval", expr_eval), ("hash_agg", hash_agg),
     out[name] = round(best, 3)
 print("RESULT " + json.dumps(out))
 spark.stop()
-""" % {"repo": REPO, "rows": ROWS, "repeats": REPEATS}
+""".replace("@REPO@", repr(REPO)).replace("@ROWS@", str(ROWS)) \
+    .replace("@REPEATS@", str(REPEATS))
 
 KERNELS = ("expr_eval", "hash_agg", "exchange_agg", "fanout_join")
 
