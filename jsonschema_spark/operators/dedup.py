@@ -305,9 +305,15 @@ def _minhash_pairs_kernel(sigs: DataFrame, num_hashes: int, bands: int,
 
 #: corpora at or below this row count take the broadcast banding
 #: kernel in :func:`minhash_candidates` (signature matrix ~0.5 KB/row
-#: -> ~100 MB broadcast at the cap); larger corpora use the
-#: distributed slice-keyed self-join
-MINHASH_KERNEL_MAX_ROWS = 200_000
+#: -> ~300 MB broadcast at the cap); larger corpora use the
+#: distributed slice-keyed self-join.  Raised 200k -> 600k in r6: the
+#: kernel measured 31 s at 200k docs / ~800M band collisions (the
+#: byte-digest screen makes collision cost ~128 B/pair), while the
+#: join's per-collision interpreted zip_with would take ~25 minutes
+#: on the same corpus — the crossover where the broadcast stops
+#: paying sits well above the templated-corpus sizes a single box
+#: handles anyway
+MINHASH_KERNEL_MAX_ROWS = 600_000
 
 
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
